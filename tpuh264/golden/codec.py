@@ -1,0 +1,463 @@
+"""Golden (numpy) H.264 I-frame codec: baseline profile, Intra_16x16, CAVLC.
+
+This is the reference-model implementation of BASELINE.json config 1
+(I-frame-only encode->decode roundtrip).  It is deliberately scalar-clear:
+the TPU encoder in tpuh264.kernels must produce bit-identical streams and
+the TPU decoder identical reconstructions (tests enforce both), and
+libavcodec must agree with our decoder on our streams.
+
+The codec loop the reference outsources to libopenh264.a
+(ISVCEncoder::EncodeFrame at /root/reference/openh264_wrapper.cpp:351)
+lives here in explicit form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core import nal
+from ..core.bitstream import BitReader, BitWriter
+from ..core.params import PPS, SPS
+from ..core.sliceheader import SLICE_I, SliceHeader
+from ..entropy.cavlc import decode_residual_block, encode_residual_block
+from . import intra
+from .transform import (
+    chroma_qp,
+    dequant4x4,
+    dequant_chroma_dc,
+    dequant_luma_dc,
+    forward4x4,
+    hadamard2x2,
+    hadamard4x4,
+    idct_add,
+    inverse_zigzag,
+    quant4x4,
+    quant_chroma_dc,
+    quant_luma_dc,
+    zigzag,
+    blocks4_to_plane,
+    plane_to_blocks4,
+)
+
+# luma4x4BlkIdx scan order (H.264 6.4.3): (bx, by) in 4x4-block units
+BLK_SCAN = [
+    (0, 0), (1, 0), (0, 1), (1, 1),
+    (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3),
+    (2, 2), (3, 2), (2, 3), (3, 3),
+]
+
+
+def pad_to_mb(plane: np.ndarray, mb: int = 16) -> np.ndarray:
+    """Edge-replicate a plane to a multiple of ``mb`` in both dims."""
+    h, w = plane.shape
+    ph = (h + mb - 1) // mb * mb
+    pw = (w + mb - 1) // mb * mb
+    if ph == h and pw == w:
+        return plane.astype(np.int32)
+    return np.pad(
+        plane.astype(np.int32), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+
+
+def _nc(nnz: np.ndarray, bx: int, by: int, left_ok: bool, top_ok: bool) -> int:
+    """nC for a block at global block coords (bx, by) (H.264 9.2.1)."""
+    na = int(nnz[by, bx - 1]) if left_ok else None
+    nb = int(nnz[by - 1, bx]) if top_ok else None
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _block_avail(b: int, mb_edge_avail: bool) -> Tuple[bool, bool]:
+    """(left_ok-at-block-0, unused) helper replaced inline; kept for clarity."""
+    raise NotImplementedError
+
+
+def reconstruct_luma_mb(
+    pred: np.ndarray, dc_zz: np.ndarray, ac_zz: np.ndarray, qp: int, cbp_luma: bool
+) -> np.ndarray:
+    """pred (16,16); dc_zz (16,) zigzag DC levels; ac_zz (4,4,15) per-block AC."""
+    dcq = inverse_zigzag(dc_zz.astype(np.int32))  # (4,4) block raster [by][bx]
+    dc_deq = dequant_luma_dc(dcq, qp)
+    coeffs = np.zeros((4, 4, 16), dtype=np.int32)
+    if cbp_luma:
+        coeffs[:, :, 1:] = ac_zz
+    blocks = inverse_zigzag(coeffs)  # (4,4,4,4)
+    d = dequant4x4(blocks, qp)
+    d[..., 0, 0] = dc_deq
+    pred_blocks = plane_to_blocks4(pred)
+    return blocks4_to_plane(idct_add(pred_blocks, d))
+
+
+def reconstruct_chroma_mb(
+    pred: np.ndarray, dc: np.ndarray, ac_zz: np.ndarray, qpc: int, cbp_chroma: int
+) -> np.ndarray:
+    """pred (8,8); dc (4,) raster DC levels; ac_zz (2,2,15)."""
+    dcq = dc.astype(np.int32).reshape(2, 2)
+    dc_deq = dequant_chroma_dc(dcq, qpc) if cbp_chroma >= 1 else np.zeros((2, 2), np.int32)
+    coeffs = np.zeros((2, 2, 16), dtype=np.int32)
+    if cbp_chroma == 2:
+        coeffs[:, :, 1:] = ac_zz
+    blocks = inverse_zigzag(coeffs)
+    d = dequant4x4(blocks, qpc)
+    d[..., 0, 0] = dc_deq
+    pred_blocks = plane_to_blocks4(pred)
+    return blocks4_to_plane(idct_add(pred_blocks, d))
+
+
+@dataclasses.dataclass
+class _MBContext:
+    """Shared per-frame state for the causal MB scan."""
+
+    recon_y: np.ndarray
+    recon_u: np.ndarray
+    recon_v: np.ndarray
+    nnz_y: np.ndarray  # (4*mbh, 4*mbw)
+    nnz_u: np.ndarray  # (2*mbh, 2*mbw)
+    nnz_v: np.ndarray
+    slice_id: np.ndarray  # (mbh, mbw) int, -1 = not yet coded
+    qp: int
+    qpc: int
+
+
+def _neighbors_luma(ctx: _MBContext, mbx: int, mby: int, sid: int):
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+    y0, x0 = 16 * mby, 16 * mbx
+    top = ctx.recon_y[y0 - 1, x0 : x0 + 16] if top_ok else np.zeros(16, np.int32)
+    left = ctx.recon_y[y0 : y0 + 16, x0 - 1] if left_ok else np.zeros(16, np.int32)
+    corner = int(ctx.recon_y[y0 - 1, x0 - 1]) if (top_ok and left_ok) else 0
+    return left_ok, top_ok, top, left, corner
+
+
+def _neighbors_chroma(plane, mbx, mby, left_ok, top_ok):
+    y0, x0 = 8 * mby, 8 * mbx
+    top = plane[y0 - 1, x0 : x0 + 8] if top_ok else np.zeros(8, np.int32)
+    left = plane[y0 : y0 + 8, x0 - 1] if left_ok else np.zeros(8, np.int32)
+    corner = int(plane[y0 - 1, x0 - 1]) if (top_ok and left_ok) else 0
+    return top, left, corner
+
+
+def _luma_nc(ctx, mbx, mby, bx, by, left_mb_ok, top_mb_ok):
+    gbx, gby = 4 * mbx + bx, 4 * mby + by
+    left_ok = bx > 0 or left_mb_ok
+    top_ok = by > 0 or top_mb_ok
+    return _nc(ctx.nnz_y, gbx, gby, left_ok, top_ok)
+
+
+def _chroma_nc(nnz, mbx, mby, bx, by, left_mb_ok, top_mb_ok):
+    gbx, gby = 2 * mbx + bx, 2 * mby + by
+    left_ok = bx > 0 or left_mb_ok
+    top_ok = by > 0 or top_mb_ok
+    return _nc(nnz, gbx, gby, left_ok, top_ok)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _encode_mb(
+    w: BitWriter,
+    ctx: _MBContext,
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    mbx: int,
+    mby: int,
+    sid: int,
+) -> None:
+    qp, qpc = ctx.qp, ctx.qpc
+    left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
+    y0, x0 = 16 * mby, 16 * mbx
+    src = y[y0 : y0 + 16, x0 : x0 + 16]
+
+    # --- luma mode decision (SAD over available modes) ---
+    best_mode, best_pred, best_cost = None, None, None
+    for mode in intra.luma16_available_modes(top_ok, left_ok):
+        p = intra.pred16(mode, top, left, corner, top_ok, left_ok)
+        cost = int(np.abs(src - p).sum())
+        if best_cost is None or cost < best_cost:
+            best_mode, best_pred, best_cost = mode, p, cost
+    pred = best_pred
+
+    # --- luma transform & quant ---
+    resid = src - pred
+    wblocks = forward4x4(plane_to_blocks4(resid))  # (4,4,4,4)
+    dc = wblocks[..., 0, 0]
+    dcq_zz = zigzag(quant_luma_dc(hadamard4x4(dc), qp))  # (16,)
+    acq = quant4x4(wblocks, qp, intra=True)
+    ac_zz = zigzag(acq)[..., 1:]  # (4,4,15)
+    cbp_luma = bool(np.any(ac_zz))
+
+    # --- chroma mode decision ---
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    c0, cx0 = 8 * mby, 8 * mbx
+    srcu = u[c0 : c0 + 8, cx0 : cx0 + 8]
+    srcv = v[c0 : c0 + 8, cx0 : cx0 + 8]
+    best_cmode, best_cpred, best_ccost = None, None, None
+    for mode in intra.chroma_available_modes(top_ok, left_ok):
+        pu = intra.pred8(mode, topu, leftu, corneru, top_ok, left_ok)
+        pv = intra.pred8(mode, topv, leftv, cornerv, top_ok, left_ok)
+        cost = int(np.abs(srcu - pu).sum()) + int(np.abs(srcv - pv).sum())
+        if best_ccost is None or cost < best_ccost:
+            best_cmode, best_cpred, best_ccost = mode, (pu, pv), cost
+    predu, predv = best_cpred
+
+    # --- chroma transform & quant ---
+    def chroma_fwd(srcc, predc):
+        wc = forward4x4(plane_to_blocks4(srcc - predc))  # (2,2,4,4)
+        dcc = quant_chroma_dc(hadamard2x2(wc[..., 0, 0]), qpc)
+        acc = zigzag(quant4x4(wc, qpc, intra=True))[..., 1:]  # (2,2,15)
+        return dcc, acc
+
+    dcu, acu = chroma_fwd(srcu, predu)
+    dcv, acv = chroma_fwd(srcv, predv)
+    any_ac = bool(np.any(acu)) or bool(np.any(acv))
+    any_dc = bool(np.any(dcu)) or bool(np.any(dcv))
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+
+    # --- reconstruction (must match the decoder exactly) ---
+    rec_y = reconstruct_luma_mb(pred, dcq_zz, ac_zz, qp, cbp_luma)
+    rec_u = reconstruct_chroma_mb(predu, dcu.reshape(4), acu, qpc, cbp_chroma)
+    rec_v = reconstruct_chroma_mb(predv, dcv.reshape(4), acv, qpc, cbp_chroma)
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = rec_y
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = rec_u
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = rec_v
+
+    # --- syntax ---
+    mb_type = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    w.ue(mb_type)
+    w.ue(best_cmode)
+    w.se(0)  # mb_qp_delta (always present for I16x16)
+
+    # Intra16x16DCLevel: nC as for luma block 0
+    nc0 = _luma_nc(ctx, mbx, mby, 0, 0, left_ok, top_ok)
+    encode_residual_block(w, dcq_zz.tolist(), nc0, 16)
+
+    # AC blocks in luma4x4BlkIdx scan order; update nnz as we go
+    if cbp_luma:
+        for bx, by in BLK_SCAN:
+            ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+            block = ac_zz[by, bx]
+            encode_residual_block(w, block.tolist(), ncb, 15)
+            ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
+    else:
+        ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+
+    if cbp_chroma:
+        encode_residual_block(w, dcu.reshape(4).tolist(), -1, 4)
+        encode_residual_block(w, dcv.reshape(4).tolist(), -1, 4)
+    if cbp_chroma == 2:
+        for comp, (nnz_c, ac) in enumerate(((ctx.nnz_u, acu), (ctx.nnz_v, acv))):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                block = ac[by, bx]
+                encode_residual_block(w, block.tolist(), ncb, 15)
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(np.count_nonzero(block))
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    ctx.slice_id[mby, mbx] = sid
+
+
+def encode_iframe(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    qp: int = 28,
+    slice_mode: str = "rows",
+    frame_num: int = 0,
+    idr: bool = True,
+    include_ps: bool = True,
+    sps: Optional[SPS] = None,
+    pps: Optional[PPS] = None,
+) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Encode one I-frame.  Returns (annexb bytes, padded recon planes)."""
+    height, width = y.shape
+    if sps is None:
+        sps = SPS.for_size(width, height)
+    if pps is None:
+        pps = PPS()
+    mbw, mbh = sps.mb_width, sps.mb_height
+    yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
+
+    ctx = _MBContext(
+        recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
+        recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
+        recon_v=np.zeros((8 * mbh, 8 * mbw), np.int32),
+        nnz_y=np.zeros((4 * mbh, 4 * mbw), np.int32),
+        nnz_u=np.zeros((2 * mbh, 2 * mbw), np.int32),
+        nnz_v=np.zeros((2 * mbh, 2 * mbw), np.int32),
+        slice_id=np.full((mbh, mbw), -1, np.int32),
+        qp=qp,
+        qpc=chroma_qp(qp, pps.chroma_qp_index_offset),
+    )
+
+    out = bytearray()
+    if include_ps:
+        w = BitWriter()
+        sps.write(w)
+        out += nal.wrap_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        pps.write(w)
+        out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+
+    if slice_mode == "rows":
+        slices = [(r, list((r, c) for c in range(mbw))) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, [(r, c) for r in range(mbh) for c in range(mbw)])]
+    else:
+        raise ValueError(slice_mode)
+
+    slice_qp_delta = qp - 26 - pps.pic_init_qp_minus26
+    for sid, (_, mbs) in enumerate(slices):
+        w = BitWriter()
+        header = SliceHeader(
+            first_mb_in_slice=mbs[0][0] * mbw + mbs[0][1],
+            slice_type=SLICE_I,
+            frame_num=frame_num,
+            slice_qp_delta=slice_qp_delta,
+        )
+        header.write(w, sps, pps, idr)
+        for mby, mbx in mbs:
+            _encode_mb(w, ctx, yp, up, vp, mbx, mby, sid)
+        w.rbsp_trailing_bits()
+        ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
+        out += nal.wrap_nal(ntype, w.get_bytes(), nal_ref_idc=3)
+
+    return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _decode_mb(
+    r: BitReader, ctx: _MBContext, mbx: int, mby: int, sid: int
+) -> None:
+    qp, qpc = ctx.qp, ctx.qpc
+    mb_type = r.ue()
+    if not 1 <= mb_type <= 24:
+        raise NotImplementedError(f"mb_type {mb_type}")
+    t = mb_type - 1
+    pred_mode = t % 4
+    cbp_chroma = (t // 4) % 3
+    cbp_luma = t >= 12
+    cmode = r.ue()
+    r.se()  # mb_qp_delta (always 0 from our encoder; QP tracking later)
+
+    left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
+    pred = intra.pred16(pred_mode, top, left, corner, top_ok, left_ok)
+
+    nc0 = _luma_nc(ctx, mbx, mby, 0, 0, left_ok, top_ok)
+    dc_zz = np.array(decode_residual_block(r, nc0, 16), dtype=np.int32)
+
+    ac_zz = np.zeros((4, 4, 15), dtype=np.int32)
+    if cbp_luma:
+        for bx, by in BLK_SCAN:
+            ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+            block = decode_residual_block(r, ncb, 15)
+            ac_zz[by, bx] = block
+            ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                np.count_nonzero(np.array(block))
+            )
+    else:
+        ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+
+    dcu = np.zeros(4, np.int32)
+    dcv = np.zeros(4, np.int32)
+    acu = np.zeros((2, 2, 15), np.int32)
+    acv = np.zeros((2, 2, 15), np.int32)
+    if cbp_chroma:
+        dcu = np.array(decode_residual_block(r, -1, 4), dtype=np.int32)
+        dcv = np.array(decode_residual_block(r, -1, 4), dtype=np.int32)
+    if cbp_chroma == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                block = decode_residual_block(r, ncb, 15)
+                ac[by, bx] = block
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(
+                    np.count_nonzero(np.array(block))
+                )
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    predu = intra.pred8(cmode, topu, leftu, corneru, top_ok, left_ok)
+    predv = intra.pred8(cmode, topv, leftv, cornerv, top_ok, left_ok)
+
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = reconstruct_luma_mb(
+        pred, dc_zz, ac_zz, qp, cbp_luma
+    )
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu, acu, qpc, cbp_chroma
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv, acv, qpc, cbp_chroma
+    )
+    ctx.slice_id[mby, mbx] = sid
+
+
+def decode_annexb(
+    data: bytes,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode an annex-B stream of one I-frame; returns cropped Y, U, V."""
+    sps: Optional[SPS] = None
+    pps: Optional[PPS] = None
+    ctx: Optional[_MBContext] = None
+    sid = 0
+    for _, ntype, rbsp in nal.split_annexb(data):
+        if ntype == nal.NAL_SPS:
+            sps = SPS.parse(BitReader(rbsp))
+        elif ntype == nal.NAL_PPS:
+            pps = PPS.parse(BitReader(rbsp))
+        elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+            assert sps is not None and pps is not None, "missing SPS/PPS"
+            mbw, mbh = sps.mb_width, sps.mb_height
+            if ctx is None:
+                qp0 = 26 + pps.pic_init_qp_minus26
+                ctx = _MBContext(
+                    recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
+                    recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
+                    recon_v=np.zeros((8 * mbh, 8 * mbw), np.int32),
+                    nnz_y=np.zeros((4 * mbh, 4 * mbw), np.int32),
+                    nnz_u=np.zeros((2 * mbh, 2 * mbw), np.int32),
+                    nnz_v=np.zeros((2 * mbh, 2 * mbw), np.int32),
+                    slice_id=np.full((mbh, mbw), -1, np.int32),
+                    qp=0,
+                    qpc=0,
+                )
+            r = BitReader(rbsp)
+            header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
+            qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
+            ctx.qp = qp
+            ctx.qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+            addr = header.first_mb_in_slice
+            while r.more_rbsp_data():
+                mby, mbx = divmod(addr, mbw)
+                _decode_mb(r, ctx, mbx, mby, sid)
+                addr += 1
+            sid += 1
+    assert ctx is not None and sps is not None, "no slice data"
+    return (
+        ctx.recon_y[: sps.height, : sps.width],
+        ctx.recon_u[: sps.height // 2, : sps.width // 2],
+        ctx.recon_v[: sps.height // 2, : sps.width // 2],
+    )
