@@ -140,26 +140,27 @@ def inverse4x4(d: np.ndarray) -> np.ndarray:
     for I16x16/chroma blocks.
     """
     d = d.astype(np.int32)
-    # horizontal (rows are first transform per spec: operate on columns then rows;
-    # the spec does rows (i) first: e over d[i]):
-    e0 = d[..., 0, :] + d[..., 2, :]
-    e1 = d[..., 0, :] - d[..., 2, :]
-    e2 = (d[..., 1, :] >> 1) - d[..., 3, :]
-    e3 = d[..., 1, :] + (d[..., 3, :] >> 1)
+    # Stage 1 operates within each row i (combining d[i][0..3]); stage 2
+    # within each column.  The >>1 makes the order normative (8.5.12.2):
+    # rows first, then columns -- libavcodec agrees bit-exactly.
+    e0 = d[..., :, 0] + d[..., :, 2]
+    e1 = d[..., :, 0] - d[..., :, 2]
+    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
     f0 = e0 + e3
     f1 = e1 + e2
     f2 = e1 - e2
     f3 = e0 - e3
-    f = np.stack([f0, f1, f2, f3], axis=-2)
-    g0 = f[..., :, 0] + f[..., :, 2]
-    g1 = f[..., :, 0] - f[..., :, 2]
-    g2 = (f[..., :, 1] >> 1) - f[..., :, 3]
-    g3 = f[..., :, 1] + (f[..., :, 3] >> 1)
+    f = np.stack([f0, f1, f2, f3], axis=-1)
+    g0 = f[..., 0, :] + f[..., 2, :]
+    g1 = f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
     h0 = g0 + g3
     h1 = g1 + g2
     h2 = g1 - g2
     h3 = g0 - g3
-    return np.stack([h0, h1, h2, h3], axis=-1)
+    return np.stack([h0, h1, h2, h3], axis=-2)
 
 
 def idct_add(pred: np.ndarray, d: np.ndarray) -> np.ndarray:
