@@ -1,0 +1,308 @@
+"""TPU I-frame encoder/decoder core: row-slice parallel macroblock scan.
+
+Design (SURVEY.md section 7, parallelism table): each MB row is its own
+slice, so there are no top-neighbor dependencies -- the only causal chain
+is the left neighbor within a row.  That turns the frame into a
+`lax.scan` over MB columns with *all* (stream, row) pairs advancing in
+lockstep as one big vector batch: the TPU analog of the reference's
+independent-stream worker pool (/root/reference/scripts/app.js:351,521)
+pushed down to slice granularity (multi-slice parallel encode,
+BASELINE.json config 4).
+
+Per scan step, every compute is batched over [S (streams), R (rows)]:
+prediction (DC/H -- the modes available without a top neighbor),
+forward 4x4 transforms, quant, dequant, reconstruction.  Entropy coding
+consumes the emitted symbol tensors on the host (CAVLC has no cross-block
+bit state given nC, so symbolization parallelizes; bit concatenation is
+native code -- see native/cavlc.cpp).
+
+All integer math is bit-exact with tpuh264.golden.codec (tests enforce
+stream equality), which libavcodec in turn decodes bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import transform as T
+
+
+class MBSymbols(NamedTuple):
+    """Per-MB entropy symbols, layouts shared with native/cavlc.cpp."""
+
+    mode: jnp.ndarray        # [S, R, C] luma I16x16 pred mode (spec numbering)
+    cmode: jnp.ndarray       # [S, R, C] chroma pred mode
+    cbp_luma: jnp.ndarray    # [S, R, C] 0/1
+    cbp_chroma: jnp.ndarray  # [S, R, C] 0..2
+    luma_dc: jnp.ndarray     # [S, R, C, 16] zigzag levels
+    luma_ac: jnp.ndarray     # [S, R, C, 16, 15] block raster (by*4+bx)
+    chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] (Cb, Cr) raster DC levels
+    chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] block raster (by*2+bx)
+
+
+def _mb_view(plane: jnp.ndarray, mb: int) -> jnp.ndarray:
+    """[S, H, W] -> [C, S, R, mb, mb] (scan axis first)."""
+    s, h, w = plane.shape
+    r, c = h // mb, w // mb
+    x = plane.reshape(s, r, mb, c, mb).transpose(3, 0, 1, 2, 4)
+    return x
+
+
+def _unscan(x: jnp.ndarray) -> jnp.ndarray:
+    """[C, S, R, ...] -> [S, R, C, ...]."""
+    return jnp.moveaxis(x, 0, 2)
+
+
+def _mbs_to_plane(mbs: jnp.ndarray) -> jnp.ndarray:
+    """[S, R, C, mb, mb] -> [S, R*mb, C*mb]."""
+    s, r, c, mb, _ = mbs.shape
+    return mbs.transpose(0, 1, 3, 2, 4).reshape(s, r * mb, c * mb)
+
+
+def _pred_luma(left: jnp.ndarray, is_first: jnp.ndarray):
+    """DC and H prediction given left column [., 16]; is_first masks avail."""
+    dc_val = jnp.where(is_first, 128, (left.sum(-1) + 8) >> 4)  # [.]
+    pred_dc = jnp.broadcast_to(dc_val[..., None, None], (*dc_val.shape, 16, 16))
+    pred_h = jnp.broadcast_to(left[..., :, None], (*left.shape, 16))
+    return pred_dc, pred_h
+
+
+def _pred_chroma(left: jnp.ndarray, is_first: jnp.ndarray):
+    """Chroma DC (per 4-row group from left) and H prediction, [., 8]."""
+    halves = left.reshape(*left.shape[:-1], 2, 4)  # rows 0-3 / 4-7
+    dcs = (halves.sum(-1) + 2) >> 2  # [., 2]
+    dcs = jnp.where(is_first[..., None], 128, dcs)
+    pred_dc = jnp.repeat(
+        jnp.broadcast_to(dcs[..., :, None, None], (*dcs.shape, 4, 8)), 1, axis=-2
+    ).reshape(*left.shape[:-1], 8, 8)
+    pred_h = jnp.broadcast_to(left[..., :, None], (*left.shape, 8))
+    return pred_dc, pred_h
+
+
+def _sad(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(a - b).sum((-1, -2))
+
+
+def _luma_blocks(mb16: jnp.ndarray) -> jnp.ndarray:
+    """[., 16, 16] -> [., 4, 4, 4, 4] as (by, bx, y, x)."""
+    lead = mb16.shape[:-2]
+    return mb16.reshape(*lead, 4, 4, 4, 4).swapaxes(-3, -2)
+
+
+def _blocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
+    lead = blocks.shape[:-4]
+    return blocks.swapaxes(-3, -2).reshape(*lead, 16, 16)
+
+
+def _chroma_blocks(mb8: jnp.ndarray) -> jnp.ndarray:
+    lead = mb8.shape[:-2]
+    return mb8.reshape(*lead, 2, 4, 2, 4).swapaxes(-3, -2)
+
+
+def _cblocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
+    lead = blocks.shape[:-4]
+    return blocks.swapaxes(-3, -2).reshape(*lead, 8, 8)
+
+
+def _encode_luma(src, pred, qp: int):
+    """Transform+quant+recon of one luma MB batch. Returns symbols + recon."""
+    resid = src - pred
+    w = T.forward4x4(_luma_blocks(resid))  # [., 4,4,4,4]
+    dc = w[..., 0, 0]  # [., 4, 4]
+    dc_zz = T.zigzag(T.quant_luma_dc(T.hadamard4x4(dc), qp))  # [., 16]
+    ac_zz = T.zigzag(T.quant4x4(w, qp, intra=True))[..., 1:]  # [., 4,4,15]
+    cbp = jnp.any(ac_zz != 0, axis=(-1, -2, -3))  # [.]
+
+    dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)  # [., 4,4]
+    coeffs = jnp.concatenate(
+        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32),
+         jnp.where(cbp[..., None, None, None], ac_zz, 0)],
+        axis=-1,
+    )
+    d = T.dequant4x4(T.inverse_zigzag(coeffs), qp)
+    d = d.at[..., 0, 0].set(dc_deq)
+    rec = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
+    return dc_zz, ac_zz, cbp, rec
+
+
+def _encode_chroma(src, pred, qpc: int):
+    """One chroma component: returns dc(4,) levels, ac(2,2,15), flags, W."""
+    resid = src - pred
+    w = T.forward4x4(_chroma_blocks(resid))  # [., 2,2,4,4]
+    dcq = T.quant_chroma_dc(T.hadamard2x2(w[..., 0, 0]), qpc)  # [., 2,2]
+    ac_zz = T.zigzag(T.quant4x4(w, qpc, intra=True))[..., 1:]  # [., 2,2,15]
+    return dcq, ac_zz
+
+
+def _recon_chroma(pred, dcq, ac_zz, cbp_chroma, qpc: int):
+    dc_deq = jnp.where(
+        (cbp_chroma >= 1)[..., None, None], T.dequant_chroma_dc(dcq, qpc), 0
+    )
+    coeffs = jnp.concatenate(
+        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32),
+         jnp.where((cbp_chroma == 2)[..., None, None, None], ac_zz, 0)],
+        axis=-1,
+    )
+    d = T.dequant4x4(T.inverse_zigzag(coeffs), qpc)
+    d = d.at[..., 0, 0].set(dc_deq)
+    return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
+
+
+@functools.partial(jax.jit, static_argnames=("qp",))
+def encode_iframe_rows(
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, qp: int
+) -> Tuple[MBSymbols, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Encode a batch of frames as I-frames with per-MB-row slices.
+
+    y: [S, H, W] int32 (H, W multiples of 16); u, v: [S, H/2, W/2].
+    Returns (symbols, (recon_y, recon_u, recon_v)).
+    """
+    qpc = T.chroma_qp_from_luma(qp)
+    s, h, w = y.shape
+    r, c = h // 16, w // 16
+
+    y_mbs = _mb_view(y.astype(jnp.int32), 16)  # [C, S, R, 16, 16]
+    u_mbs = _mb_view(u.astype(jnp.int32), 8)
+    v_mbs = _mb_view(v.astype(jnp.int32), 8)
+    cols = jnp.arange(c)
+
+    def step(carry, xs):
+        left_y, left_u, left_v = carry  # [S,R,16], [S,R,8], [S,R,8]
+        ymb, umb, vmb, col = xs
+        is_first = col == 0  # scalar -> broadcast
+
+        first = jnp.broadcast_to(is_first, (s, r))
+        pred_dc, pred_h = _pred_luma(left_y, first)
+        cost_dc = _sad(ymb, pred_dc)
+        cost_h = jnp.where(first, jnp.iinfo(jnp.int32).max, _sad(ymb, pred_h))
+        use_dc = cost_dc <= cost_h
+        mode = jnp.where(use_dc, 2, 1)
+        pred = jnp.where(use_dc[..., None, None], pred_dc, pred_h)
+
+        dc_zz, ac_zz, cbp_luma, rec_y = _encode_luma(ymb, pred, qp)
+
+        pu_dc, pu_h = _pred_chroma(left_u, first)
+        pv_dc, pv_h = _pred_chroma(left_v, first)
+        ccost_dc = _sad(umb, pu_dc) + _sad(vmb, pv_dc)
+        ccost_h = jnp.where(
+            first, jnp.iinfo(jnp.int32).max, _sad(umb, pu_h) + _sad(vmb, pv_h)
+        )
+        use_cdc = ccost_dc <= ccost_h
+        cmode = jnp.where(use_cdc, 0, 1)
+        predu = jnp.where(use_cdc[..., None, None], pu_dc, pu_h)
+        predv = jnp.where(use_cdc[..., None, None], pv_dc, pv_h)
+
+        dcu, acu = _encode_chroma(umb, predu, qpc)
+        dcv, acv = _encode_chroma(vmb, predv, qpc)
+        any_ac = jnp.any(acu != 0, (-1, -2, -3)) | jnp.any(acv != 0, (-1, -2, -3))
+        any_dc = jnp.any(dcu != 0, (-1, -2)) | jnp.any(dcv != 0, (-1, -2))
+        cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
+
+        rec_u = _recon_chroma(predu, dcu, acu, cbp_chroma, qpc)
+        rec_v = _recon_chroma(predv, dcv, acv, cbp_chroma, qpc)
+
+        new_carry = (rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7])
+        out = (
+            mode.astype(jnp.int32),
+            cmode.astype(jnp.int32),
+            cbp_luma.astype(jnp.int32),
+            cbp_chroma.astype(jnp.int32),
+            dc_zz,
+            ac_zz.reshape(s, r, 16, 15),
+            jnp.stack([dcu.reshape(s, r, 4), dcv.reshape(s, r, 4)], axis=-2),
+            jnp.stack([acu.reshape(s, r, 4, 15), acv.reshape(s, r, 4, 15)], axis=-3),
+            rec_y,
+            rec_u,
+            rec_v,
+        )
+        return new_carry, out
+
+    carry0 = (
+        jnp.zeros((s, r, 16), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+    )
+    _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
+    (mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, ry, ru, rv) = outs
+
+    symbols = MBSymbols(
+        mode=_unscan(mode),
+        cmode=_unscan(cmode),
+        cbp_luma=_unscan(cbp_l),
+        cbp_chroma=_unscan(cbp_c),
+        luma_dc=_unscan(dc_zz),
+        luma_ac=_unscan(ac_zz),
+        chroma_dc=_unscan(cdc),
+        chroma_ac=_unscan(cac),
+    )
+    recon = (
+        _mbs_to_plane(_unscan(ry)),
+        _mbs_to_plane(_unscan(ru)),
+        _mbs_to_plane(_unscan(rv)),
+    )
+    return symbols, recon
+
+
+@functools.partial(jax.jit, static_argnames=("qp",))
+def decode_iframe_rows(
+    symbols: MBSymbols, qp: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reconstruct frames from parsed symbols (inverse of encode scan)."""
+    qpc = T.chroma_qp_from_luma(qp)
+    s, r, c = symbols.mode.shape
+
+    def to_scan(x):
+        return jnp.moveaxis(x, 2, 0)
+
+    xs = tuple(to_scan(x) for x in symbols) + (jnp.arange(c),)
+
+    def step(carry, xs):
+        left_y, left_u, left_v = carry
+        mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, col = xs
+        first = jnp.broadcast_to(col == 0, (s, r))
+
+        pred_dc, pred_h = _pred_luma(left_y, first)
+        pred = jnp.where((mode == 2)[..., None, None], pred_dc, pred_h)
+        dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)
+        ac = ac_zz.reshape(s, r, 4, 4, 15)
+        coeffs = jnp.concatenate(
+            [jnp.zeros((s, r, 4, 4, 1), jnp.int32),
+             jnp.where((cbp_l == 1)[..., None, None, None], ac, 0)],
+            axis=-1,
+        )
+        d = T.dequant4x4(T.inverse_zigzag(coeffs), qp)
+        d = d.at[..., 0, 0].set(dc_deq)
+        rec_y = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
+
+        pu_dc, pu_h = _pred_chroma(left_u, first)
+        pv_dc, pv_h = _pred_chroma(left_v, first)
+        cdc_sel = (cmode == 0)[..., None, None]
+        predu = jnp.where(cdc_sel, pu_dc, pu_h)
+        predv = jnp.where(cdc_sel, pv_dc, pv_h)
+        rec_u = _recon_chroma(
+            predu, cdc[..., 0, :].reshape(s, r, 2, 2),
+            cac[..., 0, :, :].reshape(s, r, 2, 2, 15), cbp_c, qpc
+        )
+        rec_v = _recon_chroma(
+            predv, cdc[..., 1, :].reshape(s, r, 2, 2),
+            cac[..., 1, :, :].reshape(s, r, 2, 2, 15), cbp_c, qpc
+        )
+
+        new_carry = (rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7])
+        return new_carry, (rec_y, rec_u, rec_v)
+
+    carry0 = (
+        jnp.zeros((s, r, 16), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+    )
+    _, (ry, ru, rv) = jax.lax.scan(step, carry0, xs)
+    return (
+        _mbs_to_plane(_unscan(ry)),
+        _mbs_to_plane(_unscan(ru)),
+        _mbs_to_plane(_unscan(rv)),
+    )
