@@ -1,0 +1,563 @@
+// tpu-h264 native entropy engine: CAVLC slice packing / parsing.
+//
+// This is the host-side native runtime component of the framework (the
+// analog of the reference's C++ wrapper tier, openh264_wrapper.cpp, which
+// owned the bit-domain work while pixels lived elsewhere).  The TPU emits
+// per-MB symbol tensors (kernels/iframe.py); this code walks them in slice
+// order and emits the H.264 CAVLC bitstream -- and parses it back.
+// Semantics are bit-identical to tpuh264/entropy/pack.py (tests enforce
+// byte equality); the VLC tables are generated from the single Python
+// source of truth (gen_tables.py -> cavlc_tables.inc).
+//
+// Build: make -C native   (produces libtpuh264.so, loaded via ctypes)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "cavlc_tables.inc"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit I/O
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t nbytes = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  void put(int n, uint32_t value) {
+    acc = (acc << n) | value;
+    nbits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      if (nbytes >= cap) { overflow = true; return; }
+      out[nbytes++] = (uint8_t)((acc >> nbits) & 0xFF);
+    }
+    acc &= (1ull << nbits) - 1;
+  }
+
+  void ue(uint32_t value) {
+    uint32_t code = value + 1;
+    int n = 32 - __builtin_clz(code);
+    put(2 * n - 1, code);
+  }
+
+  void se(int32_t value) {
+    ue(value > 0 ? 2 * (uint32_t)value - 1 : (uint32_t)(-2 * value));
+  }
+
+  void trailing_bits() {
+    put(1, 1);
+    if (nbits) put(8 - nbits, 0);
+  }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t pos;  // bit position
+  bool error = false;
+
+  uint32_t u(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (pos >= 8 * nbytes) { error = true; return v << n; }
+      int64_t byte = pos >> 3;
+      int off = pos & 7;
+      int take = 8 - off;
+      if (take > n) take = n;
+      v = (v << take) | ((data[byte] >> (8 - off - take)) & ((1u << take) - 1));
+      pos += take;
+      n -= take;
+    }
+    return v;
+  }
+
+  // peek up to 16 bits, zero-padded past the end
+  uint32_t peek16() {
+    uint32_t v = 0;
+    int64_t p = pos;
+    for (int i = 0; i < 16; i++) {
+      int64_t byte = p >> 3;
+      int bit = (byte < nbytes) ? ((data[byte] >> (7 - (p & 7))) & 1) : 0;
+      v = (v << 1) | bit;
+      p++;
+    }
+    return v;
+  }
+
+  uint32_t ue() {
+    int zeros = 0;
+    while (u(1) == 0) {
+      if (++zeros > 32 || error) { error = true; return 0; }
+    }
+    return (1u << zeros) - 1 + (zeros ? u(zeros) : 0);
+  }
+
+  int32_t se() {
+    uint32_t k = ue();
+    return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+  }
+
+  // true iff payload bits remain before the rbsp stop bit
+  bool more_rbsp_data() {
+    if (error) return false;
+    // find last set bit in the stream
+    int64_t b = nbytes - 1;
+    while (b >= 0 && data[b] == 0) b--;
+    if (b < 0) return false;
+    uint8_t last = data[b];
+    int bit = 7;
+    while (!((last >> (7 - bit)) & 1)) bit--;  // lowest significant set bit
+    // stream position of that bit:
+    int64_t last_one = 8 * b + (7 - __builtin_ctz(last));
+    return last_one > pos;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// VLC decode LUTs (built lazily): peeked-16-bit prefix -> (value, length)
+// ---------------------------------------------------------------------------
+
+struct DecodeLut {
+  // entry: (len << 16) | value ; 0 = invalid
+  std::vector<int32_t> lut;  // size 65536
+  void build(const int32_t* packed, int count, int stride_vals,
+             int (*value_of)(int idx)) {
+    lut.assign(65536, 0);
+    for (int idx = 0; idx < count; idx++) {
+      int32_t p = packed[idx];
+      if (!p) continue;
+      int len = p >> 16;
+      uint32_t bits = p & 0xFFFF;
+      uint32_t lo = bits << (16 - len);
+      uint32_t hi = lo + (1u << (16 - len));
+      int32_t entry = (len << 16) | value_of(idx);
+      for (uint32_t k = lo; k < hi; k++) lut[k] = entry;
+    }
+    (void)stride_vals;
+  }
+};
+
+// coeff_token decode LUTs per context: value = (total_coeff<<8)|t1
+static DecodeLut g_ct_lut[5];
+static DecodeLut g_tz_lut[15];       // total_zeros (maxNumCoeff 15/16), per total_coeff-1
+static DecodeLut g_tzc_lut[3];       // chroma DC total_zeros
+static DecodeLut g_rb_lut[7];        // run_before per min(zl,7)-1
+static bool g_luts_ready = false;
+
+static void build_luts() {
+  if (g_luts_ready) return;
+  for (int ctx = 0; ctx < 5; ctx++) {
+    g_ct_lut[ctx].build(&COEFF_TOKEN[ctx][0][0], 17 * 4, 0,
+                        [](int idx) { return ((idx / 4) << 8) | (idx % 4); });
+  }
+  for (int t = 0; t < 15; t++) {
+    g_tz_lut[t].build(&TOTAL_ZEROS_T[t][0], 16, 0, [](int idx) { return idx; });
+  }
+  for (int t = 0; t < 3; t++) {
+    g_tzc_lut[t].build(&TZ_CHROMA[t][0], 4, 0, [](int idx) { return idx; });
+  }
+  for (int z = 0; z < 7; z++) {
+    g_rb_lut[z].build(&RUN_BEFORE_T[z][0], 15, 0, [](int idx) { return idx; });
+  }
+  g_luts_ready = true;
+}
+
+static inline int ct_ctx(int nC) {
+  if (nC == -1) return 4;
+  if (nC < 2) return 0;
+  if (nC < 4) return 1;
+  if (nC < 8) return 2;
+  return 3;
+}
+
+// ---------------------------------------------------------------------------
+// Residual block encode (H.264 9.2) -- mirrors entropy/cavlc.py
+// ---------------------------------------------------------------------------
+
+static void write_level(BitWriter& w, uint32_t level_code, int suffix_len) {
+  if (suffix_len == 0) {
+    if (level_code < 14) {
+      w.put(level_code + 1, 1);
+    } else if (level_code < 30) {
+      w.put(15, 1);
+      w.put(4, level_code - 14);
+    } else {
+      uint32_t rem = level_code - 30;
+      int prefix = 15;
+      while (rem >= (1u << (prefix - 3))) {
+        rem -= 1u << (prefix - 3);
+        prefix++;
+      }
+      w.put(prefix + 1, 1);
+      w.put(prefix - 3, rem);
+    }
+  } else {
+    if (level_code < (15u << suffix_len)) {
+      uint32_t prefix = level_code >> suffix_len;
+      w.put(prefix + 1, 1);
+      w.put(suffix_len, level_code & ((1u << suffix_len) - 1));
+    } else {
+      uint32_t rem = level_code - (15u << suffix_len);
+      int prefix = 15;
+      while (rem >= (1u << (prefix - 3))) {
+        rem -= 1u << (prefix - 3);
+        prefix++;
+      }
+      w.put(prefix + 1, 1);
+      w.put(prefix - 3, rem);
+    }
+  }
+}
+
+// returns TotalCoeff of the block
+static int encode_block(BitWriter& w, const int32_t* coeffs, int nC,
+                        int max_coeffs) {
+  int idxs[16];
+  int32_t vals[16];
+  int total = 0;
+  for (int i = 0; i < max_coeffs; i++) {
+    if (coeffs[i]) { idxs[total] = i; vals[total] = coeffs[i]; total++; }
+  }
+  int t1 = 0;
+  for (int i = total - 1; i >= 0; i--) {
+    if ((vals[i] == 1 || vals[i] == -1) && t1 < 3) t1++;
+    else break;
+  }
+  int32_t packed = COEFF_TOKEN[ct_ctx(nC)][total][t1];
+  w.put(packed >> 16, packed & 0xFFFF);
+  if (!total) return 0;
+
+  for (int i = total - 1; i > total - 1 - t1; i--) w.put(1, vals[i] < 0 ? 1 : 0);
+
+  int suffix_len = (total > 10 && t1 < 3) ? 1 : 0;
+  bool first = true;
+  for (int i = total - 1 - t1; i >= 0; i--) {
+    int32_t level = vals[i];
+    uint32_t level_code =
+        level > 0 ? 2 * (uint32_t)level - 2 : (uint32_t)(-2 * level) - 1;
+    if (first && t1 < 3) level_code -= 2;
+    first = false;
+    write_level(w, level_code, suffix_len);
+    if (suffix_len == 0) suffix_len = 1;
+    int32_t a = level < 0 ? -level : level;
+    if (a > (3 << (suffix_len - 1)) && suffix_len < 6) suffix_len++;
+  }
+
+  int total_zeros = 0;
+  if (total < max_coeffs) {
+    total_zeros = idxs[total - 1] + 1 - total;
+    int32_t p = (max_coeffs == 4) ? TZ_CHROMA[total - 1][total_zeros]
+                                  : TOTAL_ZEROS_T[total - 1][total_zeros];
+    w.put(p >> 16, p & 0xFFFF);
+  }
+
+  int zeros_left = total_zeros;
+  for (int i = total - 1; i > 0; i--) {
+    if (zeros_left <= 0) break;
+    int run = idxs[i] - idxs[i - 1] - 1;
+    int zl = zeros_left < 7 ? zeros_left : 7;
+    int32_t p = RUN_BEFORE_T[zl - 1][run];
+    w.put(p >> 16, p & 0xFFFF);
+    zeros_left -= run;
+  }
+  return total;
+}
+
+static uint32_t read_level(BitReader& r, int suffix_len) {
+  int prefix = 0;
+  while (r.u(1) == 0) {
+    if (++prefix > 32 || r.error) { r.error = true; return 0; }
+  }
+  uint32_t level_code;
+  if (suffix_len == 0) {
+    if (prefix < 14) return (uint32_t)prefix;
+    if (prefix == 14) return 14 + r.u(4);
+    level_code = 30 + r.u(prefix - 3);
+    for (int p = 15; p < prefix; p++) level_code += 1u << (p - 3);
+    return level_code;
+  }
+  if (prefix < 15) return ((uint32_t)prefix << suffix_len) + r.u(suffix_len);
+  level_code = (15u << suffix_len) + r.u(prefix - 3);
+  for (int p = 15; p < prefix; p++) level_code += 1u << (p - 3);
+  return level_code;
+}
+
+// returns TotalCoeff, fills coeffs[max_coeffs]
+static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
+  build_luts();
+  for (int i = 0; i < max_coeffs; i++) coeffs[i] = 0;
+  int32_t e = g_ct_lut[ct_ctx(nC)].lut[r.peek16()];
+  if (!e) { r.error = true; return 0; }
+  r.pos += e >> 16;
+  int total = (e & 0xFFFF) >> 8;
+  int t1 = e & 0xFF;
+  if (!total) return 0;
+
+  int32_t levels[16];
+  for (int i = 0; i < t1; i++) levels[i] = r.u(1) ? -1 : 1;
+
+  int suffix_len = (total > 10 && t1 < 3) ? 1 : 0;
+  for (int i = t1; i < total; i++) {
+    uint32_t level_code = read_level(r, suffix_len);
+    if (i == t1 && t1 < 3) level_code += 2;
+    int32_t level = (level_code & 1) ? -(int32_t)((level_code + 1) >> 1)
+                                     : (int32_t)((level_code + 2) >> 1);
+    levels[i] = level;
+    if (suffix_len == 0) suffix_len = 1;
+    int32_t a = level < 0 ? -level : level;
+    if (a > (3 << (suffix_len - 1)) && suffix_len < 6) suffix_len++;
+  }
+
+  int total_zeros = 0;
+  if (total < max_coeffs) {
+    DecodeLut& lut = (max_coeffs == 4) ? g_tzc_lut[total - 1] : g_tz_lut[total - 1];
+    int32_t tz = lut.lut[r.peek16()];
+    if (!tz) { r.error = true; return total; }
+    r.pos += tz >> 16;
+    total_zeros = tz & 0xFFFF;
+  }
+
+  int zeros_left = total_zeros;
+  int pos = total - 1 + total_zeros;
+  for (int i = 0; i < total; i++) {
+    if (pos < 0 || pos >= max_coeffs) { r.error = true; return total; }
+    coeffs[pos] = levels[i];
+    if (i == total - 1) break;
+    int run = 0;
+    if (zeros_left > 0) {
+      int zl = zeros_left < 7 ? zeros_left : 7;
+      int32_t e2 = g_rb_lut[zl - 1].lut[r.peek16()];
+      if (!e2) { r.error = true; return total; }
+      r.pos += e2 >> 16;
+      run = e2 & 0xFFFF;
+    }
+    zeros_left -= run;
+    pos -= run + 1;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// nC derivation over persistent nnz grids (mirrors pack.py::_NnzState)
+// ---------------------------------------------------------------------------
+
+static inline int nc_of(const int32_t* nnz, int stride, int bx, int by,
+                        bool left_ok, bool top_ok) {
+  bool has_a = left_ok;
+  bool has_b = top_ok;
+  int na = has_a ? nnz[by * stride + bx - 1] : 0;
+  int nb = has_b ? nnz[(by - 1) * stride + bx] : 0;
+  if (has_a && has_b) return (na + nb + 1) >> 1;
+  if (has_a) return na;
+  if (has_b) return nb;
+  return 0;
+}
+
+// luma4x4BlkIdx scan order as (bx, by)
+static const int BLK_SCAN[16][2] = {
+    {0, 0}, {1, 0}, {0, 1}, {1, 1}, {2, 0}, {3, 0}, {2, 1}, {3, 1},
+    {0, 2}, {1, 2}, {0, 3}, {1, 3}, {2, 2}, {3, 2}, {2, 3}, {3, 3},
+};
+
+}  // namespace
+
+extern "C" {
+
+// Pack one slice: header bits then `slice_count` MBs starting at
+// `slice_start`.  Arrays are full-frame, indexed by MB address.  nnz_*
+// are persistent across slices of a frame (caller-zeroed per frame).
+// Returns RBSP byte count (including rbsp trailing bits), or -1 on error.
+int64_t th264_pack_slice(
+    const uint8_t* header_bytes, int32_t header_bits,
+    int32_t slice_start, int32_t slice_count, int32_t mbw,
+    const int32_t* mb_info, const int32_t* luma_dc, const int32_t* luma_ac,
+    const int32_t* chroma_dc, const int32_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    uint8_t* out, int64_t out_cap) {
+  BitWriter w{out, out_cap};
+  // replay header bits
+  for (int32_t i = 0; i + 8 <= header_bits; i += 8) w.put(8, header_bytes[i / 8]);
+  int rem = header_bits & 7;
+  if (rem) w.put(rem, header_bytes[header_bits / 8] >> (8 - rem));
+
+  const int ys = 4 * mbw, cs = 2 * mbw;
+  for (int32_t k = 0; k < slice_count; k++) {
+    int32_t addr = slice_start + k;
+    int mbx = addr % mbw, mby = addr / mbw;
+    bool left_mb = (mbx > 0) && (addr - 1 >= slice_start);
+    bool top_mb = (addr - mbw >= slice_start);
+
+    const int32_t* info = mb_info + 4 * addr;
+    int mode = info[0], cmode = info[1], cbp_l = info[2], cbp_c = info[3];
+    w.ue(1 + mode + 4 * cbp_c + 12 * cbp_l);
+    w.ue(cmode);
+    w.se(0);  // mb_qp_delta
+
+    int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+    encode_block(w, luma_dc + 16 * addr, nc0, 16);
+
+    if (cbp_l) {
+      for (int b = 0; b < 16; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        const int32_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        int t = encode_block(w, blk, nc, 15);
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
+      }
+    } else {
+      for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+    }
+
+    if (cbp_c) {
+      encode_block(w, chroma_dc + (2 * addr + 0) * 4, -1, 4);
+      encode_block(w, chroma_dc + (2 * addr + 1) * 4, -1, 4);
+    }
+    if (cbp_c == 2) {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int b = 0; b < 4; b++) {
+          int bx = b % 2, by = b / 2;
+          int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          const int32_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
+          int t = encode_block(w, blk, nc, 15);
+          nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = t;
+        }
+      }
+    } else {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int by = 0; by < 2; by++)
+          for (int bx = 0; bx < 2; bx++)
+            nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+    }
+  }
+  w.trailing_bits();
+  if (w.overflow) return -1;
+  return w.nbytes;
+}
+
+// Parse MBs of one slice from `start_bit` until rbsp data runs out or
+// `max_mbs` decoded.  Returns MBs parsed, or -1 on error.
+int64_t th264_parse_slice(
+    const uint8_t* rbsp, int64_t nbytes, int64_t start_bit,
+    int32_t slice_start, int32_t mbw, int32_t max_mbs,
+    int32_t* mb_info, int32_t* luma_dc, int32_t* luma_ac,
+    int32_t* chroma_dc, int32_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v) {
+  build_luts();
+  BitReader r{rbsp, nbytes, start_bit};
+  const int ys = 4 * mbw, cs = 2 * mbw;
+  int32_t addr = slice_start;
+  int64_t count = 0;
+  while (count < max_mbs && r.more_rbsp_data()) {
+    int mbx = addr % mbw, mby = addr / mbw;
+    bool left_mb = (mbx > 0) && (addr - 1 >= slice_start);
+    bool top_mb = (addr - mbw >= slice_start);
+
+    uint32_t mb_type = r.ue();
+    if (mb_type < 1 || mb_type > 24 || r.error) return -1;
+    int t = mb_type - 1;
+    int mode = t % 4, cbp_c = (t / 4) % 3, cbp_l = t >= 12 ? 1 : 0;
+    uint32_t cmode = r.ue();
+    r.se();  // mb_qp_delta
+
+    int32_t* info = mb_info + 4 * addr;
+    info[0] = mode; info[1] = (int32_t)cmode; info[2] = cbp_l; info[3] = cbp_c;
+
+    int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+    decode_block(r, luma_dc + 16 * addr, nc0, 16);
+
+    if (cbp_l) {
+      for (int b = 0; b < 16; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        int32_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        int tc = decode_block(r, blk, nc, 15);
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+      }
+    } else {
+      for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+    }
+
+    if (cbp_c) {
+      decode_block(r, chroma_dc + (2 * addr + 0) * 4, -1, 4);
+      decode_block(r, chroma_dc + (2 * addr + 1) * 4, -1, 4);
+    }
+    if (cbp_c == 2) {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int b = 0; b < 4; b++) {
+          int bx = b % 2, by = b / 2;
+          int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int32_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
+          int tc = decode_block(r, blk, nc, 15);
+          nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = tc;
+        }
+      }
+    } else {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int by = 0; by < 2; by++)
+          for (int bx = 0; bx < 2; bx++)
+            nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+    }
+    if (r.error) return -1;
+    addr++;
+    count++;
+  }
+  return count;
+}
+
+// Emulation-prevention escaping; returns output bytes or -1 on overflow.
+int64_t th264_escape(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  int64_t o = 0;
+  int zeros = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = in[i];
+    if (zeros >= 2 && b <= 3) {
+      if (o >= cap) return -1;
+      out[o++] = 3;
+      zeros = 0;
+    }
+    if (o >= cap) return -1;
+    out[o++] = b;
+    zeros = (b == 0) ? zeros + 1 : 0;
+  }
+  return o;
+}
+
+int64_t th264_unescape(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  int64_t o = 0;
+  int zeros = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = in[i];
+    if (zeros >= 2 && b == 3 && i + 1 < n && in[i + 1] <= 3) {
+      zeros = 0;
+      continue;
+    }
+    if (o >= cap) return -1;
+    out[o++] = b;
+    zeros = (b == 0) ? zeros + 1 : 0;
+  }
+  return o;
+}
+
+}  // extern "C"

@@ -1,0 +1,203 @@
+"""ctypes binding to the native CAVLC engine (native/cavlc.cpp).
+
+Auto-builds libtpuh264.so on first use (make -C native).  All entry
+points mirror entropy/pack.py exactly; tests require byte equality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core import nal
+from ..core.bitstream import BitReader, BitWriter
+from ..core.params import PPS, SPS
+from ..core.sliceheader import SLICE_I, SliceHeader
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtpuh264.so")
+_lock = threading.Lock()
+_lib = None
+
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "-C", _NATIVE_DIR], check=True, capture_output=True
+    )
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_NATIVE_DIR, "cavlc.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.th264_pack_slice.restype = ctypes.c_int64
+        lib.th264_pack_slice.argtypes = [
+            _U8P, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P,
+            _U8P, ctypes.c_int64,
+        ]
+        lib.th264_parse_slice.restype = ctypes.c_int64
+        lib.th264_parse_slice.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P,
+        ]
+        for fn in (lib.th264_escape, lib.th264_unescape):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [_U8P, ctypes.c_int64, _U8P, ctypes.c_int64]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def escape_rbsp(rbsp: bytes) -> bytes:
+    lib = load()
+    src = np.frombuffer(rbsp, np.uint8)
+    out = np.empty(len(rbsp) * 3 // 2 + 16, np.uint8)
+    n = lib.th264_escape(src, len(src), out, len(out))
+    assert n >= 0
+    return out[:n].tobytes()
+
+
+def pack_iframe(
+    mb_info: np.ndarray,
+    luma_dc: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    slice_mode: str = "rows",
+    frame_num: int = 0,
+    idr: bool = True,
+    include_ps: bool = True,
+) -> bytes:
+    """Native-path equivalent of entropy.pack.pack_iframe (byte-identical)."""
+    lib = load()
+    mbw, mbh = sps.mb_width, sps.mb_height
+    mb_info = np.ascontiguousarray(mb_info, np.int32)
+    luma_dc = np.ascontiguousarray(luma_dc, np.int32)
+    luma_ac = np.ascontiguousarray(luma_ac, np.int32)
+    chroma_dc = np.ascontiguousarray(chroma_dc, np.int32)
+    chroma_ac = np.ascontiguousarray(chroma_ac, np.int32)
+    nnz_y = np.zeros(16 * mbw * mbh, np.int32)
+    nnz_u = np.zeros(4 * mbw * mbh, np.int32)
+    nnz_v = np.zeros(4 * mbw * mbh, np.int32)
+
+    out = bytearray()
+    if include_ps:
+        w = BitWriter()
+        sps.write(w)
+        out += nal.wrap_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        pps.write(w)
+        out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+
+    if slice_mode == "rows":
+        slices = [(r * mbw, mbw) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, mbw * mbh)]
+    else:
+        raise ValueError(slice_mode)
+
+    # worst-case RBSP per slice: generous bound
+    cap = 4096 + mbw * mbh * 1024
+    buf = np.empty(cap, np.uint8)
+    ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
+    for start, count in slices:
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=start,
+            slice_type=SLICE_I,
+            frame_num=frame_num,
+            slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+        ).write(w, sps, pps, idr)
+        header_bits = w.bit_length
+        w.u((8 - header_bits % 8) % 8, 0)  # pad so get_bytes works
+        header = np.frombuffer(w.get_bytes(), np.uint8)
+        n = lib.th264_pack_slice(
+            header, header_bits, start, count, mbw,
+            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+            nnz_y, nnz_u, nnz_v, buf, cap,
+        )
+        if n < 0:
+            raise RuntimeError("th264_pack_slice failed")
+        esc = np.empty(int(n) * 3 // 2 + 16, np.uint8)
+        m = lib.th264_escape(buf, n, esc, len(esc))
+        assert m >= 0
+        out += nal.START_CODE + bytes([(3 << 5) | ntype]) + esc[:m].tobytes()
+    return bytes(out)
+
+
+def parse_iframe(
+    data: bytes,
+) -> Tuple[SPS, PPS, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Native-path equivalent of entropy.pack.parse_iframe."""
+    lib = load()
+    sps: Optional[SPS] = None
+    pps: Optional[PPS] = None
+    arrays = None
+    qp = 26
+    nnz = None
+    for _, ntype, rbsp in nal.split_annexb(data):
+        if ntype == nal.NAL_SPS:
+            sps = SPS.parse(BitReader(rbsp))
+        elif ntype == nal.NAL_PPS:
+            pps = PPS.parse(BitReader(rbsp))
+        elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+            assert sps is not None and pps is not None
+            mbw, mbh = sps.mb_width, sps.mb_height
+            n = mbw * mbh
+            if arrays is None:
+                arrays = (
+                    np.zeros((n, 4), np.int32),
+                    np.zeros((n, 16), np.int32),
+                    np.zeros((n, 16, 15), np.int32),
+                    np.zeros((n, 2, 4), np.int32),
+                    np.zeros((n, 2, 4, 15), np.int32),
+                )
+                nnz = (
+                    np.zeros(16 * n, np.int32),
+                    np.zeros(4 * n, np.int32),
+                    np.zeros(4 * n, np.int32),
+                )
+            r = BitReader(rbsp)
+            header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
+            qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
+            rb = np.frombuffer(rbsp, np.uint8)
+            got = lib.th264_parse_slice(
+                rb, len(rb), r.bit_position,
+                header.first_mb_in_slice, mbw, n - header.first_mb_in_slice,
+                *arrays, *nnz,
+            )
+            if got < 0:
+                raise RuntimeError("th264_parse_slice failed")
+    assert arrays is not None and sps is not None and pps is not None
+    return (sps, pps, qp) + arrays
