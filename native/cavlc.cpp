@@ -11,8 +11,10 @@
 //
 // Build: make -C native   (produces libtpuh264.so, loaded via ctypes)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "cavlc_tables.inc"
@@ -27,25 +29,40 @@ struct BitWriter {
   uint8_t* out;
   int64_t cap;
   int64_t nbytes = 0;
-  uint64_t acc = 0;
-  int nbits = 0;
+  uint64_t acc = 0;  // holds `nbits` valid low bits, MSB-first semantics
+  int nbits = 0;     // invariant: < 32 after every put()
   bool overflow = false;
 
-  void put(int n, uint32_t value) {
+  inline void put(int n, uint32_t value) {
     acc = (acc << n) | value;
     nbits += n;
-    while (nbits >= 8) {
-      nbits -= 8;
-      if (nbytes >= cap) { overflow = true; return; }
-      out[nbytes++] = (uint8_t)((acc >> nbits) & 0xFF);
+    if (nbits >= 32) {
+      nbits -= 32;
+      if (__builtin_expect(nbytes + 4 > cap, 0)) {
+        overflow = true;
+        nbits = 0;
+        return;
+      }
+      uint32_t be = __builtin_bswap32((uint32_t)(acc >> nbits));
+      std::memcpy(out + nbytes, &be, 4);
+      nbytes += 4;
     }
-    acc &= (1ull << nbits) - 1;
+  }
+
+  // for field widths that may exceed 32 bits (long Exp-Golomb / prefixes)
+  void put_wide(int n, uint64_t value) {
+    if (n > 32) {
+      put(n - 32, (uint32_t)(value >> 32));
+      put(32, (uint32_t)value);
+    } else {
+      put(n, (uint32_t)value);
+    }
   }
 
   void ue(uint32_t value) {
     uint32_t code = value + 1;
     int n = 32 - __builtin_clz(code);
-    put(2 * n - 1, code);
+    put_wide(2 * n - 1, code);
   }
 
   void se(int32_t value) {
@@ -54,7 +71,12 @@ struct BitWriter {
 
   void trailing_bits() {
     put(1, 1);
-    if (nbits) put(8 - nbits, 0);
+    if (nbits & 7) put(8 - (nbits & 7), 0);
+    while (nbits >= 8) {  // drain leftover whole bytes
+      nbits -= 8;
+      if (nbytes >= cap) { overflow = true; return; }
+      out[nbytes++] = (uint8_t)((acc >> nbits) & 0xFF);
+    }
   }
 };
 
@@ -64,40 +86,52 @@ struct BitReader {
   int64_t pos;  // bit position
   bool error = false;
 
-  uint32_t u(int n) {
-    uint32_t v = 0;
-    while (n > 0) {
-      if (pos >= 8 * nbytes) { error = true; return v << n; }
-      int64_t byte = pos >> 3;
-      int off = pos & 7;
-      int take = 8 - off;
-      if (take > n) take = n;
-      v = (v << take) | ((data[byte] >> (8 - off - take)) & ((1u << take) - 1));
-      pos += take;
-      n -= take;
+  // MSB-aligned window of >= 57 valid bits starting at `pos` (zero-padded
+  // past the end of the buffer).
+  inline uint64_t peek_window() const {
+    int64_t byte = pos >> 3;
+    uint64_t v;
+    if (__builtin_expect(byte + 8 <= nbytes, 1)) {
+      std::memcpy(&v, data + byte, 8);
+      v = __builtin_bswap64(v);
+    } else {
+      v = 0;
+      for (int i = 0; i < 8; i++)
+        v = (v << 8) | (byte + i < nbytes ? data[byte + i] : 0);
     }
-    return v;
+    return v << (pos & 7);
   }
 
-  // peek up to 16 bits, zero-padded past the end
-  uint32_t peek16() {
-    uint32_t v = 0;
-    int64_t p = pos;
-    for (int i = 0; i < 16; i++) {
-      int64_t byte = p >> 3;
-      int bit = (byte < nbytes) ? ((data[byte] >> (7 - (p & 7))) & 1) : 0;
-      v = (v << 1) | bit;
-      p++;
-    }
-    return v;
+  inline uint32_t u(int n) {  // n <= 32
+    if (!n) return 0;
+    uint64_t w = peek_window();
+    pos += n;
+    if (__builtin_expect(pos > 8 * nbytes, 0)) error = true;
+    return (uint32_t)(w >> (64 - n));
+  }
+
+  inline uint32_t peek16() const { return (uint32_t)(peek_window() >> 48); }
+
+  // count of leading zero bits at pos (for Exp-Golomb / level_prefix);
+  // returns > 48 on malformed input
+  inline int leading_zeros() const {
+    uint64_t w = peek_window();
+    return w ? __builtin_clzll(w) : 64;
   }
 
   uint32_t ue() {
-    int zeros = 0;
-    while (u(1) == 0) {
-      if (++zeros > 32 || error) { error = true; return 0; }
+    uint64_t w = peek_window();
+    int zeros = w ? __builtin_clzll(w) : 64;
+    if (zeros > 28) {  // 2*28+1 < 57-bit window; larger is malformed here
+      error = true;
+      return 0;
     }
-    return (1u << zeros) - 1 + (zeros ? u(zeros) : 0);
+    pos += 2 * zeros + 1;
+    if (__builtin_expect(pos > 8 * nbytes, 0)) error = true;
+    uint32_t suffix = zeros ? (uint32_t)((w >> (64 - (2 * zeros + 1))) &
+                                         ((1u << zeros) - 1))
+                            : 0;
+    return (1u << zeros) - 1 + suffix;
   }
 
   int32_t se() {
@@ -126,22 +160,47 @@ struct BitReader {
 // ---------------------------------------------------------------------------
 
 struct DecodeLut {
-  // entry: (len << 16) | value ; 0 = invalid
-  std::vector<int32_t> lut;  // size 65536
+  // Two-level decode: an 11-bit first-level table (4 KB, cache resident;
+  // the old flat 16-bit tables were ~7 MB total and every lookup missed
+  // DRAM) plus a linear-scan fallback for the few codes longer than 11
+  // bits (only coeff_token contexts 0/1 have any).
+  static constexpr int L1_BITS = 11;
+  int32_t l1[1 << L1_BITS];  // entry: (len << 16) | value ; 0 = invalid
+  struct LongCode { uint16_t len, bits; int32_t value; };
+  LongCode long_codes[64];
+  int n_long = 0;
+
   void build(const int32_t* packed, int count, int stride_vals,
              int (*value_of)(int idx)) {
-    lut.assign(65536, 0);
+    std::memset(l1, 0, sizeof(l1));
+    n_long = 0;
     for (int idx = 0; idx < count; idx++) {
       int32_t p = packed[idx];
       if (!p) continue;
       int len = p >> 16;
       uint32_t bits = p & 0xFFFF;
-      uint32_t lo = bits << (16 - len);
-      uint32_t hi = lo + (1u << (16 - len));
-      int32_t entry = (len << 16) | value_of(idx);
-      for (uint32_t k = lo; k < hi; k++) lut[k] = entry;
+      int32_t value = value_of(idx);
+      if (len <= L1_BITS) {
+        uint32_t lo = bits << (L1_BITS - len);
+        uint32_t hi = lo + (1u << (L1_BITS - len));
+        int32_t entry = (len << 16) | value;
+        for (uint32_t k = lo; k < hi; k++) l1[k] = entry;
+      } else {
+        long_codes[n_long++] = {(uint16_t)len, (uint16_t)bits, value};
+      }
     }
     (void)stride_vals;
+  }
+
+  // peek: 16 leading bits at the reader position
+  inline int32_t lookup(uint32_t peek) const {
+    int32_t e = l1[peek >> (16 - L1_BITS)];
+    if (__builtin_expect(e != 0, 1)) return e;
+    for (int i = 0; i < n_long; i++) {
+      const LongCode& c = long_codes[i];
+      if ((peek >> (16 - c.len)) == c.bits) return (c.len << 16) | c.value;
+    }
+    return 0;
   }
 };
 
@@ -196,7 +255,7 @@ static void write_level(BitWriter& w, uint32_t level_code, int suffix_len) {
         rem -= 1u << (prefix - 3);
         prefix++;
       }
-      w.put(prefix + 1, 1);
+      w.put_wide(prefix + 1, 1);
       w.put(prefix - 3, rem);
     }
   } else {
@@ -211,7 +270,7 @@ static void write_level(BitWriter& w, uint32_t level_code, int suffix_len) {
         rem -= 1u << (prefix - 3);
         prefix++;
       }
-      w.put(prefix + 1, 1);
+      w.put_wide(prefix + 1, 1);
       w.put(prefix - 3, rem);
     }
   }
@@ -272,10 +331,10 @@ static int encode_block(BitWriter& w, const int32_t* coeffs, int nC,
 }
 
 static uint32_t read_level(BitReader& r, int suffix_len) {
-  int prefix = 0;
-  while (r.u(1) == 0) {
-    if (++prefix > 32 || r.error) { r.error = true; return 0; }
-  }
+  int prefix = r.leading_zeros();
+  if (prefix > 40) { r.error = true; return 0; }
+  r.pos += prefix + 1;
+  if (r.pos > 8 * r.nbytes) { r.error = true; return 0; }
   uint32_t level_code;
   if (suffix_len == 0) {
     if (prefix < 14) return (uint32_t)prefix;
@@ -294,7 +353,7 @@ static uint32_t read_level(BitReader& r, int suffix_len) {
 static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
   build_luts();
   for (int i = 0; i < max_coeffs; i++) coeffs[i] = 0;
-  int32_t e = g_ct_lut[ct_ctx(nC)].lut[r.peek16()];
+  int32_t e = g_ct_lut[ct_ctx(nC)].lookup(r.peek16());
   if (!e) { r.error = true; return 0; }
   r.pos += e >> 16;
   int total = (e & 0xFFFF) >> 8;
@@ -319,7 +378,7 @@ static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
   int total_zeros = 0;
   if (total < max_coeffs) {
     DecodeLut& lut = (max_coeffs == 4) ? g_tzc_lut[total - 1] : g_tz_lut[total - 1];
-    int32_t tz = lut.lut[r.peek16()];
+    int32_t tz = lut.lookup(r.peek16());
     if (!tz) { r.error = true; return total; }
     r.pos += tz >> 16;
     total_zeros = tz & 0xFFFF;
@@ -334,7 +393,7 @@ static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
     int run = 0;
     if (zeros_left > 0) {
       int zl = zeros_left < 7 ? zeros_left : 7;
-      int32_t e2 = g_rb_lut[zl - 1].lut[r.peek16()];
+      int32_t e2 = g_rb_lut[zl - 1].lookup(r.peek16());
       if (!e2) { r.error = true; return total; }
       r.pos += e2 >> 16;
       run = e2 & 0xFFFF;
@@ -558,6 +617,122 @@ int64_t th264_unescape(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) 
     zeros = (b == 0) ? zeros + 1 : 0;
   }
   return o;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Frame-level multithreaded pack / parse.
+//
+// With row-slices, every slice owns a disjoint band of the nnz grids and
+// its bitstream is independent -- the same independence the TPU scan
+// exploits (kernels/iframe.py).  This thread pool is the native analog of
+// the reference's decoder worker pool (/root/reference/scripts/app.js:430-501),
+// sized by the same "threads" config axis.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Pack all slices of a frame into one annex-B buffer (start code + NAL
+// header + escaped RBSP per slice).  headers: concatenated per-slice
+// header bytes; header_off[i] byte offset; header_bits[i] bit length.
+// Returns total bytes written to out, or -1 on error.
+int64_t th264_pack_frame(
+    const uint8_t* headers, const int64_t* header_off, const int32_t* header_bits,
+    int32_t n_slices, const int32_t* slice_starts, const int32_t* slice_counts,
+    uint8_t nal_header_byte, int32_t mbw,
+    const int32_t* mb_info, const int32_t* luma_dc, const int32_t* luma_ac,
+    const int32_t* chroma_dc, const int32_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    uint8_t* out, int64_t out_cap, int32_t n_threads) {
+  build_luts();
+  std::vector<std::vector<uint8_t>> escaped(n_slices);
+  std::atomic<int32_t> next{0};
+  std::atomic<bool> failed{false};
+
+  auto work = [&]() {
+    std::vector<uint8_t> rbsp;
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_slices || failed.load(std::memory_order_relaxed)) return;
+      int64_t cap = (int64_t)slice_counts[i] * 900 + 4096;
+      rbsp.resize(cap);
+      int64_t n = th264_pack_slice(
+          headers + header_off[i], header_bits[i], slice_starts[i],
+          slice_counts[i], mbw, mb_info, luma_dc, luma_ac, chroma_dc,
+          chroma_ac, nnz_y, nnz_u, nnz_v, rbsp.data(), cap);
+      if (n < 0) { failed.store(true); return; }
+      escaped[i].resize(n + n / 2 + 16);
+      int64_t m = th264_escape(rbsp.data(), n, escaped[i].data(),
+                               escaped[i].size());
+      if (m < 0) { failed.store(true); return; }
+      escaped[i].resize(m);
+    }
+  };
+
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_slices) nt = n_slices;
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& th : threads) th.join();
+  }
+  if (failed.load()) return -1;
+
+  int64_t o = 0;
+  for (int32_t i = 0; i < n_slices; i++) {
+    int64_t need = 5 + (int64_t)escaped[i].size();
+    if (o + need > out_cap) return -1;
+    out[o++] = 0; out[o++] = 0; out[o++] = 0; out[o++] = 1;
+    out[o++] = nal_header_byte;
+    std::memcpy(out + o, escaped[i].data(), escaped[i].size());
+    o += escaped[i].size();
+  }
+  return o;
+}
+
+// Parse all slices of a frame in parallel.  rbsp: concatenated unescaped
+// slice RBSPs; per-slice (byte offset, byte length, start bit, first MB).
+// Returns total MBs parsed or -1.
+int64_t th264_parse_frame(
+    const uint8_t* rbsp, const int64_t* off, const int64_t* nbytes,
+    const int64_t* start_bit, const int32_t* slice_starts,
+    int32_t n_slices, int32_t mbw, int32_t total_mbs,
+    int32_t* mb_info, int32_t* luma_dc, int32_t* luma_ac,
+    int32_t* chroma_dc, int32_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v, int32_t n_threads) {
+  build_luts();
+  std::atomic<int32_t> next{0};
+  std::atomic<int64_t> total{0};
+  std::atomic<bool> failed{false};
+
+  auto work = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_slices || failed.load(std::memory_order_relaxed)) return;
+      int32_t max_mbs =
+          (i + 1 < n_slices ? slice_starts[i + 1] : total_mbs) - slice_starts[i];
+      int64_t got = th264_parse_slice(
+          rbsp + off[i], nbytes[i], start_bit[i], slice_starts[i], mbw,
+          max_mbs, mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+          nnz_y, nnz_u, nnz_v);
+      if (got < 0) { failed.store(true); return; }
+      total.fetch_add(got);
+    }
+  };
+
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_slices) nt = n_slices;
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& th : threads) th.join();
+  }
+  return failed.load() ? -1 : total.load();
 }
 
 }  // extern "C"

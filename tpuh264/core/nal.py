@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Iterator, List, Tuple
 
+import numpy as np
+
 # nal_unit_type values (H.264 Table 7-1)
 NAL_SLICE_NON_IDR = 1
 NAL_SLICE_IDR = 5
@@ -56,14 +58,20 @@ def wrap_nal(nal_unit_type: int, rbsp: bytes, nal_ref_idc: int = 3) -> bytes:
     return START_CODE + header + escape_rbsp(rbsp)
 
 
-def split_annexb(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
-    """Yield (nal_ref_idc, nal_unit_type, rbsp) for each NAL in the stream.
-
-    Accepts both 3-byte and 4-byte start codes.
-    """
+def _find_start_codes(data: bytes) -> List[Tuple[int, int]]:
+    """All (payload_start, code_start) positions of 00 00 01 sequences."""
     n = len(data)
-    # Find all start-code positions.
-    starts: List[Tuple[int, int]] = []  # (payload_start, code_start)
+    if n >= 1 << 12:  # numpy fast path for big streams
+        a = np.frombuffer(data, np.uint8)
+        hits = np.flatnonzero((a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] == 1))
+        starts: List[Tuple[int, int]] = []
+        last = -3
+        for i in map(int, hits):
+            if i >= last + 3:  # overlapping 000001 within a start code
+                starts.append((i + 3, i))
+                last = i
+        return starts
+    starts = []
     i = 0
     while i + 2 < n:
         if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
@@ -71,6 +79,29 @@ def split_annexb(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
             i += 3
         else:
             i += 1
+    return starts
+
+
+def _unescape_fast(ebsp: bytes) -> bytes:
+    """Native unescape when available (the Python loop is the hot spot)."""
+    if len(ebsp) >= 1 << 12:
+        try:
+            from ..entropy import native
+
+            if native.available():
+                return native.unescape_rbsp(ebsp)
+        except Exception:
+            pass
+    return unescape_rbsp(ebsp)
+
+
+def split_annexb(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
+    """Yield (nal_ref_idc, nal_unit_type, rbsp) for each NAL in the stream.
+
+    Accepts both 3-byte and 4-byte start codes.
+    """
+    n = len(data)
+    starts = _find_start_codes(data)
     for idx, (payload_start, _) in enumerate(starts):
         end = starts[idx + 1][1] if idx + 1 < len(starts) else n
         # Trim trailing zero bytes that belong to the next 4-byte start code.
@@ -79,6 +110,6 @@ def split_annexb(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
         if end <= payload_start:
             continue
         header = data[payload_start]
-        yield (header >> 5) & 3, header & 0x1F, unescape_rbsp(
+        yield (header >> 5) & 3, header & 0x1F, _unescape_fast(
             data[payload_start + 1 : end]
         )

@@ -64,6 +64,23 @@ def load() -> ctypes.CDLL:
         for fn in (lib.th264_escape, lib.th264_unescape):
             fn.restype = ctypes.c_int64
             fn.argtypes = [_U8P, ctypes.c_int64, _U8P, ctypes.c_int64]
+        _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.th264_pack_frame.restype = ctypes.c_int64
+        lib.th264_pack_frame.argtypes = [
+            _U8P, _I64P, _I32P,
+            ctypes.c_int32, _I32P, _I32P,
+            ctypes.c_uint8, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P,
+            _U8P, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.th264_parse_frame.restype = ctypes.c_int64
+        lib.th264_parse_frame.argtypes = [
+            _U8P, _I64P, _I64P, _I64P, _I32P,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P, ctypes.c_int32,
+        ]
         _lib = lib
         return lib
 
@@ -85,6 +102,15 @@ def escape_rbsp(rbsp: bytes) -> bytes:
     return out[:n].tobytes()
 
 
+def unescape_rbsp(ebsp: bytes) -> bytes:
+    lib = load()
+    src = np.frombuffer(ebsp, np.uint8)
+    out = np.empty(len(ebsp) + 16, np.uint8)
+    n = lib.th264_unescape(src, len(src), out, len(out))
+    assert n >= 0
+    return out[:n].tobytes()
+
+
 def pack_iframe(
     mb_info: np.ndarray,
     luma_dc: np.ndarray,
@@ -98,8 +124,13 @@ def pack_iframe(
     frame_num: int = 0,
     idr: bool = True,
     include_ps: bool = True,
+    threads: int = 0,
 ) -> bytes:
-    """Native-path equivalent of entropy.pack.pack_iframe (byte-identical)."""
+    """Native-path equivalent of entropy.pack.pack_iframe (byte-identical).
+
+    threads=0 means one thread per CPU (row-slices pack independently,
+    mirroring the reference's worker-pool "threads" axis, app.js:440-459).
+    """
     lib = load()
     mbw, mbh = sps.mb_width, sps.mb_height
     mb_info = np.ascontiguousarray(mb_info, np.int32)
@@ -127,11 +158,10 @@ def pack_iframe(
     else:
         raise ValueError(slice_mode)
 
-    # worst-case RBSP per slice: generous bound
-    cap = 4096 + mbw * mbh * 1024
-    buf = np.empty(cap, np.uint8)
-    ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
-    for start, count in slices:
+    headers = bytearray()
+    header_off = np.zeros(len(slices), np.int64)
+    header_bits = np.zeros(len(slices), np.int32)
+    for i, (start, _) in enumerate(slices):
         w = BitWriter()
         SliceHeader(
             first_mb_in_slice=start,
@@ -139,33 +169,41 @@ def pack_iframe(
             frame_num=frame_num,
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
         ).write(w, sps, pps, idr)
-        header_bits = w.bit_length
-        w.u((8 - header_bits % 8) % 8, 0)  # pad so get_bytes works
-        header = np.frombuffer(w.get_bytes(), np.uint8)
-        n = lib.th264_pack_slice(
-            header, header_bits, start, count, mbw,
-            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-            nnz_y, nnz_u, nnz_v, buf, cap,
-        )
-        if n < 0:
-            raise RuntimeError("th264_pack_slice failed")
-        esc = np.empty(int(n) * 3 // 2 + 16, np.uint8)
-        m = lib.th264_escape(buf, n, esc, len(esc))
-        assert m >= 0
-        out += nal.START_CODE + bytes([(3 << 5) | ntype]) + esc[:m].tobytes()
+        header_off[i] = len(headers)
+        header_bits[i] = w.bit_length
+        w.u((8 - w.bit_length % 8) % 8, 0)
+        headers += w.get_bytes()
+
+    ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
+    nal_hdr = (3 << 5) | ntype
+    starts = np.asarray([s for s, _ in slices], np.int32)
+    counts = np.asarray([c for _, c in slices], np.int32)
+    cap = 4096 * len(slices) + mbw * mbh * 1400
+    buf = np.empty(cap, np.uint8)
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    n = lib.th264_pack_frame(
+        np.frombuffer(bytes(headers), np.uint8), header_off, header_bits,
+        len(slices), starts, counts, nal_hdr, mbw,
+        mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+        nnz_y, nnz_u, nnz_v, buf, cap, threads,
+    )
+    if n < 0:
+        raise RuntimeError("th264_pack_frame failed")
+    out += buf[:n].tobytes()
     return bytes(out)
 
 
 def parse_iframe(
     data: bytes,
+    threads: int = 0,
 ) -> Tuple[SPS, PPS, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Native-path equivalent of entropy.pack.parse_iframe."""
+    """Native-path equivalent of entropy.pack.parse_iframe (threaded)."""
     lib = load()
     sps: Optional[SPS] = None
     pps: Optional[PPS] = None
-    arrays = None
     qp = 26
-    nnz = None
+    slices = []  # (rbsp bytes, start_bit, first_mb)
     for _, ntype, rbsp in nal.split_annexb(data):
         if ntype == nal.NAL_SPS:
             sps = SPS.parse(BitReader(rbsp))
@@ -173,31 +211,40 @@ def parse_iframe(
             pps = PPS.parse(BitReader(rbsp))
         elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
             assert sps is not None and pps is not None
-            mbw, mbh = sps.mb_width, sps.mb_height
-            n = mbw * mbh
-            if arrays is None:
-                arrays = (
-                    np.zeros((n, 4), np.int32),
-                    np.zeros((n, 16), np.int32),
-                    np.zeros((n, 16, 15), np.int32),
-                    np.zeros((n, 2, 4), np.int32),
-                    np.zeros((n, 2, 4, 15), np.int32),
-                )
-                nnz = (
-                    np.zeros(16 * n, np.int32),
-                    np.zeros(4 * n, np.int32),
-                    np.zeros(4 * n, np.int32),
-                )
             r = BitReader(rbsp)
             header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
             qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
-            rb = np.frombuffer(rbsp, np.uint8)
-            got = lib.th264_parse_slice(
-                rb, len(rb), r.bit_position,
-                header.first_mb_in_slice, mbw, n - header.first_mb_in_slice,
-                *arrays, *nnz,
-            )
-            if got < 0:
-                raise RuntimeError("th264_parse_slice failed")
-    assert arrays is not None and sps is not None and pps is not None
+            slices.append((rbsp, r.bit_position, header.first_mb_in_slice))
+    assert slices and sps is not None and pps is not None
+    mbw, mbh = sps.mb_width, sps.mb_height
+    n = mbw * mbh
+    arrays = (
+        np.zeros((n, 4), np.int32),
+        np.zeros((n, 16), np.int32),
+        np.zeros((n, 16, 15), np.int32),
+        np.zeros((n, 2, 4), np.int32),
+        np.zeros((n, 2, 4, 15), np.int32),
+    )
+    nnz = (
+        np.zeros(16 * n, np.int32),
+        np.zeros(4 * n, np.int32),
+        np.zeros(4 * n, np.int32),
+    )
+    blob = b"".join(s[0] for s in slices)
+    off = np.zeros(len(slices), np.int64)
+    nbytes = np.zeros(len(slices), np.int64)
+    start_bit = np.zeros(len(slices), np.int64)
+    first_mb = np.zeros(len(slices), np.int32)
+    o = 0
+    for i, (rbsp, bit, mb0) in enumerate(slices):
+        off[i], nbytes[i], start_bit[i], first_mb[i] = o, len(rbsp), bit, mb0
+        o += len(rbsp)
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    got = lib.th264_parse_frame(
+        np.frombuffer(blob, np.uint8), off, nbytes, start_bit, first_mb,
+        len(slices), mbw, n, *arrays, *nnz, threads,
+    )
+    if got < 0:
+        raise RuntimeError("th264_parse_frame failed")
     return (sps, pps, qp) + arrays
