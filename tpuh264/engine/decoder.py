@@ -1,0 +1,178 @@
+"""Decoder sessions and pool.
+
+Mirrors the reference's decoder C ABI -- a pool of MAX_DECODERS=32 slots
+with init_decoder/deinit_decoder per stream and per-frame
+decode_frame_optimized / decode_frame_yuv_i420 entry points
+(/root/reference/openh264_wrapper.cpp:8,240-280,391-464) -- with the
+codec interior implemented here (host CAVLC parse -> TPU reconstruction)
+instead of inside libopenh264.a.
+
+Error concealment: on a corrupt or undecodable frame the session returns
+its previous reconstruction (the ERROR_CON_FRAME_COPY analog,
+openh264_wrapper.cpp:269) and raises its `needs_keyframe` flag -- which,
+unlike the reference's latent no-op (SURVEY.md section 2, keyframe row),
+callers can route to the actual encoder owner.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..entropy import native as entropy_native
+from ..entropy import pack as entropy_pack
+from ..kernels import color, iframe
+
+
+class DecoderSession:
+    def __init__(self) -> None:
+        self._entropy = (
+            entropy_native if entropy_native.available() else entropy_pack
+        )
+        self.last_frame: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self.needs_keyframe = False
+        self.frames_decoded = 0
+        self.frames_concealed = 0
+
+    def decode(
+        self, data: bytes
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Decode one access unit -> (Y, U, V) int32 planes (cropped).
+
+        Returns the concealed previous frame on error (or None if nothing
+        to conceal with), setting `needs_keyframe`.
+        """
+        try:
+            sps, pps, qp, mb_info, ldc, lac, cdc, cac = self._entropy.parse_iframe(
+                data
+            )
+            r, c = sps.mb_height, sps.mb_width
+            symbols = iframe.MBSymbols(
+                mode=jnp.asarray(mb_info[:, 0].reshape(1, r, c)),
+                cmode=jnp.asarray(mb_info[:, 1].reshape(1, r, c)),
+                cbp_luma=jnp.asarray(mb_info[:, 2].reshape(1, r, c)),
+                cbp_chroma=jnp.asarray(mb_info[:, 3].reshape(1, r, c)),
+                luma_dc=jnp.asarray(ldc.reshape(1, r, c, 16)),
+                luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 15)),
+                chroma_dc=jnp.asarray(cdc.reshape(1, r, c, 2, 4)),
+                chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
+            )
+            y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+            out = (
+                np.asarray(y[0])[: sps.height, : sps.width],
+                np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
+                np.asarray(v[0])[: sps.height // 2, : sps.width // 2],
+            )
+            self.last_frame = out
+            self.needs_keyframe = False
+            self.frames_decoded += 1
+            return out
+        except Exception:
+            self.needs_keyframe = True
+            self.frames_concealed += 1
+            return self.last_frame
+
+    def decode_to_rgba(self, data: bytes) -> Optional[np.ndarray]:
+        """decode_frame_optimized analog: decode + YUV->RGBA conversion."""
+        out = self.decode(data)
+        if out is None:
+            return None
+        y, u, v = out
+        return np.asarray(color.yuv420_to_rgba(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        ))
+
+
+class DecoderPool:
+    """MAX_DECODERS-slot pool (openh264_wrapper.cpp:8,240-280)."""
+
+    def __init__(self, max_decoders: int = 32):
+        self.max_decoders = max_decoders
+        self._slots: Dict[int, DecoderSession] = {}
+
+    def init_decoder(self, idx: int) -> None:
+        if not 0 <= idx < self.max_decoders:
+            raise IndexError(f"decoder index {idx} out of range")
+        self._slots[idx] = DecoderSession()
+
+    def deinit_decoder(self, idx: int) -> None:
+        self._slots.pop(idx, None)
+
+    def __getitem__(self, idx: int) -> DecoderSession:
+        return self._slots[idx]
+
+    def active(self) -> List[int]:
+        return sorted(self._slots)
+
+    def decode(self, idx: int, data: bytes):
+        return self._slots[idx].decode(data)
+
+    def decode_batch(
+        self, items: List[Tuple[int, bytes]]
+    ) -> Dict[int, Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+        """Decode several streams' frames with one batched TPU call.
+
+        Streams whose SPS dims match are stacked into a single
+        reconstruction batch -- the TPU-native analog of the reference
+        distributing streams over decoder workers (app.js:351,521),
+        except the batch IS the parallelism.
+        """
+        entropy = (
+            entropy_native if entropy_native.available() else entropy_pack
+        )
+        parsed = []
+        for idx, data in items:
+            sess = self._slots[idx]
+            try:
+                parsed.append((idx, sess, entropy.parse_iframe(data)))
+            except Exception:
+                sess.needs_keyframe = True
+                sess.frames_concealed += 1
+                parsed.append((idx, sess, None))
+
+        # group by (mb_height, mb_width, qp)
+        groups: Dict[Tuple[int, int, int], list] = {}
+        for item in parsed:
+            if item[2] is None:
+                continue
+            sps, pps, qp = item[2][:3]
+            groups.setdefault((sps.mb_height, sps.mb_width, qp), []).append(item)
+
+        results: Dict[int, Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for (r, c, qp), group in groups.items():
+            n = r * c
+            stack = lambda k, shape: jnp.asarray(
+                np.stack([g[2][k].reshape(*shape) for g in group])
+            )
+            mb = np.stack([g[2][3] for g in group])  # [B, N, 4]
+            symbols = iframe.MBSymbols(
+                mode=jnp.asarray(mb[:, :, 0].reshape(-1, r, c)),
+                cmode=jnp.asarray(mb[:, :, 1].reshape(-1, r, c)),
+                cbp_luma=jnp.asarray(mb[:, :, 2].reshape(-1, r, c)),
+                cbp_chroma=jnp.asarray(mb[:, :, 3].reshape(-1, r, c)),
+                luma_dc=stack(4, (r, c, 16)),
+                luma_ac=stack(5, (r, c, 16, 15)),
+                chroma_dc=stack(6, (r, c, 2, 4)),
+                chroma_ac=stack(7, (r, c, 2, 4, 15)),
+            )
+            y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+            y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+            for i, (idx, sess, p) in enumerate(group):
+                sps = p[0]
+                out = (
+                    y[i][: sps.height, : sps.width],
+                    u[i][: sps.height // 2, : sps.width // 2],
+                    v[i][: sps.height // 2, : sps.width // 2],
+                )
+                sess.last_frame = out
+                sess.needs_keyframe = False
+                sess.frames_decoded += 1
+                results[idx] = out
+        for idx, sess, p in parsed:
+            if p is None:
+                results[idx] = sess.last_frame
+        return results

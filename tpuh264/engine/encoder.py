@@ -1,0 +1,175 @@
+"""Encoder session: the TPU-native counterpart of the reference's encoder
+C ABI (init_encoder / force_key_frame / encode_frame /
+encode_frame_yuv_i420, /root/reference/openh264_wrapper.cpp:198-236,
+315-389), extended with the codec interior the reference outsourced to
+libopenh264.a -- and with multi-stream batching, which is the TPU's
+natural scaling axis.
+
+Pipeline per encode call:
+  [host] RGBA copy-in           (timed as "copy", reference's frame-copy)
+  [TPU ] color convert + MB scan -> symbol tensors + recon   ("encode")
+  [host] CAVLC pack via native/cavlc.cpp -> annex-B          ("entropy")
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.params import PPS, SPS
+from ..entropy import native as entropy_native
+from ..entropy import pack as entropy_pack
+from ..kernels import color, iframe
+from .config import CodecConfig
+from .ratecontrol import RateController
+
+
+@dataclasses.dataclass
+class EncodedFrame:
+    data: bytes
+    is_idr: bool
+    frame_num: int
+    qp: int
+    timings: dict
+
+
+def _pad_multiple(x: np.ndarray, mult: int, axes=(-2, -1)) -> np.ndarray:
+    pads = [(0, 0)] * x.ndim
+    for ax in axes:
+        size = x.shape[ax]
+        pad = (size + mult - 1) // mult * mult - size
+        pads[ax % x.ndim] = (0, pad)
+    if not any(p for _, p in pads):
+        return x
+    return np.pad(x, pads, mode="edge")
+
+
+class EncoderSession:
+    """One encoder session over a batch of `streams` independent inputs.
+
+    The reference's encoder is a singleton re-initialized on config change
+    (openh264_wrapper.cpp:200-204); re-creating this object is the same
+    operation.
+    """
+
+    def __init__(self, config: Optional[CodecConfig] = None, **kw):
+        if config is None:
+            config = CodecConfig(**kw)
+        self.config = config
+        self.sps = SPS.for_size(config.width, config.height)
+        self.pps = PPS()
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self._force_idr = True
+        self.rc = RateController(config)
+        self._entropy = (
+            entropy_native if entropy_native.available() else entropy_pack
+        )
+
+    # -- reference API surface ------------------------------------------------
+
+    def force_key_frame(self) -> None:
+        """ForceIntraFrame(true) analog (openh264_wrapper.cpp:230-236).
+        Unlike the reference's cross-worker no-op (SURVEY.md section 2,
+        keyframe row), this is routed to the actual encoder owner."""
+        self._force_idr = True
+
+    def encode_frame(
+        self, rgba: np.ndarray
+    ) -> List[EncodedFrame]:
+        """Encode RGBA input [S, H, W, 4] (or [H, W, 4]) -> one stream each."""
+        t0 = time.perf_counter()
+        if rgba.ndim == 3:
+            rgba = rgba[None]
+        rgba = _pad_multiple(np.ascontiguousarray(rgba), 16, axes=(1, 2))
+        arr = jnp.asarray(rgba)
+        t1 = time.perf_counter()
+        y, u, v = color.rgba_to_yuv420(arr)
+        return self._encode_common(y, u, v, copy_s=t1 - t0)
+
+    def encode_frame_yuv(
+        self,
+        y: np.ndarray,
+        u: np.ndarray,
+        v: np.ndarray,
+    ) -> List[EncodedFrame]:
+        """Encode planar I420 input [S, H, W] (encode_frame_yuv_i420 analog)."""
+        t0 = time.perf_counter()
+        if y.ndim == 2:
+            y, u, v = y[None], u[None], v[None]
+        y = jnp.asarray(_pad_multiple(np.ascontiguousarray(y), 16))
+        u = jnp.asarray(_pad_multiple(np.ascontiguousarray(u), 8))
+        v = jnp.asarray(_pad_multiple(np.ascontiguousarray(v), 8))
+        t1 = time.perf_counter()
+        return self._encode_common(y, u, v, copy_s=t1 - t0)
+
+    # -- internals ------------------------------------------------------------
+
+    def _encode_common(self, y, u, v, copy_s: float) -> List[EncodedFrame]:
+        cfg = self.config
+        qp = self.rc.current_qp()
+        idr = self._force_idr or (
+            cfg.gop_size > 0 and self.frame_num % cfg.gop_size == 0
+        )
+        # round 1: I-frame-only codec => every frame is an IDR
+        idr = True
+
+        t0 = time.perf_counter()
+        symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
+        jax.block_until_ready(symbols.luma_dc)
+        t1 = time.perf_counter()
+
+        s = int(y.shape[0])
+        n = self.sps.mb_width * self.sps.mb_height
+        mode = np.asarray(symbols.mode).reshape(s, n)
+        cmode = np.asarray(symbols.cmode).reshape(s, n)
+        cbp_l = np.asarray(symbols.cbp_luma).reshape(s, n)
+        cbp_c = np.asarray(symbols.cbp_chroma).reshape(s, n)
+        luma_dc = np.asarray(symbols.luma_dc).reshape(s, n, 16)
+        luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 15)
+        chroma_dc = np.asarray(symbols.chroma_dc).reshape(s, n, 2, 4)
+        chroma_ac = np.asarray(symbols.chroma_ac).reshape(s, n, 2, 4, 15)
+
+        frames = []
+        t2 = time.perf_counter()
+        for i in range(s):
+            mb_info = np.stack([mode[i], cmode[i], cbp_l[i], cbp_c[i]], axis=1)
+            mb_info = np.ascontiguousarray(mb_info, np.int32)
+            stream = self._entropy.pack_iframe(
+                mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
+                self.sps, self.pps, qp,
+                slice_mode=cfg.slice_mode,
+                frame_num=0 if idr else self.frame_num % (
+                    1 << (self.sps.log2_max_frame_num_minus4 + 4)
+                ),
+                idr=idr,
+                include_ps=idr,
+            )
+            frames.append(
+                EncodedFrame(
+                    data=stream,
+                    is_idr=idr,
+                    frame_num=self.frame_num,
+                    qp=qp,
+                    timings={},
+                )
+            )
+        t3 = time.perf_counter()
+
+        self.rc.update(sum(len(f.data) for f in frames) / max(s, 1))
+        self._force_idr = False
+        self.frame_num += 1
+        timings = {
+            "copy_ms": copy_s * 1e3,
+            "encode_ms": (t1 - t0) * 1e3,
+            "entropy_ms": (t3 - t2) * 1e3,
+        }
+        for f in frames:
+            f.timings = timings
+        self.recon = recon
+        return frames

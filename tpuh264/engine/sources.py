@@ -1,0 +1,52 @@
+"""Deterministic synthetic frame sources.
+
+The reference tests exclusively against a live camera
+(/root/reference/scripts/app.js:245-247) -- no synthetic or recorded
+inputs, which SURVEY.md section 4 flags as the gap to close.  These
+sources are seeded and frame-indexed, so every benchmark and test is
+reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def yuv_frame(
+    width: int, height: int, t: int, kind: str = "moving_gradient", seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One I420 frame [H,W]+[H/2,W/2]x2 int32, deterministic in (t, seed)."""
+    rng = np.random.default_rng(seed * 1_000_003 + t)
+    yy, xx = np.mgrid[0:height, 0:width]
+    if kind == "moving_gradient":
+        y = ((xx * 2 + yy + t * 7) % 256 + rng.integers(0, 8, (height, width)))
+        y = y.clip(0, 255)
+    elif kind == "colorbars":
+        y = ((xx * 8 // max(width, 1)) * 32 + 16 + (t % 2)).clip(0, 235)
+    elif kind == "noise":
+        y = rng.integers(0, 256, (height, width))
+    elif kind == "checker":
+        y = (((xx // 32 + yy // 32 + t) % 2) * 200 + 28)
+    else:
+        raise ValueError(kind)
+    u = (128 + 48 * np.sin((xx[::2, ::2] + t * 3) / 37.0)).astype(np.int64)
+    v = (128 + 48 * np.cos((yy[::2, ::2] - t * 5) / 29.0)).astype(np.int64)
+    return (
+        np.asarray(y, np.int32),
+        u.clip(0, 255).astype(np.int32),
+        v.clip(0, 255).astype(np.int32),
+    )
+
+
+def rgba_frame(
+    width: int, height: int, t: int, kind: str = "moving_gradient", seed: int = 0
+) -> np.ndarray:
+    """One RGBA frame [H, W, 4] uint8 (camera-like input for encode_frame)."""
+    y, u, v = yuv_frame(width, height, t, kind, seed)
+    r = np.clip(y + 30 * ((t % 7) - 3) // 3, 0, 255)
+    g = np.clip(y, 0, 255)
+    b = np.clip(255 - y, 0, 255)
+    a = np.full_like(r, 255)
+    return np.stack([r, g, b, a], axis=-1).astype(np.uint8)

@@ -108,7 +108,7 @@ def _cblocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
     return blocks.swapaxes(-3, -2).reshape(*lead, 8, 8)
 
 
-def _encode_luma(src, pred, qp: int):
+def _encode_luma(src, pred, qp):
     """Transform+quant+recon of one luma MB batch. Returns symbols + recon."""
     resid = src - pred
     w = T.forward4x4(_luma_blocks(resid))  # [., 4,4,4,4]
@@ -129,7 +129,7 @@ def _encode_luma(src, pred, qp: int):
     return dc_zz, ac_zz, cbp, rec
 
 
-def _encode_chroma(src, pred, qpc: int):
+def _encode_chroma(src, pred, qpc):
     """One chroma component: returns dc(4,) levels, ac(2,2,15), flags, W."""
     resid = src - pred
     w = T.forward4x4(_chroma_blocks(resid))  # [., 2,2,4,4]
@@ -138,7 +138,7 @@ def _encode_chroma(src, pred, qpc: int):
     return dcq, ac_zz
 
 
-def _recon_chroma(pred, dcq, ac_zz, cbp_chroma, qpc: int):
+def _recon_chroma(pred, dcq, ac_zz, cbp_chroma, qpc):
     dc_deq = jnp.where(
         (cbp_chroma >= 1)[..., None, None], T.dequant_chroma_dc(dcq, qpc), 0
     )
@@ -152,13 +152,14 @@ def _recon_chroma(pred, dcq, ac_zz, cbp_chroma, qpc: int):
     return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
 
 
-@functools.partial(jax.jit, static_argnames=("qp",))
+@jax.jit
 def encode_iframe_rows(
-    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, qp: int
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, qp
 ) -> Tuple[MBSymbols, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode a batch of frames as I-frames with per-MB-row slices.
 
-    y: [S, H, W] int32 (H, W multiples of 16); u, v: [S, H/2, W/2].
+    y: [S, H, W] int32 (H, W multiples of 16); u, v: [S, H/2, W/2];
+    qp: traced int32 scalar (no recompile when rate control moves it).
     Returns (symbols, (recon_y, recon_u, recon_v)).
     """
     qpc = T.chroma_qp_from_luma(qp)
@@ -247,9 +248,9 @@ def encode_iframe_rows(
     return symbols, recon
 
 
-@functools.partial(jax.jit, static_argnames=("qp",))
+@jax.jit
 def decode_iframe_rows(
-    symbols: MBSymbols, qp: int
+    symbols: MBSymbols, qp
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reconstruct frames from parsed symbols (inverse of encode scan)."""
     qpc = T.chroma_qp_from_luma(qp)

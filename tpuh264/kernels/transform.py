@@ -4,6 +4,11 @@ Bit-exact port of tpuh264.golden.transform (the numpy oracle); every value
 fits int32 (worst case |W|*MF ~ 2.1e8 < 2^31), so no 64-bit math is needed
 on TPU.  Batched over arbitrary leading axes; the batch is the vector axis
 the VPU parallelizes over, and the butterflies are adds/shifts.
+
+`qp` is a *traced* int32 scalar everywhere: rate control changes QP per
+frame, and a static QP would force an XLA recompile each time
+(table rows become dynamic gathers; shift amounts are clamped dynamic
+shifts, since a negative shift count is undefined).
 """
 
 from __future__ import annotations
@@ -68,46 +73,57 @@ def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c, d], axis=-1)
 
 
-def quant4x4(w: jnp.ndarray, qp: int, intra: bool = True) -> jnp.ndarray:
+def _qp_consts(qp):
+    """(qbits, f_intra) as traced int32 scalars."""
+    qp = jnp.asarray(qp, jnp.int32)
     qbits = 15 + qp // 6
-    f = ((1 << qbits) // 3) if intra else ((1 << qbits) // 6)
+    return qp, qbits
+
+
+def quant4x4(w: jnp.ndarray, qp, intra: bool = True) -> jnp.ndarray:
+    qp, qbits = _qp_consts(qp)
+    f = (1 << qbits) // (3 if intra else 6)
     mf = _MF[qp % 6]
     z = (jnp.abs(w) * mf + f) >> qbits
     return jnp.sign(w) * z
 
 
-def quant_luma_dc(wdc_hadamard: jnp.ndarray, qp: int) -> jnp.ndarray:
-    qbits = 15 + qp // 6
+def quant_luma_dc(wdc_hadamard: jnp.ndarray, qp) -> jnp.ndarray:
+    qp, qbits = _qp_consts(qp)
     f = (1 << qbits) // 3
-    mf0 = int(MF_TABLE[qp % 6, 0, 0])
+    mf0 = _MF[qp % 6, 0, 0]
     z = (jnp.abs(wdc_hadamard) * mf0 + (f << 2)) >> (qbits + 2)
     return jnp.sign(wdc_hadamard) * z
 
 
-def quant_chroma_dc(wdc_hadamard: jnp.ndarray, qp: int, intra: bool = True) -> jnp.ndarray:
-    qbits = 15 + qp // 6
-    f = ((1 << qbits) // 3) if intra else ((1 << qbits) // 6)
-    mf0 = int(MF_TABLE[qp % 6, 0, 0])
+def quant_chroma_dc(wdc_hadamard: jnp.ndarray, qp, intra: bool = True) -> jnp.ndarray:
+    qp, qbits = _qp_consts(qp)
+    f = (1 << qbits) // (3 if intra else 6)
+    mf0 = _MF[qp % 6, 0, 0]
     z = (jnp.abs(wdc_hadamard) * mf0 + (f << 1)) >> (qbits + 1)
     return jnp.sign(wdc_hadamard) * z
 
 
-def dequant4x4(z: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant4x4(z: jnp.ndarray, qp) -> jnp.ndarray:
+    qp = jnp.asarray(qp, jnp.int32)
     return (z * _V[qp % 6]) << (qp // 6)
 
 
-def dequant_luma_dc(z: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant_luma_dc(z: jnp.ndarray, qp) -> jnp.ndarray:
+    qp = jnp.asarray(qp, jnp.int32)
     f = hadamard4x4(z)
-    v0 = int(V_TABLE[qp % 6, 0, 0])
-    if qp >= 12:
-        return (f * v0) << (qp // 6 - 2)
-    shift = 2 - qp // 6
-    return (f * v0 + (1 << (shift - 1))) >> shift
+    v0 = _V[qp % 6, 0, 0]
+    shift_up = jnp.maximum(qp // 6 - 2, 0)
+    shift_dn = jnp.maximum(2 - qp // 6, 0)
+    hi = (f * v0) << shift_up
+    lo = (f * v0 + (1 << jnp.maximum(shift_dn - 1, 0))) >> shift_dn
+    return jnp.where(qp >= 12, hi, lo)
 
 
-def dequant_chroma_dc(z: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant_chroma_dc(z: jnp.ndarray, qp) -> jnp.ndarray:
+    qp = jnp.asarray(qp, jnp.int32)
     f = hadamard2x2(z)
-    v0 = int(V_TABLE[qp % 6, 0, 0])
+    v0 = _V[qp % 6, 0, 0]
     return ((f * v0) << (qp // 6)) >> 1
 
 
@@ -142,5 +158,7 @@ def inverse_zigzag(coeffs: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*coeffs.shape[:-1], 4, 4)
 
 
-def chroma_qp_from_luma(qp: int, offset: int = 0) -> int:
-    return int(CHROMA_QP_TABLE[int(np.clip(qp + offset, 0, 51))])
+def chroma_qp_from_luma(qp, offset: int = 0):
+    """Traced chroma QP (H.264 Table 8-15)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    return _CHROMA_QP[jnp.clip(qp + offset, 0, 51)]
