@@ -18,9 +18,19 @@ BASELINE_FPS = 26.7  # reference UI screenshot, BASELINE.md
 
 
 def main() -> None:
-    import numpy as np
+    import os
 
-    from tpuh264.engine import CodecConfig, Pipeline, sources
+    import jax
+
+    # persistent compile cache: the 1080p scan compiles once per machine
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from tpuh264.engine import CodecConfig, Pipeline
 
     streams = 4
     cfg = CodecConfig(width=1920, height=1080, streams=streams, qp=32)

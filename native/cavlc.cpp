@@ -277,7 +277,7 @@ static void write_level(BitWriter& w, uint32_t level_code, int suffix_len) {
 }
 
 // returns TotalCoeff of the block
-static int encode_block(BitWriter& w, const int32_t* coeffs, int nC,
+static int encode_block(BitWriter& w, const int16_t* coeffs, int nC,
                         int max_coeffs) {
   int idxs[16];
   int32_t vals[16];
@@ -350,7 +350,7 @@ static uint32_t read_level(BitReader& r, int suffix_len) {
 }
 
 // returns TotalCoeff, fills coeffs[max_coeffs]
-static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
+static int decode_block(BitReader& r, int16_t* coeffs, int nC, int max_coeffs) {
   build_luts();
   for (int i = 0; i < max_coeffs; i++) coeffs[i] = 0;
   int32_t e = g_ct_lut[ct_ctx(nC)].lookup(r.peek16());
@@ -388,7 +388,7 @@ static int decode_block(BitReader& r, int32_t* coeffs, int nC, int max_coeffs) {
   int pos = total - 1 + total_zeros;
   for (int i = 0; i < total; i++) {
     if (pos < 0 || pos >= max_coeffs) { r.error = true; return total; }
-    coeffs[pos] = levels[i];
+    coeffs[pos] = (int16_t)levels[i];
     if (i == total - 1) break;
     int run = 0;
     if (zeros_left > 0) {
@@ -437,8 +437,8 @@ extern "C" {
 int64_t th264_pack_slice(
     const uint8_t* header_bytes, int32_t header_bits,
     int32_t slice_start, int32_t slice_count, int32_t mbw,
-    const int32_t* mb_info, const int32_t* luma_dc, const int32_t* luma_ac,
-    const int32_t* chroma_dc, const int32_t* chroma_ac,
+    const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
+    const int16_t* chroma_dc, const int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
     uint8_t* out, int64_t out_cap) {
   BitWriter w{out, out_cap};
@@ -468,7 +468,7 @@ int64_t th264_pack_slice(
         int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
         int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
                        bx > 0 || left_mb, by > 0 || top_mb);
-        const int32_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        const int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
         int t = encode_block(w, blk, nc, 15);
         nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
       }
@@ -489,7 +489,7 @@ int64_t th264_pack_slice(
           int bx = b % 2, by = b / 2;
           int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
                          bx > 0 || left_mb, by > 0 || top_mb);
-          const int32_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
+          const int16_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
           int t = encode_block(w, blk, nc, 15);
           nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = t;
         }
@@ -513,8 +513,8 @@ int64_t th264_pack_slice(
 int64_t th264_parse_slice(
     const uint8_t* rbsp, int64_t nbytes, int64_t start_bit,
     int32_t slice_start, int32_t mbw, int32_t max_mbs,
-    int32_t* mb_info, int32_t* luma_dc, int32_t* luma_ac,
-    int32_t* chroma_dc, int32_t* chroma_ac,
+    int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
+    int16_t* chroma_dc, int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v) {
   build_luts();
   BitReader r{rbsp, nbytes, start_bit};
@@ -544,7 +544,7 @@ int64_t th264_parse_slice(
         int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
         int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
                        bx > 0 || left_mb, by > 0 || top_mb);
-        int32_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
         int tc = decode_block(r, blk, nc, 15);
         nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
       }
@@ -565,7 +565,7 @@ int64_t th264_parse_slice(
           int bx = b % 2, by = b / 2;
           int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
                          bx > 0 || left_mb, by > 0 || top_mb);
-          int32_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
+          int16_t* blk = chroma_ac + ((2 * addr + comp) * 4 + b) * 15;
           int tc = decode_block(r, blk, nc, 15);
           nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = tc;
         }
@@ -641,8 +641,8 @@ int64_t th264_pack_frame(
     const uint8_t* headers, const int64_t* header_off, const int32_t* header_bits,
     int32_t n_slices, const int32_t* slice_starts, const int32_t* slice_counts,
     uint8_t nal_header_byte, int32_t mbw,
-    const int32_t* mb_info, const int32_t* luma_dc, const int32_t* luma_ac,
-    const int32_t* chroma_dc, const int32_t* chroma_ac,
+    const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
+    const int16_t* chroma_dc, const int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
     uint8_t* out, int64_t out_cap, int32_t n_threads) {
   build_luts();
@@ -700,8 +700,8 @@ int64_t th264_parse_frame(
     const uint8_t* rbsp, const int64_t* off, const int64_t* nbytes,
     const int64_t* start_bit, const int32_t* slice_starts,
     int32_t n_slices, int32_t mbw, int32_t total_mbs,
-    int32_t* mb_info, int32_t* luma_dc, int32_t* luma_ac,
-    int32_t* chroma_dc, int32_t* chroma_ac,
+    int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
+    int16_t* chroma_dc, int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v, int32_t n_threads) {
   build_luts();
   std::atomic<int32_t> next{0};

@@ -102,9 +102,9 @@ class EncoderSession:
         t0 = time.perf_counter()
         if y.ndim == 2:
             y, u, v = y[None], u[None], v[None]
-        y = jnp.asarray(_pad_multiple(np.ascontiguousarray(y), 16))
-        u = jnp.asarray(_pad_multiple(np.ascontiguousarray(u), 8))
-        v = jnp.asarray(_pad_multiple(np.ascontiguousarray(v), 8))
+        y = jnp.asarray(_pad_multiple(np.ascontiguousarray(y, np.uint8), 16))
+        u = jnp.asarray(_pad_multiple(np.ascontiguousarray(u, np.uint8), 8))
+        v = jnp.asarray(_pad_multiple(np.ascontiguousarray(v, np.uint8), 8))
         t1 = time.perf_counter()
         return self._encode_common(y, u, v, copy_s=t1 - t0)
 

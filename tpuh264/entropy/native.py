@@ -25,6 +25,7 @@ _lock = threading.Lock()
 _lib = None
 
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
@@ -50,7 +51,7 @@ def load() -> ctypes.CDLL:
         lib.th264_pack_slice.argtypes = [
             _U8P, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
             _U8P, ctypes.c_int64,
         ]
@@ -58,7 +59,7 @@ def load() -> ctypes.CDLL:
         lib.th264_parse_slice.argtypes = [
             _U8P, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
         ]
         for fn in (lib.th264_escape, lib.th264_unescape):
@@ -70,7 +71,7 @@ def load() -> ctypes.CDLL:
             _U8P, _I64P, _I32P,
             ctypes.c_int32, _I32P, _I32P,
             ctypes.c_uint8, ctypes.c_int32,
-            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
             _U8P, ctypes.c_int64, ctypes.c_int32,
         ]
@@ -78,7 +79,7 @@ def load() -> ctypes.CDLL:
         lib.th264_parse_frame.argtypes = [
             _U8P, _I64P, _I64P, _I64P, _I32P,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            _I32P, _I32P, _I32P, _I32P, _I32P,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P, ctypes.c_int32,
         ]
         _lib = lib
@@ -134,10 +135,10 @@ def pack_iframe(
     lib = load()
     mbw, mbh = sps.mb_width, sps.mb_height
     mb_info = np.ascontiguousarray(mb_info, np.int32)
-    luma_dc = np.ascontiguousarray(luma_dc, np.int32)
-    luma_ac = np.ascontiguousarray(luma_ac, np.int32)
-    chroma_dc = np.ascontiguousarray(chroma_dc, np.int32)
-    chroma_ac = np.ascontiguousarray(chroma_ac, np.int32)
+    luma_dc = np.ascontiguousarray(luma_dc, np.int16)
+    luma_ac = np.ascontiguousarray(luma_ac, np.int16)
+    chroma_dc = np.ascontiguousarray(chroma_dc, np.int16)
+    chroma_ac = np.ascontiguousarray(chroma_ac, np.int16)
     nnz_y = np.zeros(16 * mbw * mbh, np.int32)
     nnz_u = np.zeros(4 * mbw * mbh, np.int32)
     nnz_v = np.zeros(4 * mbw * mbh, np.int32)
@@ -220,10 +221,10 @@ def parse_iframe(
     n = mbw * mbh
     arrays = (
         np.zeros((n, 4), np.int32),
-        np.zeros((n, 16), np.int32),
-        np.zeros((n, 16, 15), np.int32),
-        np.zeros((n, 2, 4), np.int32),
-        np.zeros((n, 2, 4, 15), np.int32),
+        np.zeros((n, 16), np.int16),
+        np.zeros((n, 16, 15), np.int16),
+        np.zeros((n, 2, 4), np.int16),
+        np.zeros((n, 2, 4, 15), np.int16),
     )
     nnz = (
         np.zeros(16 * n, np.int32),

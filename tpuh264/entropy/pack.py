@@ -197,10 +197,10 @@ def parse_iframe(
             if arrays is None:
                 arrays = (
                     np.zeros((n, 4), np.int32),
-                    np.zeros((n, 16), np.int32),
-                    np.zeros((n, 16, 15), np.int32),
-                    np.zeros((n, 2, 4), np.int32),
-                    np.zeros((n, 2, 4, 15), np.int32),
+                    np.zeros((n, 16), np.int16),
+                    np.zeros((n, 16, 15), np.int16),
+                    np.zeros((n, 2, 4), np.int16),
+                    np.zeros((n, 2, 4, 15), np.int16),
                 )
                 nnz = _NnzState(mbw, mbh)
             r = BitReader(rbsp)

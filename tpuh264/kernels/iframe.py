@@ -16,13 +16,16 @@ consumes the emitted symbol tensors on the host (CAVLC has no cross-block
 bit state given nC, so symbolization parallelizes; bit concatenation is
 native code -- see native/cavlc.cpp).
 
+Performance notes: no scatter ops anywhere (zigzag both ways is a gather;
+the DC slot is substituted with a concat); symbol tensors are int16 and
+reconstructions uint8 to halve/quarter host<->HBM transfer volume.
+
 All integer math is bit-exact with tpuh264.golden.codec (tests enforce
 stream equality), which libavcodec in turn decodes bit-exactly.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -34,22 +37,21 @@ from . import transform as T
 class MBSymbols(NamedTuple):
     """Per-MB entropy symbols, layouts shared with native/cavlc.cpp."""
 
-    mode: jnp.ndarray        # [S, R, C] luma I16x16 pred mode (spec numbering)
-    cmode: jnp.ndarray       # [S, R, C] chroma pred mode
-    cbp_luma: jnp.ndarray    # [S, R, C] 0/1
-    cbp_chroma: jnp.ndarray  # [S, R, C] 0..2
-    luma_dc: jnp.ndarray     # [S, R, C, 16] zigzag levels
-    luma_ac: jnp.ndarray     # [S, R, C, 16, 15] block raster (by*4+bx)
-    chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] (Cb, Cr) raster DC levels
-    chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] block raster (by*2+bx)
+    mode: jnp.ndarray        # [S, R, C] int32 luma I16x16 pred mode
+    cmode: jnp.ndarray       # [S, R, C] int32 chroma pred mode
+    cbp_luma: jnp.ndarray    # [S, R, C] int32 0/1
+    cbp_chroma: jnp.ndarray  # [S, R, C] int32 0..2
+    luma_dc: jnp.ndarray     # [S, R, C, 16] int16 zigzag levels
+    luma_ac: jnp.ndarray     # [S, R, C, 16, 15] int16, block raster (by*4+bx)
+    chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16 (Cb, Cr) raster DC levels
+    chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16 block raster (by*2+bx)
 
 
 def _mb_view(plane: jnp.ndarray, mb: int) -> jnp.ndarray:
     """[S, H, W] -> [C, S, R, mb, mb] (scan axis first)."""
     s, h, w = plane.shape
     r, c = h // mb, w // mb
-    x = plane.reshape(s, r, mb, c, mb).transpose(3, 0, 1, 2, 4)
-    return x
+    return plane.reshape(s, r, mb, c, mb).transpose(3, 0, 1, 2, 4)
 
 
 def _unscan(x: jnp.ndarray) -> jnp.ndarray:
@@ -76,8 +78,8 @@ def _pred_chroma(left: jnp.ndarray, is_first: jnp.ndarray):
     halves = left.reshape(*left.shape[:-1], 2, 4)  # rows 0-3 / 4-7
     dcs = (halves.sum(-1) + 2) >> 2  # [., 2]
     dcs = jnp.where(is_first[..., None], 128, dcs)
-    pred_dc = jnp.repeat(
-        jnp.broadcast_to(dcs[..., :, None, None], (*dcs.shape, 4, 8)), 1, axis=-2
+    pred_dc = jnp.broadcast_to(
+        dcs[..., :, None, None], (*dcs.shape, 4, 8)
     ).reshape(*left.shape[:-1], 8, 8)
     pred_h = jnp.broadcast_to(left[..., :, None], (*left.shape, 8))
     return pred_dc, pred_h
@@ -108,48 +110,60 @@ def _cblocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
     return blocks.swapaxes(-3, -2).reshape(*lead, 8, 8)
 
 
+def _subst_dc(d_flat: jnp.ndarray, dc: jnp.ndarray) -> jnp.ndarray:
+    """Replace raster element 0 of [..., 16] with dc [...] (concat, not
+    scatter) and reshape to [..., 4, 4]."""
+    d = jnp.concatenate([dc[..., None], d_flat[..., 1:]], axis=-1)
+    return d.reshape(*d.shape[:-1], 4, 4)
+
+
 def _encode_luma(src, pred, qp):
     """Transform+quant+recon of one luma MB batch. Returns symbols + recon."""
     resid = src - pred
     w = T.forward4x4(_luma_blocks(resid))  # [., 4,4,4,4]
     dc = w[..., 0, 0]  # [., 4, 4]
     dc_zz = T.zigzag(T.quant_luma_dc(T.hadamard4x4(dc), qp))  # [., 16]
-    ac_zz = T.zigzag(T.quant4x4(w, qp, intra=True))[..., 1:]  # [., 4,4,15]
+    q_flat = T.quant4x4(w, qp, intra=True).reshape(*w.shape[:-2], 16)
+    ac_zz = q_flat[..., T._ZZ][..., 1:]  # [., 4,4,15] zigzag AC
     cbp = jnp.any(ac_zz != 0, axis=(-1, -2, -3))  # [.]
 
     dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)  # [., 4,4]
-    coeffs = jnp.concatenate(
-        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32),
-         jnp.where(cbp[..., None, None, None], ac_zz, 0)],
-        axis=-1,
-    )
-    d = T.dequant4x4(T.inverse_zigzag(coeffs), qp)
-    d = d.at[..., 0, 0].set(dc_deq)
+    dq = T.dequant_flat(
+        jnp.where(cbp[..., None, None, None], q_flat, 0), qp
+    )  # [., 4,4,16]
+    d = _subst_dc(dq, dc_deq)
     rec = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
     return dc_zz, ac_zz, cbp, rec
 
 
 def _encode_chroma(src, pred, qpc):
-    """One chroma component: returns dc(4,) levels, ac(2,2,15), flags, W."""
+    """One chroma component: quantized DC (2,2), AC (2,2,15), flat coeffs."""
     resid = src - pred
     w = T.forward4x4(_chroma_blocks(resid))  # [., 2,2,4,4]
     dcq = T.quant_chroma_dc(T.hadamard2x2(w[..., 0, 0]), qpc)  # [., 2,2]
-    ac_zz = T.zigzag(T.quant4x4(w, qpc, intra=True))[..., 1:]  # [., 2,2,15]
-    return dcq, ac_zz
+    q_flat = T.quant4x4(w, qpc, intra=True).reshape(*w.shape[:-2], 16)
+    ac_zz = q_flat[..., T._ZZ][..., 1:]  # [., 2,2,15]
+    return dcq, ac_zz, q_flat
 
 
-def _recon_chroma(pred, dcq, ac_zz, cbp_chroma, qpc):
+def _recon_chroma_from_flat(pred, dcq, q_flat, cbp_chroma, qpc):
     dc_deq = jnp.where(
         (cbp_chroma >= 1)[..., None, None], T.dequant_chroma_dc(dcq, qpc), 0
     )
-    coeffs = jnp.concatenate(
-        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32),
-         jnp.where((cbp_chroma == 2)[..., None, None, None], ac_zz, 0)],
-        axis=-1,
+    dq = T.dequant_flat(
+        jnp.where((cbp_chroma == 2)[..., None, None, None], q_flat, 0), qpc
     )
-    d = T.dequant4x4(T.inverse_zigzag(coeffs), qpc)
-    d = d.at[..., 0, 0].set(dc_deq)
+    d = _subst_dc(dq, dc_deq)
     return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
+
+
+def _recon_chroma_from_zz(pred, dcq, ac_zz, cbp_chroma, qpc):
+    """Decode-side variant: AC arrives in zigzag order [., 2, 2, 15]."""
+    coeffs = jnp.concatenate(
+        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32), ac_zz], axis=-1
+    )
+    q_flat = T.inverse_zigzag(coeffs).reshape(*ac_zz.shape[:-1], 16)
+    return _recon_chroma_from_flat(pred, dcq, q_flat, cbp_chroma, qpc)
 
 
 @jax.jit
@@ -158,9 +172,9 @@ def encode_iframe_rows(
 ) -> Tuple[MBSymbols, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode a batch of frames as I-frames with per-MB-row slices.
 
-    y: [S, H, W] int32 (H, W multiples of 16); u, v: [S, H/2, W/2];
+    y: [S, H, W] uint8/int (H, W multiples of 16); u, v: [S, H/2, W/2];
     qp: traced int32 scalar (no recompile when rate control moves it).
-    Returns (symbols, (recon_y, recon_u, recon_v)).
+    Returns (symbols, (recon_y, recon_u, recon_v)) with uint8 recon.
     """
     qpc = T.chroma_qp_from_luma(qp)
     s, h, w = y.shape
@@ -174,9 +188,8 @@ def encode_iframe_rows(
     def step(carry, xs):
         left_y, left_u, left_v = carry  # [S,R,16], [S,R,8], [S,R,8]
         ymb, umb, vmb, col = xs
-        is_first = col == 0  # scalar -> broadcast
+        first = jnp.broadcast_to(col == 0, (s, r))
 
-        first = jnp.broadcast_to(is_first, (s, r))
         pred_dc, pred_h = _pred_luma(left_y, first)
         cost_dc = _sad(ymb, pred_dc)
         cost_h = jnp.where(first, jnp.iinfo(jnp.int32).max, _sad(ymb, pred_h))
@@ -197,14 +210,14 @@ def encode_iframe_rows(
         predu = jnp.where(use_cdc[..., None, None], pu_dc, pu_h)
         predv = jnp.where(use_cdc[..., None, None], pv_dc, pv_h)
 
-        dcu, acu = _encode_chroma(umb, predu, qpc)
-        dcv, acv = _encode_chroma(vmb, predv, qpc)
+        dcu, acu, qu = _encode_chroma(umb, predu, qpc)
+        dcv, acv, qv = _encode_chroma(vmb, predv, qpc)
         any_ac = jnp.any(acu != 0, (-1, -2, -3)) | jnp.any(acv != 0, (-1, -2, -3))
         any_dc = jnp.any(dcu != 0, (-1, -2)) | jnp.any(dcv != 0, (-1, -2))
         cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
 
-        rec_u = _recon_chroma(predu, dcu, acu, cbp_chroma, qpc)
-        rec_v = _recon_chroma(predv, dcv, acv, cbp_chroma, qpc)
+        rec_u = _recon_chroma_from_flat(predu, dcu, qu, cbp_chroma, qpc)
+        rec_v = _recon_chroma_from_flat(predv, dcv, qv, cbp_chroma, qpc)
 
         new_carry = (rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7])
         out = (
@@ -212,13 +225,17 @@ def encode_iframe_rows(
             cmode.astype(jnp.int32),
             cbp_luma.astype(jnp.int32),
             cbp_chroma.astype(jnp.int32),
-            dc_zz,
-            ac_zz.reshape(s, r, 16, 15),
-            jnp.stack([dcu.reshape(s, r, 4), dcv.reshape(s, r, 4)], axis=-2),
-            jnp.stack([acu.reshape(s, r, 4, 15), acv.reshape(s, r, 4, 15)], axis=-3),
-            rec_y,
-            rec_u,
-            rec_v,
+            dc_zz.astype(jnp.int16),
+            ac_zz.reshape(s, r, 16, 15).astype(jnp.int16),
+            jnp.stack(
+                [dcu.reshape(s, r, 4), dcv.reshape(s, r, 4)], axis=-2
+            ).astype(jnp.int16),
+            jnp.stack(
+                [acu.reshape(s, r, 4, 15), acv.reshape(s, r, 4, 15)], axis=-3
+            ).astype(jnp.int16),
+            rec_y.astype(jnp.uint8),
+            rec_u.astype(jnp.uint8),
+            rec_v.astype(jnp.uint8),
         )
         return new_carry, out
 
@@ -257,7 +274,7 @@ def decode_iframe_rows(
     s, r, c = symbols.mode.shape
 
     def to_scan(x):
-        return jnp.moveaxis(x, 2, 0)
+        return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
 
     xs = tuple(to_scan(x) for x in symbols) + (jnp.arange(c),)
 
@@ -275,8 +292,8 @@ def decode_iframe_rows(
              jnp.where((cbp_l == 1)[..., None, None, None], ac, 0)],
             axis=-1,
         )
-        d = T.dequant4x4(T.inverse_zigzag(coeffs), qp)
-        d = d.at[..., 0, 0].set(dc_deq)
+        q_flat = T.inverse_zigzag(coeffs).reshape(s, r, 4, 4, 16)
+        d = _subst_dc(T.dequant_flat(q_flat, qp), dc_deq)
         rec_y = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
 
         pu_dc, pu_h = _pred_chroma(left_u, first)
@@ -284,17 +301,21 @@ def decode_iframe_rows(
         cdc_sel = (cmode == 0)[..., None, None]
         predu = jnp.where(cdc_sel, pu_dc, pu_h)
         predv = jnp.where(cdc_sel, pv_dc, pv_h)
-        rec_u = _recon_chroma(
+        rec_u = _recon_chroma_from_zz(
             predu, cdc[..., 0, :].reshape(s, r, 2, 2),
             cac[..., 0, :, :].reshape(s, r, 2, 2, 15), cbp_c, qpc
         )
-        rec_v = _recon_chroma(
+        rec_v = _recon_chroma_from_zz(
             predv, cdc[..., 1, :].reshape(s, r, 2, 2),
             cac[..., 1, :, :].reshape(s, r, 2, 2, 15), cbp_c, qpc
         )
 
         new_carry = (rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7])
-        return new_carry, (rec_y, rec_u, rec_v)
+        return new_carry, (
+            rec_y.astype(jnp.uint8),
+            rec_u.astype(jnp.uint8),
+            rec_v.astype(jnp.uint8),
+        )
 
     carry0 = (
         jnp.zeros((s, r, 16), jnp.int32),

@@ -21,7 +21,9 @@ from ..golden.transform import MF_TABLE, V_TABLE, ZIGZAG4, CHROMA_QP_TABLE
 _MF = jnp.asarray(MF_TABLE)  # (6,4,4)
 _V = jnp.asarray(V_TABLE)
 _ZZ = jnp.asarray(ZIGZAG4)
+_INV_ZZ = jnp.asarray(np.argsort(ZIGZAG4))  # gather indices for inverse scan
 _CHROMA_QP = jnp.asarray(CHROMA_QP_TABLE)
+_V_FLAT = jnp.asarray(V_TABLE.reshape(6, 16))  # raster-flat dequant scale
 
 
 def forward4x4(x: jnp.ndarray) -> jnp.ndarray:
@@ -153,9 +155,16 @@ def zigzag(block: jnp.ndarray) -> jnp.ndarray:
 
 
 def inverse_zigzag(coeffs: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.zeros_like(coeffs)
-    out = out.at[..., _ZZ].set(coeffs)
+    """[..., 16] zigzag order -> [..., 4, 4] via gather (no scatter ops --
+    scatters are the expensive path on TPU and in XLA compile time)."""
+    out = coeffs[..., _INV_ZZ]
     return out.reshape(*coeffs.shape[:-1], 4, 4)
+
+
+def dequant_flat(z_flat: jnp.ndarray, qp) -> jnp.ndarray:
+    """Dequant on raster-flat [..., 16] coefficient vectors."""
+    qp = jnp.asarray(qp, jnp.int32)
+    return (z_flat * _V_FLAT[qp % 6]) << (qp // 6)
 
 
 def chroma_qp_from_luma(qp, offset: int = 0):
