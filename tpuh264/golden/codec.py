@@ -126,6 +126,25 @@ class _MBContext:
     slice_id: np.ndarray  # (mbh, mbw) int, -1 = not yet coded
     qp: int
     qpc: int
+    # inter state (P slices)
+    mv: np.ndarray = None      # (mbh, mbw, 2) quarter-pel MVs
+    kind: np.ndarray = None    # (mbh, mbw) inter.MB_SKIP/INTER/INTRA
+
+
+def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
+    return _MBContext(
+        recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
+        recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
+        recon_v=np.zeros((8 * mbh, 8 * mbw), np.int32),
+        nnz_y=np.zeros((4 * mbh, 4 * mbw), np.int32),
+        nnz_u=np.zeros((2 * mbh, 2 * mbw), np.int32),
+        nnz_v=np.zeros((2 * mbh, 2 * mbw), np.int32),
+        slice_id=np.full((mbh, mbw), -1, np.int32),
+        qp=qp,
+        qpc=qpc,
+        mv=np.zeros((mbh, mbw, 2), np.int32),
+        kind=np.full((mbh, mbw), 2, np.int32),
+    )
 
 
 def _neighbors_luma(ctx: _MBContext, mbx: int, mby: int, sid: int):
@@ -292,17 +311,7 @@ def encode_iframe(
     mbw, mbh = sps.mb_width, sps.mb_height
     yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
 
-    ctx = _MBContext(
-        recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
-        recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
-        recon_v=np.zeros((8 * mbh, 8 * mbw), np.int32),
-        nnz_y=np.zeros((4 * mbh, 4 * mbw), np.int32),
-        nnz_u=np.zeros((2 * mbh, 2 * mbw), np.int32),
-        nnz_v=np.zeros((2 * mbh, 2 * mbw), np.int32),
-        slice_id=np.full((mbh, mbw), -1, np.int32),
-        qp=qp,
-        qpc=chroma_qp(qp, pps.chroma_qp_index_offset),
-    )
+    ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
 
     out = bytearray()
     if include_ps:
@@ -432,18 +441,7 @@ def decode_annexb(
             assert sps is not None and pps is not None, "missing SPS/PPS"
             mbw, mbh = sps.mb_width, sps.mb_height
             if ctx is None:
-                qp0 = 26 + pps.pic_init_qp_minus26
-                ctx = _MBContext(
-                    recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
-                    recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
-                    recon_v=np.zeros((8 * mbh, 8 * mbw), np.int32),
-                    nnz_y=np.zeros((4 * mbh, 4 * mbw), np.int32),
-                    nnz_u=np.zeros((2 * mbh, 2 * mbw), np.int32),
-                    nnz_v=np.zeros((2 * mbh, 2 * mbw), np.int32),
-                    slice_id=np.full((mbh, mbw), -1, np.int32),
-                    qp=0,
-                    qpc=0,
-                )
+                ctx = _new_ctx(mbw, mbh, 0, 0)
             r = BitReader(rbsp)
             header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
             qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
@@ -461,3 +459,534 @@ def decode_annexb(
         ctx.recon_u[: sps.height // 2, : sps.width // 2],
         ctx.recon_v[: sps.height // 2, : sps.width // 2],
     )
+
+
+# ---------------------------------------------------------------------------
+# P-frames (BASELINE.json config 2): integer-pel single-reference inter
+# prediction with P_Skip / P_L0_16x16 / Intra_16x16 macroblocks.
+# ---------------------------------------------------------------------------
+
+from ..core.sliceheader import SLICE_P  # noqa: E402
+from ..entropy.cavlc_tables import CBP_INTER_INV, CBP_INTRA  # noqa: E402
+from . import inter as inter_mod  # noqa: E402
+
+
+def _intra16_decide(ctx, src, mbx, mby, sid):
+    """Shared I16x16 mode decision; returns (mode, pred, sad)."""
+    left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
+    best_mode, best_pred, best_cost = None, None, None
+    for mode in intra.luma16_available_modes(top_ok, left_ok):
+        p = intra.pred16(mode, top, left, corner, top_ok, left_ok)
+        cost = int(np.abs(src - p).sum())
+        if best_cost is None or cost < best_cost:
+            best_mode, best_pred, best_cost = mode, p, cost
+    return best_mode, best_pred, best_cost
+
+
+def _chroma_decide(ctx, u, v, mbx, mby, sid):
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    c0, cx0 = 8 * mby, 8 * mbx
+    srcu = u[c0 : c0 + 8, cx0 : cx0 + 8]
+    srcv = v[c0 : c0 + 8, cx0 : cx0 + 8]
+    best_cmode, best_cpred, best_ccost = None, None, None
+    for mode in intra.chroma_available_modes(top_ok, left_ok):
+        pu = intra.pred8(mode, topu, leftu, corneru, top_ok, left_ok)
+        pv = intra.pred8(mode, topv, leftv, cornerv, top_ok, left_ok)
+        cost = int(np.abs(srcu - pu).sum()) + int(np.abs(srcv - pv).sum())
+        if best_ccost is None or cost < best_ccost:
+            best_cmode, best_cpred, best_ccost = mode, (pu, pv), cost
+    return best_cmode, best_cpred
+
+
+def _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice):
+    """I16x16 MB coding shared between I slices and intra MBs in P slices."""
+    qp, qpc = ctx.qp, ctx.qpc
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    src = y[y0 : y0 + 16, x0 : x0 + 16]
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+
+    best_mode, pred, _ = _intra16_decide(ctx, src, mbx, mby, sid)
+    resid = src - pred
+    wblocks = forward4x4(plane_to_blocks4(resid))
+    dcq_zz = zigzag(quant_luma_dc(hadamard4x4(wblocks[..., 0, 0]), qp))
+    ac_zz = zigzag(quant4x4(wblocks, qp, intra=True))[..., 1:]
+    cbp_luma = bool(np.any(ac_zz))
+
+    best_cmode, (predu, predv) = _chroma_decide(ctx, u, v, mbx, mby, sid)
+    srcu = u[c0 : c0 + 8, cx0 : cx0 + 8]
+    srcv = v[c0 : c0 + 8, cx0 : cx0 + 8]
+
+    def chroma_fwd(srcc, predc):
+        wc = forward4x4(plane_to_blocks4(srcc - predc))
+        dcc = quant_chroma_dc(hadamard2x2(wc[..., 0, 0]), qpc, intra=True)
+        acc = zigzag(quant4x4(wc, qpc, intra=True))[..., 1:]
+        return dcc, acc
+
+    dcu, acu = chroma_fwd(srcu, predu)
+    dcv, acv = chroma_fwd(srcv, predv)
+    any_ac = bool(np.any(acu)) or bool(np.any(acv))
+    any_dc = bool(np.any(dcu)) or bool(np.any(dcv))
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = reconstruct_luma_mb(
+        pred, dcq_zz, ac_zz, qp, cbp_luma
+    )
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu.reshape(4), acu, qpc, cbp_chroma
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv.reshape(4), acv, qpc, cbp_chroma
+    )
+
+    icode = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    w.ue(icode + 5 if in_p_slice else icode)
+    w.ue(best_cmode)
+    w.se(0)  # mb_qp_delta
+
+    nc0 = _luma_nc(ctx, mbx, mby, 0, 0, left_ok, top_ok)
+    encode_residual_block(w, dcq_zz.tolist(), nc0, 16)
+    if cbp_luma:
+        for bx, by in BLK_SCAN:
+            ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+            block = ac_zz[by, bx]
+            encode_residual_block(w, block.tolist(), ncb, 15)
+            ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
+    else:
+        ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+    _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
+                           dcu, dcv, acu, acv)
+    ctx.slice_id[mby, mbx] = sid
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+
+
+def _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
+                           dcu, dcv, acu, acv):
+    if cbp_chroma:
+        encode_residual_block(w, dcu.reshape(4).tolist(), -1, 4)
+        encode_residual_block(w, dcv.reshape(4).tolist(), -1, 4)
+    if cbp_chroma == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                block = ac[by, bx]
+                encode_residual_block(w, block.tolist(), ncb, 15)
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(np.count_nonzero(block))
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+
+def _apply_skip(ctx, refs, mbx, mby, sid):
+    """Reconstruct a P_Skip MB and update all state."""
+    refy, refu, refv = refs
+    mvx, mvy = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = inter_mod.mc_luma(
+        refy, mbx, mby, mvx, mvy
+    )
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = inter_mod.mc_chroma(
+        refu, mbx, mby, mvx, mvy
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = inter_mod.mc_chroma(
+        refv, mbx, mby, mvx, mvy
+    )
+    ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+    ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    ctx.mv[mby, mbx] = (mvx, mvy)
+    ctx.kind[mby, mbx] = inter_mod.MB_SKIP
+    ctx.slice_id[mby, mbx] = sid
+
+
+def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
+    """Encode one MB of a P slice (may defer to the skip-run counter)."""
+    qp, qpc = ctx.qp, ctx.qpc
+    refy, refu, refv = refs
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    src = y[y0 : y0 + 16, x0 : x0 + 16]
+
+    pmv = inter_mod.predict_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+    mv_skip = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+    mvx, mvy, inter_sad = inter_mod.motion_search(src, refy, mbx, mby, pmv)
+    _, _, intra_sad = _intra16_decide(ctx, src, mbx, mby, sid)
+
+    if intra_sad < inter_sad:
+        w.ue(skiprun[0])
+        skiprun[0] = 0
+        _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=True)
+        return
+
+    # inter residual
+    predl = inter_mod.mc_luma(refy, mbx, mby, mvx, mvy)
+    q = quant4x4(forward4x4(plane_to_blocks4(src - predl)), qp, intra=False)
+    l_zz = zigzag(q)  # (4,4,16) full 16-coefficient blocks
+    cbp_luma = 0
+    for i8 in range(4):
+        blocks = [l_zz[by, bx] for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]]
+        if any(np.any(b) for b in blocks):
+            cbp_luma |= 1 << i8
+
+    predu = inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy)
+    predv = inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy)
+    srcu = u[c0 : c0 + 8, cx0 : cx0 + 8]
+    srcv = v[c0 : c0 + 8, cx0 : cx0 + 8]
+
+    def chroma_fwd(srcc, predc):
+        wc = forward4x4(plane_to_blocks4(srcc - predc))
+        dcc = quant_chroma_dc(hadamard2x2(wc[..., 0, 0]), qpc, intra=False)
+        acc = zigzag(quant4x4(wc, qpc, intra=False))[..., 1:]
+        return dcc, acc
+
+    dcu, acu = chroma_fwd(srcu, predu)
+    dcv, acv = chroma_fwd(srcv, predv)
+    any_ac = bool(np.any(acu)) or bool(np.any(acv))
+    any_dc = bool(np.any(dcu)) or bool(np.any(dcv))
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+
+    if cbp_luma == 0 and cbp_chroma == 0 and (mvx, mvy) == mv_skip:
+        skiprun[0] += 1
+        _apply_skip(ctx, refs, mbx, mby, sid)
+        return
+
+    # reconstruction (zero out 4x4 blocks of uncoded 8x8s -- no-op by
+    # construction, but mirror the decoder structure)
+    recon_q = np.zeros_like(l_zz)
+    for i8 in range(4):
+        if cbp_luma >> i8 & 1:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                recon_q[by, bx] = l_zz[by, bx]
+    d = dequant4x4(inverse_zigzag(recon_q), qp)
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
+        idct_add(plane_to_blocks4(predl), d)
+    )
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu.reshape(4), acu, qpc, cbp_chroma
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv.reshape(4), acv, qpc, cbp_chroma
+    )
+
+    # syntax
+    w.ue(skiprun[0])
+    skiprun[0] = 0
+    w.ue(0)  # mb_type P_L0_16x16
+    w.se(mvx - pmv[0])
+    w.se(mvy - pmv[1])
+    w.ue(CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+    if cbp_luma or cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    for i8 in range(4):
+        if cbp_luma >> i8 & 1:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+                block = l_zz[by, bx]
+                encode_residual_block(w, block.tolist(), ncb, 16)
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
+        else:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = 0
+    _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
+                           dcu, dcv, acu, acv)
+    ctx.mv[mby, mbx] = (mvx, mvy)
+    ctx.kind[mby, mbx] = inter_mod.MB_INTER
+    ctx.slice_id[mby, mbx] = sid
+
+
+def encode_pframe(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    refs: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    qp: int = 28,
+    slice_mode: str = "rows",
+    frame_num: int = 1,
+    sps: Optional[SPS] = None,
+    pps: Optional[PPS] = None,
+) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Encode one P-frame against reference planes (padded recon of the
+    previous frame).  Returns (annexb bytes, padded recon planes)."""
+    height, width = y.shape
+    if sps is None:
+        sps = SPS.for_size(width, height)
+    if pps is None:
+        pps = PPS()
+    mbw, mbh = sps.mb_width, sps.mb_height
+    yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
+    ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
+
+    if slice_mode == "rows":
+        slices = [(r, [(r, c) for c in range(mbw)]) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, [(r, c) for r in range(mbh) for c in range(mbw)])]
+    else:
+        raise ValueError(slice_mode)
+
+    out = bytearray()
+    slice_qp_delta = qp - 26 - pps.pic_init_qp_minus26
+    for sid, (_, mbs) in enumerate(slices):
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=mbs[0][0] * mbw + mbs[0][1],
+            slice_type=SLICE_P,
+            frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
+            slice_qp_delta=slice_qp_delta,
+        ).write(w, sps, pps, idr=False)
+        skiprun = [0]
+        for mby, mbx in mbs:
+            _encode_mb_p(w, skiprun, ctx, yp, up, vp, refs, mbx, mby, sid)
+        if skiprun[0]:
+            w.ue(skiprun[0])
+        w.rbsp_trailing_bits()
+        out += nal.wrap_nal(nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2)
+    return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
+
+
+def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
+    qp, qpc = ctx.qp, ctx.qpc
+    refy, refu, refv = refs
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    mb_type = r.ue()
+    if mb_type >= 5:
+        _decode_intra16_in_p(r, ctx, mb_type - 5, mbx, mby, sid)
+        return
+    if mb_type != 0:
+        raise NotImplementedError(f"P mb_type {mb_type}")
+    pmv = inter_mod.predict_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+    mvx = pmv[0] + r.se()
+    mvy = pmv[1] + r.se()
+    from ..entropy.cavlc_tables import CBP_INTER
+
+    cbp = CBP_INTER[r.ue()]
+    cbp_luma = cbp & 15
+    cbp_chroma = cbp >> 4
+    if cbp:
+        r.se()  # mb_qp_delta
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+
+    l_zz = np.zeros((4, 4, 16), np.int32)
+    for i8 in range(4):
+        if cbp_luma >> i8 & 1:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+                block = decode_residual_block(r, ncb, 16)
+                l_zz[by, bx] = block
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                    np.count_nonzero(np.asarray(block))
+                )
+        else:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = 0
+
+    dcu = np.zeros(4, np.int32)
+    dcv = np.zeros(4, np.int32)
+    acu = np.zeros((2, 2, 15), np.int32)
+    acv = np.zeros((2, 2, 15), np.int32)
+    if cbp_chroma:
+        dcu = np.array(decode_residual_block(r, -1, 4), np.int32)
+        dcv = np.array(decode_residual_block(r, -1, 4), np.int32)
+    if cbp_chroma == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                block = decode_residual_block(r, ncb, 15)
+                ac[by, bx] = block
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(
+                    np.count_nonzero(np.asarray(block))
+                )
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    predl = inter_mod.mc_luma(refy, mbx, mby, mvx, mvy)
+    d = dequant4x4(inverse_zigzag(l_zz), qp)
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
+        idct_add(plane_to_blocks4(predl), d)
+    )
+    predu = inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy)
+    predv = inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy)
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu, acu, qpc, cbp_chroma
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv, acv, qpc, cbp_chroma
+    )
+    ctx.mv[mby, mbx] = (mvx, mvy)
+    ctx.kind[mby, mbx] = inter_mod.MB_INTER
+    ctx.slice_id[mby, mbx] = sid
+
+
+def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
+    """Decode an I16x16 MB appearing inside a P slice."""
+    if not 1 <= icode <= 24:
+        raise NotImplementedError(f"intra code {icode} in P slice")
+    t = icode - 1
+    pred_mode = t % 4
+    cbp_chroma = (t // 4) % 3
+    cbp_luma = t >= 12
+    cmode = r.ue()
+    r.se()  # mb_qp_delta
+    qp, qpc = ctx.qp, ctx.qpc
+    left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
+    pred = intra.pred16(pred_mode, top, left, corner, top_ok, left_ok)
+    nc0 = _luma_nc(ctx, mbx, mby, 0, 0, left_ok, top_ok)
+    dc_zz = np.array(decode_residual_block(r, nc0, 16), np.int32)
+    ac_zz = np.zeros((4, 4, 15), np.int32)
+    if cbp_luma:
+        for bx, by in BLK_SCAN:
+            ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+            block = decode_residual_block(r, ncb, 15)
+            ac_zz[by, bx] = block
+            ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                np.count_nonzero(np.asarray(block))
+            )
+    else:
+        ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+    dcu = np.zeros(4, np.int32)
+    dcv = np.zeros(4, np.int32)
+    acu = np.zeros((2, 2, 15), np.int32)
+    acv = np.zeros((2, 2, 15), np.int32)
+    if cbp_chroma:
+        dcu = np.array(decode_residual_block(r, -1, 4), np.int32)
+        dcv = np.array(decode_residual_block(r, -1, 4), np.int32)
+    if cbp_chroma == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                block = decode_residual_block(r, ncb, 15)
+                ac[by, bx] = block
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(
+                    np.count_nonzero(np.asarray(block))
+                )
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    predu = intra.pred8(cmode, topu, leftu, corneru, top_ok, left_ok)
+    predv = intra.pred8(cmode, topv, leftv, cornerv, top_ok, left_ok)
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = reconstruct_luma_mb(
+        pred, dc_zz, ac_zz, qp, cbp_luma
+    )
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu, acu, qpc, cbp_chroma
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv, acv, qpc, cbp_chroma
+    )
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+    ctx.slice_id[mby, mbx] = sid
+
+
+def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode an annex-B stream containing a sequence of I and P frames.
+
+    Frames are delimited by frame_num / first_mb_in_slice==0 boundaries.
+    Returns a list of cropped (Y, U, V) per decoded frame.
+    """
+    sps: Optional[SPS] = None
+    pps: Optional[PPS] = None
+    ctx: Optional[_MBContext] = None
+    refs = None
+    sid = 0
+    frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def finish_frame():
+        nonlocal ctx, refs
+        if ctx is not None:
+            frames.append(
+                (
+                    ctx.recon_y[: sps.height, : sps.width].copy(),
+                    ctx.recon_u[: sps.height // 2, : sps.width // 2].copy(),
+                    ctx.recon_v[: sps.height // 2, : sps.width // 2].copy(),
+                )
+            )
+            refs = (ctx.recon_y.copy(), ctx.recon_u.copy(), ctx.recon_v.copy())
+            ctx = None
+
+    for _, ntype, rbsp in nal.split_annexb(data):
+        if ntype == nal.NAL_SPS:
+            sps = SPS.parse(BitReader(rbsp))
+        elif ntype == nal.NAL_PPS:
+            pps = PPS.parse(BitReader(rbsp))
+        elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+            assert sps is not None and pps is not None
+            mbw, mbh = sps.mb_width, sps.mb_height
+            r = BitReader(rbsp)
+            header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
+            if header.first_mb_in_slice == 0:
+                finish_frame()
+            if ctx is None:
+                qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
+                ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
+                sid = 0
+            addr = header.first_mb_in_slice
+            if header.slice_type == SLICE_P:
+                assert refs is not None, "P slice without reference"
+                while r.more_rbsp_data():
+                    run = r.ue()
+                    for _ in range(run):
+                        mby, mbx = divmod(addr, mbw)
+                        _apply_skip(ctx, refs, mbx, mby, sid)
+                        addr += 1
+                    if not r.more_rbsp_data():
+                        break
+                    mby, mbx = divmod(addr, mbw)
+                    _decode_mb_p(r, ctx, refs, mbx, mby, sid)
+                    addr += 1
+            else:
+                while r.more_rbsp_data():
+                    mby, mbx = divmod(addr, mbw)
+                    _decode_mb(r, ctx, mbx, mby, sid)
+                    addr += 1
+            sid += 1
+    finish_frame()
+    return frames
+
+
+def encode_sequence(
+    frames,
+    qp: int = 28,
+    gop: int = 30,
+    slice_mode: str = "rows",
+) -> Tuple[bytes, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Encode a list of (y, u, v) frames as IPPP... with IDR every `gop`."""
+    out = bytearray()
+    recons = []
+    refs = None
+    sps = pps = None
+    for t, (y, u, v) in enumerate(frames):
+        if t % gop == 0 or refs is None:
+            data, recon = encode_iframe(
+                y, u, v, qp=qp, slice_mode=slice_mode, frame_num=0,
+                idr=True, include_ps=True, sps=sps, pps=pps,
+            )
+        else:
+            if sps is None:
+                sps = SPS.for_size(y.shape[1], y.shape[0])
+                pps = PPS()
+            data, recon = encode_pframe(
+                y, u, v, refs, qp=qp, slice_mode=slice_mode,
+                frame_num=t % gop, sps=sps, pps=pps,
+            )
+        out += data
+        recons.append(recon)
+        refs = recon
+    return bytes(out), recons

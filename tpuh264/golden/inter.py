@@ -1,0 +1,167 @@
+"""Inter prediction: MV prediction, motion search, motion compensation
+(H.264 8.4) -- numpy oracle, integer-pel motion this round.
+
+The search procedure is part of the *shared* encoder definition: the TPU
+scan (kernels/pframe.py) must make bit-identical decisions, so the
+candidate patterns, clamps and tie-breaks here are normative for us
+(fixed-iteration masked search -- SURVEY.md section 7, hard part 4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+# integer-pel search geometry (shared with the TPU kernels)
+SEARCH_RANGE = 8          # clamp of the stage-1 center, pels
+SEARCH_PAD = 12           # reference padding needed (8 + 2 + 1 margin)
+OFFSETS_S1 = [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
+OFFSETS_S2 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+MB_INTRA = 2
+MB_INTER = 1
+MB_SKIP = 0
+
+
+def median3(a: int, b: int, c: int) -> int:
+    return int(np.median([a, b, c]))
+
+
+def predict_mv(
+    mv: np.ndarray,         # [mbh, mbw, 2] stored MVs (quarter-pel)
+    kind: np.ndarray,       # [mbh, mbw] MB_SKIP/MB_INTER/MB_INTRA
+    slice_id: np.ndarray,   # [mbh, mbw], -1 = not yet decoded
+    mbx: int,
+    mby: int,
+    sid: int,
+) -> Tuple[int, int]:
+    """Median MV prediction (H.264 8.4.1.3) for 16x16 partitions, 1 ref."""
+    mbw = mv.shape[1]
+
+    def navail(x: int, y: int) -> bool:
+        return 0 <= x < mbw and y >= 0 and slice_id[y, x] == sid
+
+    a_ok = navail(mbx - 1, mby)
+    b_ok = navail(mbx, mby - 1)
+    c_ok = navail(mbx + 1, mby - 1)
+    cx, cy = (mbx + 1, mby - 1)
+    if not c_ok:  # substitute D (top-left)
+        cx, cy = (mbx - 1, mby - 1)
+        c_ok = navail(cx, cy)
+
+    def mv_ref(ok: bool, x: int, y: int):
+        if not ok:
+            return (0, 0), -1
+        if kind[y, x] == MB_INTRA:
+            return (0, 0), -1
+        return (int(mv[y, x, 0]), int(mv[y, x, 1])), 0
+
+    mva, refa = mv_ref(a_ok, mbx - 1, mby)
+    mvb, refb = mv_ref(b_ok, mbx, mby - 1)
+    mvc, refc = mv_ref(c_ok, cx, cy)
+
+    if not b_ok and not c_ok and a_ok:
+        return mva
+    matches = [m for m, r in ((mva, refa), (mvb, refb), (mvc, refc)) if r == 0]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        median3(mva[0], mvb[0], mvc[0]),
+        median3(mva[1], mvb[1], mvc[1]),
+    )
+
+
+def skip_mv(
+    mv: np.ndarray, kind: np.ndarray, slice_id: np.ndarray,
+    mbx: int, mby: int, sid: int,
+) -> Tuple[int, int]:
+    """P_Skip motion vector (H.264 8.4.1.1)."""
+    mbw = mv.shape[1]
+
+    def navail(x: int, y: int) -> bool:
+        return 0 <= x < mbw and y >= 0 and slice_id[y, x] == sid
+
+    a_ok = navail(mbx - 1, mby)
+    b_ok = navail(mbx, mby - 1)
+    if not a_ok or not b_ok:
+        return (0, 0)
+    for x, y, ok in ((mbx - 1, mby, a_ok), (mbx, mby - 1, b_ok)):
+        if kind[y, x] != MB_INTRA and mv[y, x, 0] == 0 and mv[y, x, 1] == 0:
+            return (0, 0)
+    return predict_mv(mv, kind, slice_id, mbx, mby, sid)
+
+
+def mc_luma(ref: np.ndarray, mbx: int, mby: int, mvx_q: int, mvy_q: int) -> np.ndarray:
+    """Integer-pel luma MC with edge clamping (8.4.2.2.1 Clip3 reads)."""
+    assert mvx_q % 4 == 0 and mvy_q % 4 == 0, "integer-pel only this round"
+    h, w = ref.shape
+    x0 = 16 * mbx + mvx_q // 4
+    y0 = 16 * mby + mvy_q // 4
+    xs = np.clip(np.arange(x0, x0 + 16), 0, w - 1)
+    ys = np.clip(np.arange(y0, y0 + 16), 0, h - 1)
+    return ref[np.ix_(ys, xs)].astype(np.int32)
+
+
+def mc_chroma(ref: np.ndarray, mbx: int, mby: int, mvx_q: int, mvy_q: int) -> np.ndarray:
+    """Chroma MC for 4:2:0 (8.4.2.2.2): eighth-pel bilinear; with integer
+    luma MVs the fractions are 0 or 4."""
+    h, w = ref.shape
+    x_int = 8 * mbx + (mvx_q >> 3)
+    y_int = 8 * mby + (mvy_q >> 3)
+    xf = mvx_q & 7
+    yf = mvy_q & 7
+    xs0 = np.clip(np.arange(x_int, x_int + 8), 0, w - 1)
+    xs1 = np.clip(np.arange(x_int, x_int + 8) + 1, 0, w - 1)
+    ys0 = np.clip(np.arange(y_int, y_int + 8), 0, h - 1)
+    ys1 = np.clip(np.arange(y_int, y_int + 8) + 1, 0, h - 1)
+    a = ref[np.ix_(ys0, xs0)].astype(np.int64)
+    b = ref[np.ix_(ys0, xs1)].astype(np.int64)
+    c = ref[np.ix_(ys1, xs0)].astype(np.int64)
+    d = ref[np.ix_(ys1, xs1)].astype(np.int64)
+    out = (
+        (8 - xf) * (8 - yf) * a
+        + xf * (8 - yf) * b
+        + (8 - xf) * yf * c
+        + xf * yf * d
+        + 32
+    ) >> 6
+    return out.astype(np.int32)
+
+
+def motion_search(
+    src_mb: np.ndarray,  # [16,16] current MB
+    ref: np.ndarray,     # full reference luma plane
+    mbx: int,
+    mby: int,
+    pmv: Tuple[int, int],
+) -> Tuple[int, int, int]:
+    """Two-stage fixed-pattern integer search around the MV predictor.
+
+    Stage 1: the zero MV plus a 3x3 stride-2 grid centered at the
+    integer-rounded predictor; stage 2: a 3x3 stride-1 grid around the
+    stage-1 winner.  Ties break toward the earlier candidate in list
+    order.  Returns (mvx_q, mvy_q, sad) with MVs in quarter-pel units.
+    """
+
+    def sad_at(dy: int, dx: int) -> int:
+        return int(
+            np.abs(src_mb - mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)).sum()
+        )
+
+    c0y = int(np.clip(pmv[1] >> 2, -SEARCH_RANGE, SEARCH_RANGE))
+    c0x = int(np.clip(pmv[0] >> 2, -SEARCH_RANGE, SEARCH_RANGE))
+    cands1 = [(0, 0)] + [(c0y + dy, c0x + dx) for dy, dx in OFFSETS_S1]
+    best, best_sad = cands1[0], sad_at(*cands1[0])
+    for cand in cands1[1:]:
+        s = sad_at(*cand)
+        if s < best_sad:
+            best, best_sad = cand, s
+    cands2 = [(best[0] + dy, best[1] + dx) for dy, dx in OFFSETS_S2]
+    for cand in cands2:
+        if cand == best:
+            continue
+        s = sad_at(*cand)
+        if s < best_sad:
+            best, best_sad = cand, s
+    return 4 * best[1], 4 * best[0], best_sad
