@@ -65,15 +65,18 @@ def test_pframe_compression_beats_iframe():
 
 def test_static_scene_is_mostly_skip():
     y, u, v = synth_frame(48, 64, seed=4)
-    frames = [(y, u, v)] * 3
+    # first encode an I-frame, then feed its own reconstruction as the
+    # following frames: residual is exactly zero => all-skip P slices
+    _, (ry, ru, rv) = codec.encode_iframe(y, u, v, qp=30)
+    frames = [(y, u, v), (ry, ru, rv), (ry, ru, rv)]
     stream, _ = codec.encode_sequence(frames, qp=30)
     decoded = codec.decode_annexb_seq(stream)
     np.testing.assert_array_equal(decoded[0][0], decoded[2][0])
-    # P-frames of a static scene should be tiny (all-skip slices)
+    # all-skip P slices are a few bytes (header + skip run)
     sizes = []
     from tpuh264.core import nal as nal_mod
 
     for _, t, rbsp in nal_mod.split_annexb(stream):
         if t == nal_mod.NAL_SLICE_NON_IDR:
             sizes.append(len(rbsp))
-    assert sizes and max(sizes) < 16
+    assert sizes and max(sizes) < 16, sizes
