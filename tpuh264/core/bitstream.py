@@ -125,15 +125,13 @@ class BitReader:
         remaining = self.bits_remaining()
         if remaining <= 0:
             return False
-        # Find the last set bit in the stream (the rbsp stop bit).
-        save = self._pos
+        # Find the last set bit in the stream (the rbsp stop bit): in the
+        # last nonzero byte, that is its least-significant set bit.
         last_one = -1
         for byte_idx in range(len(self._data) - 1, -1, -1):
-            if self._data[byte_idx]:
-                b = self._data[byte_idx]
-                for bit in range(7, -1, -1):
-                    if (b >> (7 - bit)) & 1:
-                        last_one = 8 * byte_idx + bit
+            b = self._data[byte_idx]
+            if b:
+                ctz = (b & -b).bit_length() - 1
+                last_one = 8 * byte_idx + 7 - ctz
                 break
-        self._pos = save
         return last_one > self._pos if last_one >= 0 else False
