@@ -30,27 +30,17 @@ def main() -> None:
     except Exception:
         pass
 
-    from tpuh264.engine import CodecConfig, Pipeline
+    from tpuh264.engine import CodecConfig
+    from tpuh264.engine.devpipe import DevicePipeline
 
     streams = 4
     cfg = CodecConfig(width=1920, height=1080, streams=streams, qp=32)
-    pipe = Pipeline(cfg)
+    pipe = DevicePipeline(cfg)
+    snap = pipe.run(duration_s=10.0, warmup=3)
 
-    # warm-up: compile + caches
-    for _ in range(3):
-        pipe.pump_frame()
-
-    frames = 0
-    t0 = time.perf_counter()
-    deadline = t0 + 10.0
-    while time.perf_counter() < deadline:
-        pipe.pump_frame()
-        frames += 1
-    wall = time.perf_counter() - t0
-
-    # each pump encodes 1 frame and decodes it `streams` times;
-    # count codec work units (encode+decode round trips) per second
-    fps = frames * streams / wall
+    # each pump encodes 1 frame (with full wire bitstream emission) and
+    # decodes it `streams` times: aggregate codec round trips per second
+    fps = snap["frames_per_s_aggregate"]
     print(
         json.dumps(
             {

@@ -468,7 +468,7 @@ int64_t th264_pack_slice(
         int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
         int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
                        bx > 0 || left_mb, by > 0 || top_mb);
-        const int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        const int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 16 + 1;
         int t = encode_block(w, blk, nc, 15);
         nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
       }
@@ -544,7 +544,7 @@ int64_t th264_parse_slice(
         int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
         int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
                        bx > 0 || left_mb, by > 0 || top_mb);
-        int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 15;
+        int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 16 + 1;
         int tc = decode_block(r, blk, nc, 15);
         nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
       }

@@ -33,7 +33,7 @@ def jax_encode_stream(y, u, v, qp):
     stream = pack.pack_iframe(
         mb_info,
         np.asarray(symbols.luma_dc[0]).reshape(n, 16),
-        np.asarray(symbols.luma_ac[0]).reshape(n, 16, 15),
+        np.asarray(symbols.luma_ac[0]).reshape(n, 16, 16),
         np.asarray(symbols.chroma_dc[0]).reshape(n, 2, 4),
         np.asarray(symbols.chroma_ac[0]).reshape(n, 2, 4, 15),
         sps,
@@ -77,7 +77,7 @@ def test_parse_then_tpu_decode_roundtrip(qp):
         cbp_luma=mb_info[:, 2].reshape(1, r, c),
         cbp_chroma=mb_info[:, 3].reshape(1, r, c),
         luma_dc=ldc.reshape(1, r, c, 16),
-        luma_ac=lac.reshape(1, r, c, 16, 15),
+        luma_ac=lac.reshape(1, r, c, 16, 16),
         chroma_dc=cdc.reshape(1, r, c, 2, 4),
         chroma_ac=cac.reshape(1, r, c, 2, 4, 15),
     )

@@ -57,7 +57,7 @@ class DecoderSession:
                 cbp_luma=jnp.asarray(mb_info[:, 2].reshape(1, r, c)),
                 cbp_chroma=jnp.asarray(mb_info[:, 3].reshape(1, r, c)),
                 luma_dc=jnp.asarray(ldc.reshape(1, r, c, 16)),
-                luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 15)),
+                luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 16)),
                 chroma_dc=jnp.asarray(cdc.reshape(1, r, c, 2, 4)),
                 chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
             )
@@ -155,7 +155,7 @@ class DecoderPool:
                 cbp_luma=jnp.asarray(mb[:, :, 2].reshape(-1, r, c)),
                 cbp_chroma=jnp.asarray(mb[:, :, 3].reshape(-1, r, c)),
                 luma_dc=stack(4, (r, c, 16)),
-                luma_ac=stack(5, (r, c, 16, 15)),
+                luma_ac=stack(5, (r, c, 16, 16)),
                 chroma_dc=stack(6, (r, c, 2, 4)),
                 chroma_ac=stack(7, (r, c, 2, 4, 15)),
             )

@@ -131,7 +131,7 @@ class EncoderSession:
         cbp_l = np.asarray(symbols.cbp_luma).reshape(s, n)
         cbp_c = np.asarray(symbols.cbp_chroma).reshape(s, n)
         luma_dc = np.asarray(symbols.luma_dc).reshape(s, n, 16)
-        luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 15)
+        luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 16)
         chroma_dc = np.asarray(symbols.chroma_dc).reshape(s, n, 2, 4)
         chroma_ac = np.asarray(symbols.chroma_ac).reshape(s, n, 2, 4, 15)
 

@@ -50,3 +50,41 @@ def rgba_frame(
     b = np.clip(255 - y, 0, 255)
     a = np.full_like(r, 255)
     return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _device_source(width: int, height: int, streams: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(t):
+        s = jnp.arange(streams, dtype=jnp.int32)[:, None, None]
+        yy = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+        xx = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+        y = ((xx * 2 + yy + t * 7 + s * 37) % 256).astype(jnp.uint8)
+        yy2 = yy[:, ::2, :]
+        xx2 = xx[:, :, ::2]
+        u = (128 + 47 * jnp.sin((xx2 + t * 3 + s * 11) / 37.0)).astype(jnp.uint8)
+        v = (128 + 47 * jnp.cos((yy2 - t * 5 + s * 13) / 29.0)).astype(jnp.uint8)
+        u = jnp.broadcast_to(u, (streams, height // 2, width // 2))
+        v = jnp.broadcast_to(v, (streams, height // 2, width // 2))
+        y = jnp.broadcast_to(y, (streams, height, width))
+        return y, u, v
+
+    return gen
+
+
+def device_yuv_frame(width: int, height: int, t, streams: int = 1):
+    """Deterministic synthetic frames generated ON DEVICE (uint8 planes).
+
+    The capture source runs where the pixels already are -- the analog of
+    the reference's frames arriving in browser memory before encode.  `t`
+    is traced, so successive frames reuse one compilation.
+    """
+    import jax.numpy as jnp
+
+    return _device_source(width, height, streams)(jnp.int32(t))

@@ -1,0 +1,104 @@
+"""Host wrapper for the on-device CAVLC assembler (kernels/entropy_tpu.py).
+
+Per frame, only the actual slice payload bytes cross the host link; the
+host's remaining work is emulation prevention + NAL framing (native C++)
+-- byte-identical output to entropy.native / entropy.pack.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import nal
+from ..core.bitstream import BitWriter
+from ..core.params import PPS, SPS
+from ..core.sliceheader import SLICE_I, SliceHeader
+from ..kernels import entropy_tpu
+
+
+def slice_headers_device(
+    sps: SPS, pps: PPS, qp: int, frame_num: int, idr: bool, s: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(stream, row) slice-header bit strings as device arrays."""
+    mbw, mbh = sps.mb_width, sps.mb_height
+    hw = np.zeros((s, mbh, 8), np.int32)
+    ln = np.zeros((s, mbh), np.int32)
+    for r in range(mbh):
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=r * mbw,
+            slice_type=SLICE_I,
+            frame_num=frame_num,
+            slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+        ).write(w, sps, pps, idr)
+        bits = w.bit_length
+        w.u((16 - bits % 16) % 16, 0)
+        data = np.frombuffer(w.get_bytes(), np.uint8).astype(np.int32)
+        halfwords = (data[0::2] << 8) | data[1::2]
+        hw[:, r, : len(halfwords)] = halfwords
+        ln[:, r] = bits
+    return jnp.asarray(hw), jnp.asarray(ln)
+
+
+def assemble_iframe(
+    symbols,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    frame_num: int = 0,
+    idr: bool = True,
+    include_ps: bool = True,
+):
+    """symbols (device, S streams) -> list of per-stream annex-B bytes.
+
+    Returns (streams list, overflowed bool).  On overflow the caller must
+    fall back to the host packer (entropy.native).
+    """
+    s = int(symbols.mode.shape[0])
+    hdr_hw, hdr_len = slice_headers_device(sps, pps, qp, frame_num, idr, s)
+    frame_hw, frame_bits, slice_bytes, overflow = entropy_tpu.encode_bits_iframe(
+        symbols, jnp.int32(qp), hdr_hw, hdr_len
+    )
+    if bool(overflow):
+        return None, True
+
+    # download: lengths first, then exactly the payload halfwords
+    nbits = np.asarray(frame_bits)
+    sbytes = np.asarray(slice_bytes)
+
+    prefix = b""
+    if include_ps:
+        w = BitWriter()
+        sps.write(w)
+        prefix += nal.wrap_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        pps.write(w)
+        prefix += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+
+    from . import native as entropy_native
+
+    esc = (
+        entropy_native.escape_rbsp
+        if entropy_native.available()
+        else nal.escape_rbsp
+    )
+    ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
+    header_byte = bytes([(3 << 5) | ntype])
+
+    streams = []
+    for i in range(s):
+        n_hw = (int(nbits[i]) + 15) // 16
+        hw = np.asarray(frame_hw[i, :n_hw]).astype(np.uint16)
+        payload = hw.astype(">u2").tobytes()[: int(nbits[i]) // 8]
+        out = bytearray(prefix)
+        off = 0
+        for r in range(sps.mb_height):
+            n = int(sbytes[i, r])
+            rbsp = payload[off : off + n]
+            off += n
+            out += nal.START_CODE + header_byte + esc(rbsp)
+        streams.append(bytes(out))
+    return streams, False

@@ -222,7 +222,7 @@ def parse_iframe(
     arrays = (
         np.zeros((n, 4), np.int32),
         np.zeros((n, 16), np.int16),
-        np.zeros((n, 16, 15), np.int16),
+        np.zeros((n, 16, 16), np.int16),
         np.zeros((n, 2, 4), np.int16),
         np.zeros((n, 2, 4, 15), np.int16),
     )

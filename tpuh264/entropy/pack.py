@@ -9,7 +9,8 @@ byte equality between the two and against the golden codec.
 Layouts (one stream; N = mbh*mbw MBs, raster order):
   mb_info   int32 [N, 4]  : mode, cmode, cbp_luma, cbp_chroma
   luma_dc   int32 [N, 16] : zigzag DC levels
-  luma_ac   int32 [N, 16, 15] : per 4x4 block (raster by*4+bx), zigzag AC
+  luma_ac   int16 [N, 16, 16] : per 4x4 block (raster by*4+bx), zigzag;
+              slot 0 is unused for intra MBs (DC coded separately)
   chroma_dc int32 [N, 2, 4]
   chroma_ac int32 [N, 2, 4, 15]
 """
@@ -96,7 +97,7 @@ def pack_mb(
     if cbp_l:
         for bx, by in BLK_SCAN:
             ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
-            block = luma_ac[4 * by + bx]
+            block = luma_ac[4 * by + bx][1:]
             encode_residual_block(w, block.tolist(), ncb, 15)
             nnz.y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
     else:
@@ -198,7 +199,7 @@ def parse_iframe(
                 arrays = (
                     np.zeros((n, 4), np.int32),
                     np.zeros((n, 16), np.int16),
-                    np.zeros((n, 16, 15), np.int16),
+                    np.zeros((n, 16, 16), np.int16),
                     np.zeros((n, 2, 4), np.int16),
                     np.zeros((n, 2, 4, 15), np.int16),
                 )
@@ -249,7 +250,7 @@ def parse_mb(
         for bx, by in BLK_SCAN:
             ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
             block = decode_residual_block(r, ncb, 15)
-            luma_ac[addr, 4 * by + bx] = block
+            luma_ac[addr, 4 * by + bx, 1:] = block
             nnz.y[4 * mby + by, 4 * mbx + bx] = int(
                 np.count_nonzero(np.asarray(block))
             )

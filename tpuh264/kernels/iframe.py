@@ -42,7 +42,7 @@ class MBSymbols(NamedTuple):
     cbp_luma: jnp.ndarray    # [S, R, C] int32 0/1
     cbp_chroma: jnp.ndarray  # [S, R, C] int32 0..2
     luma_dc: jnp.ndarray     # [S, R, C, 16] int16 zigzag levels
-    luma_ac: jnp.ndarray     # [S, R, C, 16, 15] int16, block raster (by*4+bx)
+    luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16 zigzag (slot 0 unused intra)
     chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16 (Cb, Cr) raster DC levels
     chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16 block raster (by*2+bx)
 
@@ -124,7 +124,10 @@ def _encode_luma(src, pred, qp):
     dc = w[..., 0, 0]  # [., 4, 4]
     dc_zz = T.zigzag(T.quant_luma_dc(T.hadamard4x4(dc), qp))  # [., 16]
     q_flat = T.quant4x4(w, qp, intra=True).reshape(*w.shape[:-2], 16)
-    ac_zz = q_flat[..., T._ZZ][..., 1:]  # [., 4,4,15] zigzag AC
+    ac_zz = q_flat[..., T._ZZ]  # [., 4,4,16] zigzag; slot 0 = DC (not coded)
+    ac_zz = jnp.concatenate(
+        [jnp.zeros((*ac_zz.shape[:-1], 1), jnp.int32), ac_zz[..., 1:]], axis=-1
+    )
     cbp = jnp.any(ac_zz != 0, axis=(-1, -2, -3))  # [.]
 
     dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)  # [., 4,4]
@@ -226,7 +229,7 @@ def encode_iframe_rows(
             cbp_luma.astype(jnp.int32),
             cbp_chroma.astype(jnp.int32),
             dc_zz.astype(jnp.int16),
-            ac_zz.reshape(s, r, 16, 15).astype(jnp.int16),
+            ac_zz.reshape(s, r, 16, 16).astype(jnp.int16),
             jnp.stack(
                 [dcu.reshape(s, r, 4), dcv.reshape(s, r, 4)], axis=-2
             ).astype(jnp.int16),
@@ -286,12 +289,8 @@ def decode_iframe_rows(
         pred_dc, pred_h = _pred_luma(left_y, first)
         pred = jnp.where((mode == 2)[..., None, None], pred_dc, pred_h)
         dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)
-        ac = ac_zz.reshape(s, r, 4, 4, 15)
-        coeffs = jnp.concatenate(
-            [jnp.zeros((s, r, 4, 4, 1), jnp.int32),
-             jnp.where((cbp_l == 1)[..., None, None, None], ac, 0)],
-            axis=-1,
-        )
+        ac = ac_zz.reshape(s, r, 4, 4, 16)
+        coeffs = jnp.where((cbp_l == 1)[..., None, None, None], ac, 0)
         q_flat = T.inverse_zigzag(coeffs).reshape(s, r, 4, 4, 16)
         d = _subst_dc(T.dequant_flat(q_flat, qp), dc_deq)
         rec_y = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
@@ -328,3 +327,52 @@ def decode_iframe_rows(
         _mbs_to_plane(_unscan(ru)),
         _mbs_to_plane(_unscan(rv)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused symbol transport: the host<->device link (PCIe, or a tunnel in dev
+# environments) charges per-transfer latency, so the eight symbol tensors
+# travel as ONE flat int16 buffer.
+# ---------------------------------------------------------------------------
+
+def symbol_sizes(s: int, r: int, c: int):
+    """(field, shape, size) table for the flat layout."""
+    n = s * r * c
+    return [
+        ("mode", (s, r, c), n),
+        ("cmode", (s, r, c), n),
+        ("cbp_luma", (s, r, c), n),
+        ("cbp_chroma", (s, r, c), n),
+        ("luma_dc", (s, r, c, 16), n * 16),
+        ("luma_ac", (s, r, c, 16, 16), n * 256),
+        ("chroma_dc", (s, r, c, 2, 4), n * 8),
+        ("chroma_ac", (s, r, c, 2, 4, 15), n * 120),
+    ]
+
+
+@jax.jit
+def flatten_symbols(symbols: MBSymbols) -> jnp.ndarray:
+    """Pack all symbol tensors into one flat int16 device buffer."""
+    parts = [
+        symbols.mode.astype(jnp.int16).reshape(-1),
+        symbols.cmode.astype(jnp.int16).reshape(-1),
+        symbols.cbp_luma.astype(jnp.int16).reshape(-1),
+        symbols.cbp_chroma.astype(jnp.int16).reshape(-1),
+        symbols.luma_dc.reshape(-1),
+        symbols.luma_ac.reshape(-1),
+        symbols.chroma_dc.reshape(-1),
+        symbols.chroma_ac.reshape(-1),
+    ]
+    return jnp.concatenate(parts)
+
+
+def unflatten_symbols_np(flat, s: int, r: int, c: int):
+    """Host-side inverse of flatten_symbols; returns dict of numpy views."""
+    import numpy as np
+
+    out = {}
+    off = 0
+    for name, shape, size in symbol_sizes(s, r, c):
+        out[name] = np.asarray(flat[off : off + size]).reshape(shape)
+        off += size
+    return out

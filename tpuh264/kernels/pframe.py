@@ -1,0 +1,502 @@
+"""TPU P-frame encoder/decoder core (row-slice parallel, integer-pel ME).
+
+Extends the I-frame scan (kernels/iframe.py) with inter prediction against
+a device-resident reference frame -- the DPB lives in HBM and never
+crosses the host link (BASELINE.json north star: reference pages stay on
+chip).  Motion search is the fixed-candidate two-stage pattern defined by
+tpuh264.golden.inter (bit-identical decisions; fixed-iteration masked
+search per SURVEY.md hard part 4).  Skip and MV prediction use the
+row-slice degenerate forms of H.264 8.4.1: with no top neighbors,
+P_Skip's MV is always zero and the predictor is the left MB's MV.
+
+All decisions/reconstructions are bit-exact with tpuh264.golden.codec's
+P path (tests enforce stream equality via the shared entropy packers).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import transform as T
+from .iframe import (
+    _blocks_to_mb,
+    _cblocks_to_mb,
+    _chroma_blocks,
+    _luma_blocks,
+    _mb_view,
+    _mbs_to_plane,
+    _pred_chroma,
+    _pred_luma,
+    _sad,
+    _subst_dc,
+    _unscan,
+)
+from ..golden.inter import OFFSETS_S1, OFFSETS_S2, SEARCH_PAD, SEARCH_RANGE
+
+KIND_SKIP = 0
+KIND_INTER = 1
+KIND_INTRA = 2
+
+
+class MBSymbolsP(NamedTuple):
+    """Per-MB P-slice symbols (layout shared with entropy/packp.py)."""
+
+    kind: jnp.ndarray        # [S, R, C] int32 0 skip / 1 inter / 2 intra
+    mode: jnp.ndarray        # [S, R, C] int32 intra luma mode
+    cmode: jnp.ndarray       # [S, R, C] int32 intra chroma mode
+    cbp_luma: jnp.ndarray    # [S, R, C] int32 (intra 0/1, inter 4-bit)
+    cbp_chroma: jnp.ndarray  # [S, R, C] int32 0..2
+    mvdx: jnp.ndarray        # [S, R, C] int32 quarter-pel
+    mvdy: jnp.ndarray        # [S, R, C] int32
+    luma_dc: jnp.ndarray     # [S, R, C, 16] int16
+    luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16
+    chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16
+    chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16
+
+
+def _pad_ref(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Edge-replicate pad [S, H, W] by `pad` on every side (the normative
+    Clip3 sample clamp of 8.4.2.2, materialized once)."""
+    return jnp.pad(plane.astype(jnp.int32), ((0, 0), (pad, pad), (pad, pad)),
+                   mode="edge")
+
+
+def _row_windows(band: jnp.ndarray, r: int, mb: int, win: int) -> jnp.ndarray:
+    """[S, H+2p, win] -> [S, R, win, win] static per-row windows."""
+    rows = [band[:, i * mb : i * mb + win, :] for i in range(r)]
+    return jnp.stack(rows, axis=1)
+
+
+def _gather_window(
+    band: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Per-lane window gather: band [S,R,W,W], y0/x0 [S,R] -> [S,R,size,size]."""
+    ar = jnp.arange(size)
+    rows = y0[..., None] + ar  # [S,R,size]
+    t = jnp.take_along_axis(band, rows[..., None], axis=2)  # [S,R,size,W]
+    cols = x0[..., None] + ar
+    return jnp.take_along_axis(t, cols[..., :, None].swapaxes(-1, -2), axis=3)
+
+
+def _me_16x16(band: jnp.ndarray, src: jnp.ndarray, pmvx, pmvy):
+    """Fixed two-stage integer search (mirrors golden.inter.motion_search).
+
+    band: [S,R,40,40] reference windows centered so offset (0,0) reads
+    at [12:28, 12:28]; src: [S,R,16,16].  Returns (dx, dy, sad) int pels.
+    """
+    p = SEARCH_PAD
+
+    def sad_at(dy, dx):
+        win = _gather_window(band, p + dy, p + dx, 16)
+        return jnp.abs(src - win).sum((-1, -2))
+
+    c0y = jnp.clip(pmvy >> 2, -SEARCH_RANGE, SEARCH_RANGE)
+    c0x = jnp.clip(pmvx >> 2, -SEARCH_RANGE, SEARCH_RANGE)
+    zero = jnp.zeros_like(c0y)
+
+    best_dy, best_dx = zero, zero
+    best_sad = sad_at(zero, zero)
+    for dy_off, dx_off in OFFSETS_S1:
+        dy, dx = c0y + dy_off, c0x + dx_off
+        s = sad_at(dy, dx)
+        better = s < best_sad
+        best_sad = jnp.where(better, s, best_sad)
+        best_dy = jnp.where(better, dy, best_dy)
+        best_dx = jnp.where(better, dx, best_dx)
+    base_dy, base_dx = best_dy, best_dx
+    for dy_off, dx_off in OFFSETS_S2:
+        if (dy_off, dx_off) == (0, 0):
+            continue
+        dy, dx = base_dy + dy_off, base_dx + dx_off
+        s = sad_at(dy, dx)
+        better = s < best_sad
+        best_sad = jnp.where(better, s, best_sad)
+        best_dy = jnp.where(better, dy, best_dy)
+        best_dx = jnp.where(better, dx, best_dx)
+    return best_dx, best_dy, best_sad
+
+
+def _mc_luma(band: jnp.ndarray, dx, dy) -> jnp.ndarray:
+    return _gather_window(band, SEARCH_PAD + dy, SEARCH_PAD + dx, 16)
+
+
+def _mc_chroma(cband: jnp.ndarray, mvx_q, mvy_q, cpad: int) -> jnp.ndarray:
+    """Eighth-pel bilinear chroma MC (8.4.2.2.2); [S,R,*,*] -> [S,R,8,8]."""
+    x_int = mvx_q >> 3
+    y_int = mvy_q >> 3
+    xf = mvx_q & 7
+    yf = mvy_q & 7
+    w9 = _gather_window(cband, cpad + y_int, cpad + x_int, 9)
+    a = w9[..., :8, :8]
+    b = w9[..., :8, 1:9]
+    c = w9[..., 1:9, :8]
+    d = w9[..., 1:9, 1:9]
+    xf_ = xf[..., None, None]
+    yf_ = yf[..., None, None]
+    out = (
+        (8 - xf_) * (8 - yf_) * a
+        + xf_ * (8 - yf_) * b
+        + (8 - xf_) * yf_ * c
+        + xf_ * yf_ * d
+        + 32
+    ) >> 6
+    return out
+
+
+def _intra16_costs(left_y, first, ymb):
+    pred_dc, pred_h = _pred_luma(left_y, first)
+    cost_dc = _sad(ymb, pred_dc)
+    cost_h = jnp.where(first, jnp.iinfo(jnp.int32).max, _sad(ymb, pred_h))
+    use_dc = cost_dc <= cost_h
+    mode = jnp.where(use_dc, 2, 1)
+    pred = jnp.where(use_dc[..., None, None], pred_dc, pred_h)
+    return mode, pred, jnp.minimum(cost_dc, cost_h)
+
+
+def _transform_inter_luma(src, pred, qp):
+    """Inter luma residual: full 16-coeff blocks; returns (l_zz, cbp4)."""
+    w = T.forward4x4(_luma_blocks(src - pred))  # [.,4,4,4,4]
+    q_flat = T.quant4x4(w, qp, intra=False).reshape(*w.shape[:-2], 16)
+    l_zz = q_flat[..., T._ZZ]  # [., 4,4,16]
+    # 8x8 group (i8): blocks (by in 2i8_y.., z-order): bit i8 = any nonzero
+    nz = jnp.any(l_zz != 0, axis=-1)  # [., 4, 4] (by, bx)
+    g = nz.reshape(*nz.shape[:-2], 2, 2, 2, 2)  # (gy, y2, gx, x2)
+    gb = jnp.any(g, axis=(-3, -1))  # [., gy, gx]
+    cbp4 = (
+        gb[..., 0, 0].astype(jnp.int32)
+        | (gb[..., 0, 1].astype(jnp.int32) << 1)
+        | (gb[..., 1, 0].astype(jnp.int32) << 2)
+        | (gb[..., 1, 1].astype(jnp.int32) << 3)
+    )
+    return l_zz, q_flat, cbp4
+
+
+def _recon_inter_luma(pred, q_flat, nzmask8, qp):
+    """Recon from flat-raster quantized coeffs, masked by coded 8x8s."""
+    dq = T.dequant_flat(jnp.where(nzmask8[..., None], q_flat, 0), qp)
+    d = dq.reshape(*dq.shape[:-1], 4, 4)
+    return _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
+
+
+def _chroma_fwd(src, pred, qpc, intra: bool):
+    w = T.forward4x4(_chroma_blocks(src - pred))
+    dcq = T.quant_chroma_dc(T.hadamard2x2(w[..., 0, 0]), qpc, intra=intra)
+    q_flat = T.quant4x4(w, qpc, intra=intra).reshape(*w.shape[:-2], 16)
+    ac_zz = q_flat[..., T._ZZ][..., 1:]
+    return dcq, ac_zz, q_flat
+
+
+def _recon_chroma(pred, dcq, q_flat, cbp_chroma, qpc):
+    dc_deq = jnp.where(
+        (cbp_chroma >= 1)[..., None, None], T.dequant_chroma_dc(dcq, qpc), 0
+    )
+    dq = T.dequant_flat(
+        jnp.where((cbp_chroma == 2)[..., None, None, None], q_flat, 0), qpc
+    )
+    d = _subst_dc(dq, dc_deq)
+    return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
+
+
+@jax.jit
+def encode_pframe_rows(
+    y, u, v, ref_y, ref_u, ref_v, qp
+) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Encode P-frames [S, H, W] against device-resident references."""
+    qpc = T.chroma_qp_from_luma(qp)
+    s, h, w = y.shape
+    r, c = h // 16, w // 16
+    p = SEARCH_PAD
+    cp = p // 2 + 2  # chroma pad: |dx/2|+1 <= p/2+1
+
+    ref_yp = _pad_ref(ref_y, p)     # [S, H+2p, W+2p]
+    ref_up = _pad_ref(ref_u, cp)
+    ref_vp = _pad_ref(ref_v, cp)
+
+    y_mbs = _mb_view(y.astype(jnp.int32), 16)
+    u_mbs = _mb_view(u.astype(jnp.int32), 8)
+    v_mbs = _mb_view(v.astype(jnp.int32), 8)
+    cols = jnp.arange(c)
+
+    def step(carry, xs):
+        left_y, left_u, left_v, lmvx, lmvy, lkind = carry
+        ymb, umb, vmb, col = xs
+        first = jnp.broadcast_to(col == 0, (s, r))
+
+        # reference windows for this MB column
+        band = jax.lax.dynamic_slice_in_dim(ref_yp, col * 16, 16 + 2 * p, axis=2)
+        band4 = _row_windows(band, r, 16, 16 + 2 * p)  # [S,R,40,40]
+        cband_u = _row_windows(
+            jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
+            r, 8, 8 + 2 * cp,
+        )
+        cband_v = _row_windows(
+            jax.lax.dynamic_slice_in_dim(ref_vp, col * 8, 8 + 2 * cp, axis=2),
+            r, 8, 8 + 2 * cp,
+        )
+
+        # MV prediction (row slices: B/C unavailable)
+        left_ok = ~first
+        pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
+        pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
+
+        dx, dy, inter_sad = _me_16x16(band4, ymb, pmvx, pmvy)
+        imode, ipred, intra_sad = _intra16_costs(left_y, first, ymb)
+        use_intra = intra_sad < inter_sad
+
+        mvx = 4 * dx
+        mvy = 4 * dy
+
+        # --- inter path ---
+        predl = _mc_luma(band4, dx, dy)
+        l_zz, ql_flat, cbp4 = _transform_inter_luma(ymb, predl, qp)
+        nzmask8 = jnp.repeat(
+            jnp.repeat(
+                (((cbp4[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
+                2, axis=-1,
+            ),
+            2, axis=-2,
+        )  # [S,R,4,4] per-block coded flag (wrong order guard: see below)
+
+        predcu = _mc_chroma(cband_u, mvx, mvy, cp)
+        predcv = _mc_chroma(cband_v, mvx, mvy, cp)
+        dcu_i, acu_i, qu_i = _chroma_fwd(umb, predcu, qpc, intra=False)
+        dcv_i, acv_i, qv_i = _chroma_fwd(vmb, predcv, qpc, intra=False)
+        any_ac_i = jnp.any(acu_i != 0, (-1, -2, -3)) | jnp.any(acv_i != 0, (-1, -2, -3))
+        any_dc_i = jnp.any(dcu_i != 0, (-1, -2)) | jnp.any(dcv_i != 0, (-1, -2))
+        cbp_c_i = jnp.where(any_ac_i, 2, jnp.where(any_dc_i, 1, 0))
+
+        is_skip = (~use_intra) & (cbp4 == 0) & (cbp_c_i == 0) & (mvx == 0) & (mvy == 0)
+
+        rec_y_inter = _recon_inter_luma(predl, ql_flat, nzmask8, qp)
+        rec_u_inter = _recon_chroma(predcu, dcu_i, qu_i, cbp_c_i, qpc)
+        rec_v_inter = _recon_chroma(predcv, dcv_i, qv_i, cbp_c_i, qpc)
+
+        # --- intra path (I16x16, as in iframe) ---
+        from .iframe import _encode_luma, _pred_chroma as _pc
+
+        dc_zz, iac_zz, icbp, rec_y_intra = _encode_luma(ymb, ipred, qp)
+        pu_dc, pu_h = _pc(left_u, first)
+        pv_dc, pv_h = _pc(left_v, first)
+        ccost_dc = _sad(umb, pu_dc) + _sad(vmb, pv_dc)
+        ccost_h = jnp.where(
+            first, jnp.iinfo(jnp.int32).max, _sad(umb, pu_h) + _sad(vmb, pv_h)
+        )
+        use_cdc = ccost_dc <= ccost_h
+        icmode = jnp.where(use_cdc, 0, 1)
+        ipredu = jnp.where(use_cdc[..., None, None], pu_dc, pu_h)
+        ipredv = jnp.where(use_cdc[..., None, None], pv_dc, pv_h)
+        dcu_a, acu_a, qu_a = _chroma_fwd(umb, ipredu, qpc, intra=True)
+        dcv_a, acv_a, qv_a = _chroma_fwd(vmb, ipredv, qpc, intra=True)
+        any_ac_a = jnp.any(acu_a != 0, (-1, -2, -3)) | jnp.any(acv_a != 0, (-1, -2, -3))
+        any_dc_a = jnp.any(dcu_a != 0, (-1, -2)) | jnp.any(dcv_a != 0, (-1, -2))
+        cbp_c_a = jnp.where(any_ac_a, 2, jnp.where(any_dc_a, 1, 0))
+        rec_u_intra = _recon_chroma(ipredu, dcu_a, qu_a, cbp_c_a, qpc)
+        rec_v_intra = _recon_chroma(ipredv, dcv_a, qv_a, cbp_c_a, qpc)
+
+        # --- select ---
+        kind = jnp.where(
+            use_intra, KIND_INTRA, jnp.where(is_skip, KIND_SKIP, KIND_INTER)
+        )
+        sel = use_intra[..., None, None]
+        rec_y = jnp.where(sel, rec_y_intra, rec_y_inter)
+        rec_u = jnp.where(sel, rec_u_intra, rec_u_inter)
+        rec_v = jnp.where(sel, rec_v_intra, rec_v_inter)
+
+        mvdx = jnp.where(use_intra, 0, mvx - pmvx)
+        mvdy = jnp.where(use_intra, 0, mvy - pmvy)
+        out_mvx = jnp.where(use_intra, 0, mvx)
+        out_mvy = jnp.where(use_intra, 0, mvy)
+
+        # symbol selection between paths
+        sel1 = use_intra[..., None]
+        sel3 = use_intra[..., None, None, None]
+        luma_dc = jnp.where(sel1, dc_zz, 0)
+        # intra AC layout: slot0 zero (set by _encode_luma); inter: full 16
+        luma_ac = jnp.where(sel3, iac_zz, l_zz)
+        cbp_luma = jnp.where(use_intra, icbp.astype(jnp.int32), cbp4)
+        cbp_chroma = jnp.where(use_intra, cbp_c_a, cbp_c_i)
+        sel2 = use_intra[..., None, None]
+        cdc = jnp.where(
+            sel2,
+            jnp.stack([dcu_a.reshape(s, r, 4), dcv_a.reshape(s, r, 4)], -2),
+            jnp.stack([dcu_i.reshape(s, r, 4), dcv_i.reshape(s, r, 4)], -2),
+        )
+        cac = jnp.where(
+            sel3,
+            jnp.stack([acu_a.reshape(s, r, 4, 15), acv_a.reshape(s, r, 4, 15)], -3),
+            jnp.stack([acu_i.reshape(s, r, 4, 15), acv_i.reshape(s, r, 4, 15)], -3),
+        )
+
+        new_carry = (
+            rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7],
+            out_mvx, out_mvy, kind,
+        )
+        out = (
+            kind.astype(jnp.int32),
+            jnp.where(use_intra, imode, 0).astype(jnp.int32),
+            jnp.where(use_intra, icmode, 0).astype(jnp.int32),
+            cbp_luma.astype(jnp.int32),
+            cbp_chroma.astype(jnp.int32),
+            mvdx.astype(jnp.int32),
+            mvdy.astype(jnp.int32),
+            luma_dc.astype(jnp.int16),
+            luma_ac.reshape(s, r, 16, 16).astype(jnp.int16),
+            cdc.astype(jnp.int16),
+            cac.astype(jnp.int16),
+            rec_y.astype(jnp.uint8),
+            rec_u.astype(jnp.uint8),
+            rec_v.astype(jnp.uint8),
+        )
+        return new_carry, out
+
+    carry0 = (
+        jnp.zeros((s, r, 16), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r), jnp.int32),
+        jnp.zeros((s, r), jnp.int32),
+        jnp.full((s, r), KIND_INTRA, jnp.int32),
+    )
+    _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
+    (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
+     ldc, lac, cdc, cac, ry, ru, rv) = outs
+
+    symbols = MBSymbolsP(
+        kind=_unscan(kind), mode=_unscan(mode), cmode=_unscan(cmode),
+        cbp_luma=_unscan(cbp_l), cbp_chroma=_unscan(cbp_c),
+        mvdx=_unscan(mvdx), mvdy=_unscan(mvdy),
+        luma_dc=_unscan(ldc), luma_ac=_unscan(lac),
+        chroma_dc=_unscan(cdc), chroma_ac=_unscan(cac),
+    )
+    recon = (
+        _mbs_to_plane(_unscan(ry)),
+        _mbs_to_plane(_unscan(ru)),
+        _mbs_to_plane(_unscan(rv)),
+    )
+    return symbols, recon
+
+
+@jax.jit
+def decode_pframe_rows(
+    symbols: MBSymbolsP, ref_y, ref_u, ref_v, qp
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reconstruct P-frames from parsed symbols + device references."""
+    qpc = T.chroma_qp_from_luma(qp)
+    s, r, c = symbols.kind.shape
+    p = SEARCH_PAD
+    cp = p // 2 + 2
+
+    ref_yp = _pad_ref(ref_y, p)
+    ref_up = _pad_ref(ref_u, cp)
+    ref_vp = _pad_ref(ref_v, cp)
+
+    def to_scan(x):
+        return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
+
+    xs = tuple(to_scan(x) for x in symbols) + (jnp.arange(c),)
+
+    def step(carry, xs):
+        left_y, left_u, left_v, lmvx, lmvy, lkind = carry
+        (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
+         dc_zz, ac, cdc, cac, col) = xs
+        first = jnp.broadcast_to(col == 0, (s, r))
+
+        band = jax.lax.dynamic_slice_in_dim(ref_yp, col * 16, 16 + 2 * p, axis=2)
+        band4 = _row_windows(band, r, 16, 16 + 2 * p)
+        cband_u = _row_windows(
+            jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
+            r, 8, 8 + 2 * cp,
+        )
+        cband_v = _row_windows(
+            jax.lax.dynamic_slice_in_dim(ref_vp, col * 8, 8 + 2 * cp, axis=2),
+            r, 8, 8 + 2 * cp,
+        )
+
+        left_ok = ~first
+        pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
+        pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
+        is_intra = kind == KIND_INTRA
+        is_skip = kind == KIND_SKIP
+        mvx = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvx + mvdx))
+        mvy = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvy + mvdy))
+        dx, dy = mvx >> 2, mvy >> 2
+
+        # inter recon
+        predl = _mc_luma(band4, dx, dy)
+        inter_cbp = jnp.where(is_skip, 0, cbp_l)
+        nzmask8 = jnp.repeat(
+            jnp.repeat(
+                (((inter_cbp[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
+                2, axis=-1,
+            ),
+            2, axis=-2,
+        )
+        ac4 = ac.reshape(s, r, 4, 4, 16)
+        q_flat = T.inverse_zigzag(ac4).reshape(s, r, 4, 4, 16)
+        rec_y_inter = _recon_inter_luma(predl, q_flat, nzmask8, qp)
+
+        predcu = _mc_chroma(cband_u, mvx, mvy, cp)
+        predcv = _mc_chroma(cband_v, mvx, mvy, cp)
+        ccbp = jnp.where(is_skip, 0, cbp_c)
+        dcu = cdc[..., 0, :].reshape(s, r, 2, 2)
+        dcv = cdc[..., 1, :].reshape(s, r, 2, 2)
+
+        def q_from_zz(ac_zz15):
+            coeffs = jnp.concatenate(
+                [jnp.zeros((s, r, 2, 2, 1), jnp.int32), ac_zz15], axis=-1
+            )
+            return T.inverse_zigzag(coeffs).reshape(s, r, 2, 2, 16)
+
+        qu = q_from_zz(cac[..., 0, :, :].reshape(s, r, 2, 2, 15))
+        qv = q_from_zz(cac[..., 1, :, :].reshape(s, r, 2, 2, 15))
+        rec_u_inter = _recon_chroma(predcu, dcu, qu, ccbp, qpc)
+        rec_v_inter = _recon_chroma(predcv, dcv, qv, ccbp, qpc)
+
+        # intra recon (I16x16 in P)
+        pred_dc, pred_h = _pred_luma(left_y, first)
+        ipred = jnp.where((mode == 2)[..., None, None], pred_dc, pred_h)
+        dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)
+        iq = jnp.where((cbp_l == 1)[..., None, None, None], ac4, 0)
+        iq_flat = T.inverse_zigzag(iq).reshape(s, r, 4, 4, 16)
+        d = _subst_dc(T.dequant_flat(iq_flat, qp), dc_deq)
+        rec_y_intra = _blocks_to_mb(T.idct_add(_luma_blocks(ipred), d))
+        pu_dc, pu_h = _pred_chroma(left_u, first)
+        pv_dc, pv_h = _pred_chroma(left_v, first)
+        csel = (cmode == 0)[..., None, None]
+        ipredu = jnp.where(csel, pu_dc, pu_h)
+        ipredv = jnp.where(csel, pv_dc, pv_h)
+        rec_u_intra = _recon_chroma(ipredu, dcu, qu, cbp_c, qpc)
+        rec_v_intra = _recon_chroma(ipredv, dcv, qv, cbp_c, qpc)
+
+        sel = is_intra[..., None, None]
+        rec_y = jnp.where(sel, rec_y_intra, rec_y_inter)
+        rec_u = jnp.where(sel, rec_u_intra, rec_u_inter)
+        rec_v = jnp.where(sel, rec_v_intra, rec_v_inter)
+
+        new_carry = (
+            rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7],
+            mvx, mvy, kind,
+        )
+        return new_carry, (
+            rec_y.astype(jnp.uint8),
+            rec_u.astype(jnp.uint8),
+            rec_v.astype(jnp.uint8),
+        )
+
+    carry0 = (
+        jnp.zeros((s, r, 16), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r, 8), jnp.int32),
+        jnp.zeros((s, r), jnp.int32),
+        jnp.zeros((s, r), jnp.int32),
+        jnp.full((s, r), KIND_INTRA, jnp.int32),
+    )
+    _, (ry, ru, rv) = jax.lax.scan(step, carry0, xs)
+    return (
+        _mbs_to_plane(_unscan(ry)),
+        _mbs_to_plane(_unscan(ru)),
+        _mbs_to_plane(_unscan(rv)),
+    )
