@@ -69,7 +69,6 @@ class DevicePipeline:
 
         # --- encode (device) ---
         symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
-        flat = iframe.flatten_symbols(symbols)
 
         # --- fan-out decode (device): each stream decodes the access unit;
         # the batch IS the worker pool ---
@@ -81,35 +80,18 @@ class DevicePipeline:
         jax.block_until_ready(sse)
         t_tpu = time.perf_counter()
 
-        # --- wire bitstream (one fused download + native CAVLC pack) ---
+        # --- wire bitstream: on-device CAVLC assembly; only the payload
+        # bytes cross the host link (host does escaping + NAL framing) ---
         nbytes = 0
         if emit_bitstream:
-            s, r, c = 1, self.h16 // 16, self.w16 // 16
-            fields = iframe.unflatten_symbols_np(flat, s, r, c)
-            n = r * c
-            mb_info = np.ascontiguousarray(
-                np.stack(
-                    [
-                        fields["mode"].reshape(n),
-                        fields["cmode"].reshape(n),
-                        fields["cbp_luma"].reshape(n),
-                        fields["cbp_chroma"].reshape(n),
-                    ],
-                    axis=1,
-                ),
-                np.int32,
+            from ..entropy import device_pack
+
+            streams, overflow = device_pack.assemble_iframe(
+                symbols, self.sps, self.pps, qp
             )
-            self.last_stream = self._entropy.pack_iframe(
-                mb_info,
-                fields["luma_dc"].reshape(n, 16),
-                fields["luma_ac"].reshape(n, 16, 16),
-                fields["chroma_dc"].reshape(n, 2, 4),
-                fields["chroma_ac"].reshape(n, 2, 4, 15),
-                self.sps,
-                self.pps,
-                qp,
-                slice_mode=cfg.slice_mode,
-            )
+            if overflow:  # adversarial content: host packer fallback
+                streams = [self._host_pack(symbols, qp)]
+            self.last_stream = streams[0]
             nbytes = len(self.last_stream)
         t_done = time.perf_counter()
 
@@ -120,6 +102,36 @@ class DevicePipeline:
         )
         self.stats.on_decode(cfg.streams, (t_tpu - t_in) * 1e3)
         self.frame_index += 1
+
+    def _host_pack(self, symbols, qp: int) -> bytes:
+        """Symbol-download fallback path (overflow or no device entropy)."""
+        flat = iframe.flatten_symbols(symbols)
+        s, r, c = 1, self.h16 // 16, self.w16 // 16
+        fields = iframe.unflatten_symbols_np(flat, s, r, c)
+        n = r * c
+        mb_info = np.ascontiguousarray(
+            np.stack(
+                [
+                    fields["mode"].reshape(n),
+                    fields["cmode"].reshape(n),
+                    fields["cbp_luma"].reshape(n),
+                    fields["cbp_chroma"].reshape(n),
+                ],
+                axis=1,
+            ),
+            np.int32,
+        )
+        return self._entropy.pack_iframe(
+            mb_info,
+            fields["luma_dc"].reshape(n, 16),
+            fields["luma_ac"].reshape(n, 16, 16),
+            fields["chroma_dc"].reshape(n, 2, 4),
+            fields["chroma_ac"].reshape(n, 2, 4, 15),
+            self.sps,
+            self.pps,
+            qp,
+            slice_mode=self.config.slice_mode,
+        )
 
     def run(self, duration_s: float = 5.0, warmup: int = 3) -> Dict[str, float]:
         for _ in range(warmup):

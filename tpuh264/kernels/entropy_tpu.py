@@ -95,65 +95,72 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
 
     ctx = _ctx_of(nc)
     tok = _CT[ctx, total, t1]
-    lens = [tok >> 16]
-    vals = [tok & 0xFFFF]
+    tok_len = (tok >> 16)[..., None]
+    tok_val = (tok & 0xFFFF)[..., None]
 
-    # --- per-position (descending) sign / level slots ---
-    sl = jnp.where((total > 10) & (t1 < 3), 1, 0)
-    for j in range(15, -1, -1):
-        l = lv[..., j]
-        a = absd[..., j]
-        active = nz[..., j] & ~is_t1[..., j]
-        sign = is_t1[..., j]
-        first = active & (above[..., j] == t1)
+    # --- per-position (descending) sign / level slots, via lax.scan ---
+    # only the suffix-length chain is sequential; everything else is data
+    def to_scan(x):
+        return jnp.moveaxis(x, -1, 0)[::-1]  # [16, ...] descending j
 
+    xs = (
+        to_scan(lv), to_scan(absd), to_scan(nz & ~is_t1), to_scan(is_t1),
+        to_scan(above),
+    )
+    sl0 = jnp.where((total > 10) & (t1 < 3), 1, 0)
+
+    def level_step(sl, x):
+        l, a, active, sign, abv = x
+        first = active & (abv == t1)
         lc = 2 * a - 2 + (l < 0)
-        lc = jnp.where(first & (t1 < 3), lc - 2, lc)
-        lc = jnp.maximum(lc, 0)
+        lc = jnp.maximum(jnp.where(first & (t1 < 3), lc - 2, lc), 0)
 
         base0 = jnp.where(sl == 0, 30, 15 << sl)
-        # small cases
         small0 = (sl == 0) & (lc < 14)
         mid0 = (sl == 0) & (lc >= 14) & (lc < 30)
         smallp = (sl > 0) & (lc < (15 << sl))
-        escape = ~(small0 | mid0 | smallp)
 
         rem0 = jnp.maximum(lc - base0, 0)
         p = jnp.maximum(15, 3 + (31 - jax.lax.clz(rem0 + 4096)))
-        esc_sufl = p - 3
-        esc_suf = rem0 - ((1 << (p - 3)) - 4096)
 
         plen = jnp.where(
             small0, lc + 1,
-            jnp.where(mid0, 15,
-                      jnp.where(smallp, (lc >> sl) + 1, p + 1)),
+            jnp.where(mid0, 15, jnp.where(smallp, (lc >> sl) + 1, p + 1)),
         )
         sufl = jnp.where(
             small0, 0,
-            jnp.where(mid0, 4, jnp.where(smallp, sl, esc_sufl)),
+            jnp.where(mid0, 4, jnp.where(smallp, sl, p - 3)),
         )
         sufv = jnp.where(
             small0, 0,
-            jnp.where(mid0, lc - 14,
-                      jnp.where(smallp, lc & ((1 << sl) - 1), esc_suf)),
+            jnp.where(
+                mid0, lc - 14,
+                jnp.where(smallp, lc & ((1 << sl) - 1),
+                          rem0 - ((1 << (p - 3)) - 4096)),
+            ),
         )
 
-        # split prefix into (zeros_hi, <=16-bit tail ending in the stop bit)
         zhi = jnp.where(active, jnp.maximum(plen - 16, 0), 0)
         tail_len = jnp.where(active, plen - zhi, 0)
         tail_val = jnp.where(active, 1, 0)
-        # sign slot shares the middle slot
         tail_len = jnp.where(sign, 1, tail_len)
         tail_val = jnp.where(sign, (l < 0).astype(jnp.int32), tail_val)
-
-        lens += [zhi, tail_len, jnp.where(active, sufl, 0)]
-        vals += [jnp.zeros_like(zhi), tail_val, jnp.where(active, sufv, 0)]
 
         new_sl = jnp.maximum(sl, 1)
         new_sl = jnp.where(
             (a > (3 << (new_sl - 1))) & (new_sl < 6), new_sl + 1, new_sl
         )
         sl = jnp.where(active, new_sl, sl)
+        slot_l = jnp.stack([zhi, tail_len, jnp.where(active, sufl, 0)], -1)
+        slot_v = jnp.stack(
+            [jnp.zeros_like(zhi), tail_val, jnp.where(active, sufv, 0)], -1
+        )
+        return sl, (slot_l, slot_v)
+
+    _, (lv_l, lv_v) = jax.lax.scan(level_step, sl0, xs)
+    # [16, ..., 3] (descending j) -> [..., 48] in emission order
+    lev_len = jnp.moveaxis(lv_l, 0, -2).reshape(*lv.shape[:-1], 48)
+    lev_val = jnp.moveaxis(lv_v, 0, -2).reshape(*lv.shape[:-1], 48)
 
     # --- total_zeros ---
     idx_hi = jnp.max(jnp.where(nz, pos, -1), axis=-1)
@@ -163,31 +170,30 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
         tz_e = _TZC[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
     else:
         tz_e = _TZ[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
-    lens.append(jnp.where(have_tz, tz_e >> 16, 0))
-    vals.append(jnp.where(have_tz, tz_e & 0xFFFF, 0))
+    tz_len = jnp.where(have_tz, tz_e >> 16, 0)[..., None]
+    tz_val = jnp.where(have_tz, tz_e & 0xFFFF, 0)[..., None]
 
-    # --- run_before (descending positions 15..1) ---
-    # previous nonzero strictly below each position
-    pnb = jnp.full(lv.shape, -1)
-    run_prev = jnp.full(lv.shape[:-1], -1)
-    pnb_list = []
-    for j in range(16):
-        pnb_list.append(run_prev)
-        run_prev = jnp.where(nz[..., j], j, run_prev)
-    pnb = jnp.stack(pnb_list, axis=-1)  # [..., 16]
-
-    below_nzcnt = total[..., None] - above - nz_i  # nonzeros strictly below j
+    # --- run_before (vectorized over positions 15..1, descending) ---
+    # previous nonzero strictly below each position: exclusive cummax
+    marked = jnp.where(nz, pos, -1)
+    incl = jax.lax.cummax(marked, axis=marked.ndim - 1)
+    pnb = jnp.pad(
+        incl, [(0, 0)] * (incl.ndim - 1) + [(1, 0)], constant_values=-1
+    )[..., :-1]
+    below_nzcnt = total[..., None] - above - nz_i
     zeros_below = pos - below_nzcnt
-    for j in range(15, 0, -1):
-        emit = nz[..., j] & (above[..., j] < total - 1) & (zeros_below[..., j] > 0)
-        run = j - pnb[..., j] - 1
-        zl = jnp.clip(zeros_below[..., j], 1, 7)
-        e = _RB[zl - 1, jnp.clip(run, 0, 14)]
-        lens.append(jnp.where(emit, e >> 16, 0))
-        vals.append(jnp.where(emit, e & 0xFFFF, 0))
+    emit = nz & (above < total[..., None] - 1) & (zeros_below > 0)
+    run = pos - pnb - 1
+    zl = jnp.clip(zeros_below, 1, 7)
+    e = _RB[zl - 1, jnp.clip(run, 0, 14)]
+    run_len_all = jnp.where(emit, e >> 16, 0)
+    run_val_all = jnp.where(emit, e & 0xFFFF, 0)
+    # emission order = descending positions 15..1
+    run_len = run_len_all[..., ::-1][..., :15]
+    run_val = run_val_all[..., ::-1][..., :15]
 
-    slot_len = jnp.stack(lens, axis=-1)
-    slot_val = jnp.stack(vals, axis=-1)
+    slot_len = jnp.concatenate([tok_len, lev_len, tz_len, run_len], axis=-1)
+    slot_val = jnp.concatenate([tok_val, lev_val, tz_val, run_val], axis=-1)
     return slot_len, slot_val, total
 
 
