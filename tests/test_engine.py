@@ -135,3 +135,24 @@ def test_config_axes():
     assert cfg.streams == 8 and cfg.threads == 4
     assert cfg.effective_threads() <= 8
     assert CodecConfig(width=854, height=480).resolution_name == "480p"
+
+
+def test_gop_ippp_roundtrip():
+    cfg = CodecConfig(width=64, height=48, qp=26, gop_size=4)
+    enc = EncoderSession(cfg)
+    from tpuh264.engine import DecoderPool
+
+    pool = DecoderPool()
+    pool.init_decoder(0)
+    kinds = []
+    for t in range(6):
+        y, u, v = sources.yuv_frame(64, 48, t)
+        f = enc.encode_frame_yuv(y, u, v)[0]
+        kinds.append(f.is_idr)
+        out = pool.decode(0, f.data)
+        assert out is not None and not pool[0].needs_keyframe
+        # decoder tracks encoder recon exactly (drift-free loop)
+        np.testing.assert_array_equal(out[0], np.asarray(enc._ref[0][0]))
+        assert psnr(out[0], y) > 28
+    # IDR at t=0 and t=4 (gop_size=4), P frames elsewhere
+    assert kinds == [True, False, False, False, True, False]

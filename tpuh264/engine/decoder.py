@@ -23,9 +23,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core import nal
+from ..core.bitstream import BitReader
+from ..core.params import PPS, SPS
+from ..core.sliceheader import SLICE_P, SliceHeader
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
-from ..kernels import color, iframe
+from ..entropy import packp as entropy_packp
+from ..kernels import color, iframe, pframe
 
 
 class DecoderSession:
@@ -37,6 +42,9 @@ class DecoderSession:
         self.needs_keyframe = False
         self.frames_decoded = 0
         self.frames_concealed = 0
+        self._sps = None
+        self._pps = None
+        self._ref = None  # device-resident reference planes
 
     def decode(
         self, data: bytes
@@ -47,26 +55,11 @@ class DecoderSession:
         to conceal with), setting `needs_keyframe`.
         """
         try:
-            sps, pps, qp, mb_info, ldc, lac, cdc, cac = self._entropy.parse_iframe(
-                data
-            )
-            r, c = sps.mb_height, sps.mb_width
-            symbols = iframe.MBSymbols(
-                mode=jnp.asarray(mb_info[:, 0].reshape(1, r, c)),
-                cmode=jnp.asarray(mb_info[:, 1].reshape(1, r, c)),
-                cbp_luma=jnp.asarray(mb_info[:, 2].reshape(1, r, c)),
-                cbp_chroma=jnp.asarray(mb_info[:, 3].reshape(1, r, c)),
-                luma_dc=jnp.asarray(ldc.reshape(1, r, c, 16)),
-                luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 16)),
-                chroma_dc=jnp.asarray(cdc.reshape(1, r, c, 2, 4)),
-                chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
-            )
-            y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
-            out = (
-                np.asarray(y[0])[: sps.height, : sps.width],
-                np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
-                np.asarray(v[0])[: sps.height // 2, : sps.width // 2],
-            )
+            is_p = self._classify(data)
+            if is_p:
+                out = self._decode_p(data)
+            else:
+                out = self._decode_i(data)
             self.last_frame = out
             self.needs_keyframe = False
             self.frames_decoded += 1
@@ -75,6 +68,83 @@ class DecoderSession:
             self.needs_keyframe = True
             self.frames_concealed += 1
             return self.last_frame
+
+    def _classify(self, data: bytes) -> bool:
+        """Parse SPS/PPS and report whether the access unit is a P frame."""
+        is_p = False
+        for _, ntype, rbsp in nal.split_annexb(data):
+            if ntype == nal.NAL_SPS:
+                self._sps = SPS.parse(BitReader(rbsp))
+            elif ntype == nal.NAL_PPS:
+                self._pps = PPS.parse(BitReader(rbsp))
+            elif ntype == nal.NAL_SLICE_NON_IDR:
+                r = BitReader(rbsp)
+                h = SliceHeader.parse(r, self._sps, self._pps, False)
+                if h.slice_type == SLICE_P:
+                    is_p = True
+        return is_p
+
+    def _decode_i(self, data: bytes):
+        sps, pps, qp, mb_info, ldc, lac, cdc, cac = self._entropy.parse_iframe(
+            data
+        )
+        self._sps, self._pps = sps, pps
+        r, c = sps.mb_height, sps.mb_width
+        symbols = iframe.MBSymbols(
+            mode=jnp.asarray(mb_info[:, 0].reshape(1, r, c)),
+            cmode=jnp.asarray(mb_info[:, 1].reshape(1, r, c)),
+            cbp_luma=jnp.asarray(mb_info[:, 2].reshape(1, r, c)),
+            cbp_chroma=jnp.asarray(mb_info[:, 3].reshape(1, r, c)),
+            luma_dc=jnp.asarray(ldc.reshape(1, r, c, 16)),
+            luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 16)),
+            chroma_dc=jnp.asarray(cdc.reshape(1, r, c, 2, 4)),
+            chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
+        )
+        y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+        self._ref = (y, u, v)
+        return (
+            np.asarray(y[0])[: sps.height, : sps.width],
+            np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
+            np.asarray(v[0])[: sps.height // 2, : sps.width // 2],
+        )
+
+    def _decode_p(self, data: bytes):
+        assert self._ref is not None, "P frame before any reference"
+        sps, pps = self._sps, self._pps
+        qp = 26 + pps.pic_init_qp_minus26
+        slices = []
+        for _, ntype, rbsp in nal.split_annexb(data):
+            if ntype == nal.NAL_SLICE_NON_IDR:
+                r = BitReader(rbsp)
+                h = SliceHeader.parse(r, sps, pps, False)
+                qp = 26 + pps.pic_init_qp_minus26 + h.slice_qp_delta
+                slices.append((rbsp, r.bit_position, h.first_mb_in_slice))
+        mb_info, ldc, lac, cdc, cac = entropy_packp.parse_pframe_slices(
+            slices, sps, pps
+        )
+        rr, cc = sps.mb_height, sps.mb_width
+        symbols = pframe.MBSymbolsP(
+            kind=mb_info[:, 0].reshape(1, rr, cc),
+            mode=mb_info[:, 1].reshape(1, rr, cc),
+            cmode=mb_info[:, 2].reshape(1, rr, cc),
+            cbp_luma=mb_info[:, 3].reshape(1, rr, cc),
+            cbp_chroma=mb_info[:, 4].reshape(1, rr, cc),
+            mvdx=mb_info[:, 5].reshape(1, rr, cc),
+            mvdy=mb_info[:, 6].reshape(1, rr, cc),
+            luma_dc=ldc.reshape(1, rr, cc, 16),
+            luma_ac=lac.reshape(1, rr, cc, 16, 16),
+            chroma_dc=cdc.reshape(1, rr, cc, 2, 4),
+            chroma_ac=cac.reshape(1, rr, cc, 2, 4, 15),
+        )
+        y, u, v = pframe.decode_pframe_rows(
+            symbols, self._ref[0], self._ref[1], self._ref[2], jnp.int32(qp)
+        )
+        self._ref = (y, u, v)
+        return (
+            np.asarray(y[0])[: sps.height, : sps.width],
+            np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
+            np.asarray(v[0])[: sps.height // 2, : sps.width // 2],
+        )
 
     def decode_to_rgba(self, data: bytes) -> Optional[np.ndarray]:
         """decode_frame_optimized analog: decode + YUV->RGBA conversion."""
@@ -125,13 +195,15 @@ class DecoderPool:
             entropy_native if entropy_native.available() else entropy_pack
         )
         parsed = []
+        results_direct = {}
         for idx, data in items:
             sess = self._slots[idx]
             try:
                 parsed.append((idx, sess, entropy.parse_iframe(data)))
             except Exception:
-                sess.needs_keyframe = True
-                sess.frames_concealed += 1
+                # not a pure I frame (e.g. P slices): per-session decode
+                out = sess.decode(data)
+                results_direct[idx] = out
                 parsed.append((idx, sess, None))
 
         # group by (mb_height, mb_width, qp)
@@ -174,5 +246,5 @@ class DecoderPool:
                 results[idx] = out
         for idx, sess, p in parsed:
             if p is None:
-                results[idx] = sess.last_frame
+                results[idx] = results_direct.get(idx, sess.last_frame)
         return results

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..core.params import PPS, SPS
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
-from ..kernels import color, iframe
+from ..entropy import packp as entropy_packp
+from ..kernels import color, iframe, pframe
 from .config import CodecConfig
 from .ratecontrol import RateController
 
@@ -66,6 +67,8 @@ class EncoderSession:
         self.frame_num = 0
         self.idr_pic_id = 0
         self._force_idr = True
+        self._ref = None  # device-resident DPB: recon planes of last frame
+        self._frame_in_gop = 0
         self.rc = RateController(config)
         self._entropy = (
             entropy_native if entropy_native.available() else entropy_pack
@@ -113,52 +116,81 @@ class EncoderSession:
     def _encode_common(self, y, u, v, copy_s: float) -> List[EncodedFrame]:
         cfg = self.config
         qp = self.rc.current_qp()
-        idr = self._force_idr or (
-            cfg.gop_size > 0 and self.frame_num % cfg.gop_size == 0
+        idr = (
+            self._force_idr
+            or self._ref is None
+            or (cfg.gop_size > 0 and self._frame_in_gop >= cfg.gop_size)
         )
-        # round 1: I-frame-only codec => every frame is an IDR
-        idr = True
 
         t0 = time.perf_counter()
-        symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
-        jax.block_until_ready(symbols.luma_dc)
+        if idr:
+            symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
+        else:
+            symbols, recon = pframe.encode_pframe_rows(
+                y, u, v, *self._ref, jnp.int32(qp)
+            )
+        jax.block_until_ready(recon[0])
         t1 = time.perf_counter()
 
         s = int(y.shape[0])
         n = self.sps.mb_width * self.sps.mb_height
-        mode = np.asarray(symbols.mode).reshape(s, n)
-        cmode = np.asarray(symbols.cmode).reshape(s, n)
-        cbp_l = np.asarray(symbols.cbp_luma).reshape(s, n)
-        cbp_c = np.asarray(symbols.cbp_chroma).reshape(s, n)
-        luma_dc = np.asarray(symbols.luma_dc).reshape(s, n, 16)
-        luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 16)
-        chroma_dc = np.asarray(symbols.chroma_dc).reshape(s, n, 2, 4)
-        chroma_ac = np.asarray(symbols.chroma_ac).reshape(s, n, 2, 4, 15)
-
         frames = []
         t2 = time.perf_counter()
-        for i in range(s):
-            mb_info = np.stack([mode[i], cmode[i], cbp_l[i], cbp_c[i]], axis=1)
-            mb_info = np.ascontiguousarray(mb_info, np.int32)
-            stream = self._entropy.pack_iframe(
-                mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
-                self.sps, self.pps, qp,
-                slice_mode=cfg.slice_mode,
-                frame_num=0 if idr else self.frame_num % (
-                    1 << (self.sps.log2_max_frame_num_minus4 + 4)
-                ),
-                idr=idr,
-                include_ps=idr,
-            )
-            frames.append(
-                EncodedFrame(
-                    data=stream,
-                    is_idr=idr,
-                    frame_num=self.frame_num,
-                    qp=qp,
-                    timings={},
+        if idr:
+            mode = np.asarray(symbols.mode).reshape(s, n)
+            cmode = np.asarray(symbols.cmode).reshape(s, n)
+            cbp_l = np.asarray(symbols.cbp_luma).reshape(s, n)
+            cbp_c = np.asarray(symbols.cbp_chroma).reshape(s, n)
+            luma_dc = np.asarray(symbols.luma_dc).reshape(s, n, 16)
+            luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 16)
+            chroma_dc = np.asarray(symbols.chroma_dc).reshape(s, n, 2, 4)
+            chroma_ac = np.asarray(symbols.chroma_ac).reshape(s, n, 2, 4, 15)
+            for i in range(s):
+                mb_info = np.ascontiguousarray(
+                    np.stack([mode[i], cmode[i], cbp_l[i], cbp_c[i]], axis=1),
+                    np.int32,
                 )
+                stream = self._entropy.pack_iframe(
+                    mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
+                    self.sps, self.pps, qp,
+                    slice_mode=cfg.slice_mode, frame_num=0,
+                    idr=True, include_ps=True,
+                )
+                frames.append(EncodedFrame(stream, True, self.frame_num, qp, {}))
+            self._frame_in_gop = 1
+        else:
+            sy = symbols
+            kind = np.asarray(sy.kind).reshape(s, n)
+            mode = np.asarray(sy.mode).reshape(s, n)
+            cmode = np.asarray(sy.cmode).reshape(s, n)
+            cbp_l = np.asarray(sy.cbp_luma).reshape(s, n)
+            cbp_c = np.asarray(sy.cbp_chroma).reshape(s, n)
+            mvdx = np.asarray(sy.mvdx).reshape(s, n)
+            mvdy = np.asarray(sy.mvdy).reshape(s, n)
+            luma_dc = np.asarray(sy.luma_dc).reshape(s, n, 16)
+            luma_ac = np.asarray(sy.luma_ac).reshape(s, n, 16, 16)
+            chroma_dc = np.asarray(sy.chroma_dc).reshape(s, n, 2, 4)
+            chroma_ac = np.asarray(sy.chroma_ac).reshape(s, n, 2, 4, 15)
+            fnum = self._frame_in_gop % (
+                1 << (self.sps.log2_max_frame_num_minus4 + 4)
             )
+            for i in range(s):
+                mb_info = np.zeros((n, 8), np.int32)
+                mb_info[:, 0] = kind[i]
+                mb_info[:, 1] = mode[i]
+                mb_info[:, 2] = cmode[i]
+                mb_info[:, 3] = cbp_l[i]
+                mb_info[:, 4] = cbp_c[i]
+                mb_info[:, 5] = mvdx[i]
+                mb_info[:, 6] = mvdy[i]
+                stream = entropy_packp.pack_pframe(
+                    mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
+                    self.sps, self.pps, qp,
+                    slice_mode=cfg.slice_mode, frame_num=fnum,
+                )
+                frames.append(EncodedFrame(stream, False, self.frame_num, qp, {}))
+            self._frame_in_gop += 1
+        self._ref = recon
         t3 = time.perf_counter()
 
         self.rc.update(sum(len(f.data) for f in frames) / max(s, 1))
