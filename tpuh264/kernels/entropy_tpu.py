@@ -53,6 +53,8 @@ _TZC = jnp.asarray(
     )
 )                                                 # [3,4]
 _RB = jnp.asarray(tbl.run_before_dense())         # [7,15]
+# lower-triangular-inclusive matrix: (x @ _TRI16)[j] = sum_{k<=j} x[k]
+_TRI16 = jnp.asarray(np.tril(np.ones((16, 16), np.int32)).T)
 
 
 def _ue_slot(v):
@@ -83,9 +85,15 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
     total = nz.sum(-1)
 
     pos = jnp.arange(16)
-    # rank from the end (descending positions): nonzeros above position j
+    # rank from the end (descending positions): nonzeros above position j.
+    # (computed as total - inclusive-prefix-sum via a triangular matmul:
+    # cumsum/cummax lower to reduce-window ops whose fusion with reverses
+    # crashes the TPU compiler -- jellyfish fusion_emitter pad_low check)
     nz_i = nz.astype(jnp.int32)
-    above = jnp.cumsum(nz_i[..., ::-1], axis=-1)[..., ::-1] - nz_i
+    incl = jnp.einsum(
+        "...k,kj->...j", nz_i, _TRI16, preferred_element_type=jnp.int32
+    )
+    above = total[..., None] - incl
     big = nz & (absd > 1)
     last_big = jnp.max(jnp.where(big, pos, -1), axis=-1)  # [...]
     t1 = jnp.minimum(
@@ -100,8 +108,10 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
 
     # --- per-position (descending) sign / level slots, via lax.scan ---
     # only the suffix-length chain is sequential; everything else is data
+    desc16 = jnp.arange(15, -1, -1)
+
     def to_scan(x):
-        return jnp.moveaxis(x, -1, 0)[::-1]  # [16, ...] descending j
+        return jnp.moveaxis(x[..., desc16], -1, 0)  # [16, ...] descending j
 
     xs = (
         to_scan(lv), to_scan(absd), to_scan(nz & ~is_t1), to_scan(is_t1),
@@ -174,12 +184,18 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
     tz_val = jnp.where(have_tz, tz_e & 0xFFFF, 0)[..., None]
 
     # --- run_before (vectorized over positions 15..1, descending) ---
-    # previous nonzero strictly below each position: exclusive cummax
+    # previous nonzero strictly below each position: exclusive prefix-max
+    # via shift-doubling (avoids the reduce-window cummax lowering)
     marked = jnp.where(nz, pos, -1)
-    incl = jax.lax.cummax(marked, axis=marked.ndim - 1)
-    pnb = jnp.pad(
-        incl, [(0, 0)] * (incl.ndim - 1) + [(1, 0)], constant_values=-1
+    m = jnp.pad(
+        marked, [(0, 0)] * (marked.ndim - 1) + [(1, 0)], constant_values=-1
     )[..., :-1]
+    for shift in (1, 2, 4, 8):
+        shifted = jnp.pad(
+            m, [(0, 0)] * (m.ndim - 1) + [(shift, 0)], constant_values=-1
+        )[..., :-shift]
+        m = jnp.maximum(m, shifted)
+    pnb = m
     below_nzcnt = total[..., None] - above - nz_i
     zeros_below = pos - below_nzcnt
     emit = nz & (above < total[..., None] - 1) & (zeros_below > 0)
@@ -188,9 +204,11 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
     e = _RB[zl - 1, jnp.clip(run, 0, 14)]
     run_len_all = jnp.where(emit, e >> 16, 0)
     run_val_all = jnp.where(emit, e & 0xFFFF, 0)
-    # emission order = descending positions 15..1
-    run_len = run_len_all[..., ::-1][..., :15]
-    run_val = run_val_all[..., ::-1][..., :15]
+    # emission order = descending positions 15..1 (explicit gather; a
+    # Reverse op here can fuse badly in the TPU backend)
+    desc = jnp.arange(15, 0, -1)
+    run_len = run_len_all[..., desc]
+    run_val = run_val_all[..., desc]
 
     slot_len = jnp.concatenate([tok_len, lev_len, tz_len, run_len], axis=-1)
     slot_val = jnp.concatenate([tok_val, lev_val, tz_val, run_val], axis=-1)
