@@ -18,3 +18,10 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# The axon site hook registers a TPU backend at interpreter start and
+# overrides JAX_PLATFORMS; force the CPU backend programmatically so the
+# suite runs on the virtual 8-device mesh (and leaves the chip to bench).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -12,17 +12,29 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
 from ..core import nal
 from ..core.bitstream import BitWriter
 from ..core.params import PPS, SPS
 from ..core.sliceheader import SLICE_I, SliceHeader
 from ..kernels import entropy_tpu
 
+_HDR_CACHE = {}
+
 
 def slice_headers_device(
     sps: SPS, pps: PPS, qp: int, frame_num: int, idr: bool, s: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(stream, row) slice-header bit strings as device arrays."""
+    """Per-(stream, row) slice-header bit strings as device arrays.
+
+    Cached per config: headers are constant for a given
+    (dims, qp, frame_num, idr, s), so the upload happens once."""
+    key = (sps.mb_width, sps.mb_height, qp, frame_num, idr, s,
+           pps.pic_init_qp_minus26)
+    hit = _HDR_CACHE.get(key)
+    if hit is not None:
+        return hit
     mbw, mbh = sps.mb_width, sps.mb_height
     hw = np.zeros((s, mbh, 8), np.int32)
     ln = np.zeros((s, mbh), np.int32)
@@ -40,7 +52,9 @@ def slice_headers_device(
         halfwords = (data[0::2] << 8) | data[1::2]
         hw[:, r, : len(halfwords)] = halfwords
         ln[:, r] = bits
-    return jnp.asarray(hw), jnp.asarray(ln)
+    out = (jnp.asarray(hw), jnp.asarray(ln))
+    _HDR_CACHE[key] = out
+    return out
 
 
 def assemble_iframe(
@@ -62,12 +76,20 @@ def assemble_iframe(
     frame_hw, frame_bits, slice_bytes, overflow = entropy_tpu.encode_bits_iframe(
         symbols, jnp.int32(qp), hdr_hw, hdr_len
     )
-    if bool(overflow):
+    # one fused metadata download (overflow flag + bit lengths + slice sizes)
+    meta = np.asarray(
+        jnp.concatenate(
+            [
+                overflow.astype(jnp.int32).reshape(1),
+                frame_bits.reshape(-1),
+                slice_bytes.reshape(-1),
+            ]
+        )
+    )
+    if meta[0]:
         return None, True
-
-    # download: lengths first, then exactly the payload halfwords
-    nbits = np.asarray(frame_bits)
-    sbytes = np.asarray(slice_bytes)
+    nbits = meta[1 : 1 + s]
+    sbytes = meta[1 + s :].reshape(s, -1)
 
     prefix = b""
     if include_ps:

@@ -267,6 +267,9 @@ def merge_strings(a, la, b, lb, n_out: int):
     with bit lengths la, lb -> ([..., n_out], la+lb).
 
     Halfwords are MSB-first 16-bit units; b is shifted right by la bits.
+    The halfword-granular placement is a barrel shifter (log2 static
+    shifts selected by offset bits) -- per-lane gathers along the lane
+    axis are the slow path on TPU.
     """
     wa = a.shape[-1]
     sh = (la % 16)[..., None]
@@ -274,20 +277,24 @@ def merge_strings(a, la, b, lb, n_out: int):
     b_hi = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(1, 0)])[..., :-1]
     b_sh = (b_lo | ((b_hi << (16 - sh)) & 0xFFFF)) & 0xFFFF
     # one extra halfword can spill past b's width
-    spill = (b[..., -1:] << (16 - sh)) & 0xFFFF
-    b_ext = jnp.concatenate([b_sh, jnp.where(sh > 0, spill, 0)], axis=-1)
+    spill = jnp.where(sh > 0, (b[..., -1:] << (16 - sh)) & 0xFFFF, 0)
+    b_ext = jnp.concatenate([b_sh, spill], axis=-1)
 
-    off = (la // 16)[..., None]
-    idx = jnp.arange(n_out) - off  # [..., n_out]
-    valid = (idx >= 0) & (idx < b_ext.shape[-1])
-    gathered = jnp.take_along_axis(
-        b_ext, jnp.clip(idx, 0, b_ext.shape[-1] - 1), axis=-1
-    )
-    b_placed = jnp.where(valid, gathered, 0)
+    x = jnp.pad(
+        b_ext, [(0, 0)] * (b_ext.ndim - 1) + [(0, max(0, n_out - b_ext.shape[-1]))]
+    )[..., :n_out]
+    off = la // 16  # [...] word offset, < n_out
+    k = 0
+    while (1 << k) < n_out:
+        stepped = jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(1 << k, 0)]
+        )[..., :n_out]
+        x = jnp.where((((off >> k) & 1) == 1)[..., None], stepped, x)
+        k += 1
 
     a_pad = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, max(0, n_out - wa))])
     a_pad = a_pad[..., :n_out]
-    return a_pad | b_placed, la + lb
+    return a_pad | x, la + lb
 
 
 def tree_merge(strings, lens, n_out: int):
