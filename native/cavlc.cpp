@@ -736,3 +736,278 @@ int64_t th264_parse_frame(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// P-slice pack / parse (P_Skip / P_L0_16x16 / Intra_16x16-in-P).
+// mb_info int32 [N, 8]: kind(0 skip/1 inter/2 intra), mode, cmode,
+// cbp_luma (intra 0/1; inter 4-bit), cbp_chroma, mvd_x, mvd_y, reserved.
+// luma_ac stride 16 (intra uses slots 1..15, inter all 16).
+// Mirrors tpuh264/entropy/packp.py bit-for-bit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static void pack_chroma_residual(BitWriter& w, int cbp_c, int mbx, int mby,
+                                 bool left_mb, bool top_mb, int cs,
+                                 const int16_t* cdc, const int16_t* cac,
+                                 int32_t* nnz_u, int32_t* nnz_v) {
+  if (cbp_c) {
+    encode_block(w, cdc + 0, -1, 4);
+    encode_block(w, cdc + 4, -1, 4);
+  }
+  if (cbp_c == 2) {
+    for (int comp = 0; comp < 2; comp++) {
+      int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+      for (int b = 0; b < 4; b++) {
+        int bx = b % 2, by = b / 2;
+        int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        int t = encode_block(w, cac + (comp * 4 + b) * 15, nc, 15);
+        nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = t;
+      }
+    }
+  } else {
+    for (int comp = 0; comp < 2; comp++) {
+      int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+      for (int by = 0; by < 2; by++)
+        for (int bx = 0; bx < 2; bx++)
+          nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t th264_pack_slice_p(
+    const uint8_t* header_bytes, int32_t header_bits,
+    int32_t slice_start, int32_t slice_count, int32_t mbw,
+    const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
+    const int16_t* chroma_dc, const int16_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    uint8_t* out, int64_t out_cap) {
+  BitWriter w{out, out_cap};
+  for (int32_t i = 0; i + 8 <= header_bits; i += 8) w.put(8, header_bytes[i / 8]);
+  int rem = header_bits & 7;
+  if (rem) w.put(rem, header_bytes[header_bits / 8] >> (8 - rem));
+
+  const int ys = 4 * mbw, cs = 2 * mbw;
+  uint32_t skiprun = 0;
+  for (int32_t k = 0; k < slice_count; k++) {
+    int32_t addr = slice_start + k;
+    int mbx = addr % mbw, mby = addr / mbw;
+    bool left_mb = (mbx > 0) && (addr - 1 >= slice_start);
+    bool top_mb = (addr - mbw >= slice_start);
+    const int32_t* info = mb_info + 8 * addr;
+    int kind = info[0];
+
+    if (kind == 0) {  // skip
+      skiprun++;
+      for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+      for (int by = 0; by < 2; by++)
+        for (int bx = 0; bx < 2; bx++) {
+          nnz_u[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+          nnz_v[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+        }
+      continue;
+    }
+    w.ue(skiprun);
+    skiprun = 0;
+
+    if (kind == 2) {  // intra16x16 in P
+      int mode = info[1], cmode = info[2], cbp_l = info[3], cbp_c = info[4];
+      w.ue(5 + 1 + mode + 4 * cbp_c + 12 * cbp_l);
+      w.ue(cmode);
+      w.se(0);
+      int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+      encode_block(w, luma_dc + 16 * addr, nc0, 16);
+      if (cbp_l) {
+        for (int b = 0; b < 16; b++) {
+          int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+          int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int t = encode_block(w, luma_ac + (16 * addr + 4 * by + bx) * 16 + 1,
+                               nc, 15);
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
+        }
+      } else {
+        for (int by = 0; by < 4; by++)
+          for (int bx = 0; bx < 4; bx++)
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+      }
+      pack_chroma_residual(w, cbp_c, mbx, mby, left_mb, top_mb, cs,
+                           chroma_dc + 8 * addr, chroma_ac + 120 * addr,
+                           nnz_u, nnz_v);
+      continue;
+    }
+
+    // inter 16x16
+    int cbp_l = info[3], cbp_c = info[4];
+    w.ue(0);
+    w.se(info[5]);
+    w.se(info[6]);
+    w.ue(CBP_INTER_INV[(cbp_l | (cbp_c << 4)) & 63]);
+    if (cbp_l || cbp_c) w.se(0);
+    for (int i8 = 0; i8 < 4; i8++) {
+      if (cbp_l >> i8 & 1) {
+        for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+          int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+          int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int t = encode_block(w, luma_ac + (16 * addr + 4 * by + bx) * 16,
+                               nc, 16);
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
+        }
+      } else {
+        for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+          int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+        }
+      }
+    }
+    pack_chroma_residual(w, cbp_c, mbx, mby, left_mb, top_mb, cs,
+                         chroma_dc + 8 * addr, chroma_ac + 120 * addr,
+                         nnz_u, nnz_v);
+  }
+  if (skiprun) w.ue(skiprun);
+  w.trailing_bits();
+  if (w.overflow) return -1;
+  return w.nbytes;
+}
+
+int64_t th264_parse_slice_p(
+    const uint8_t* rbsp, int64_t nbytes, int64_t start_bit,
+    int32_t slice_start, int32_t mbw, int32_t max_mbs,
+    int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
+    int16_t* chroma_dc, int16_t* chroma_ac,
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v) {
+  build_luts();
+  BitReader r{rbsp, nbytes, start_bit};
+  const int ys = 4 * mbw, cs = 2 * mbw;
+  int32_t addr = slice_start;
+  int64_t count = 0;
+  auto zero_nnz = [&](int mbx, int mby) {
+    for (int by = 0; by < 4; by++)
+      for (int bx = 0; bx < 4; bx++)
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+    for (int by = 0; by < 2; by++)
+      for (int bx = 0; bx < 2; bx++) {
+        nnz_u[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+        nnz_v[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+  };
+  auto parse_chroma = [&](int mbx, int mby, bool left_mb, bool top_mb,
+                          int cbp_c, int32_t a) {
+    if (cbp_c) {
+      decode_block(r, chroma_dc + 8 * a + 0, -1, 4);
+      decode_block(r, chroma_dc + 8 * a + 4, -1, 4);
+    }
+    if (cbp_c == 2) {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int b = 0; b < 4; b++) {
+          int bx = b % 2, by = b / 2;
+          int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int tc = decode_block(r, chroma_ac + 120 * a + (comp * 4 + b) * 15,
+                                nc, 15);
+          nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = tc;
+        }
+      }
+    } else {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int by = 0; by < 2; by++)
+          for (int bx = 0; bx < 2; bx++)
+            nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+    }
+  };
+
+  while (count < max_mbs && r.more_rbsp_data()) {
+    uint32_t run = r.ue();
+    if (r.error) return -1;
+    for (uint32_t j = 0; j < run && count < max_mbs; j++) {
+      int mbx = addr % mbw, mby = addr / mbw;
+      int32_t* info = mb_info + 8 * addr;
+      for (int q = 0; q < 8; q++) info[q] = 0;
+      zero_nnz(mbx, mby);
+      addr++;
+      count++;
+    }
+    if (count >= max_mbs || !r.more_rbsp_data()) break;
+    int mbx = addr % mbw, mby = addr / mbw;
+    bool left_mb = (mbx > 0) && (addr - 1 >= slice_start);
+    bool top_mb = (addr - mbw >= slice_start);
+    uint32_t mb_type = r.ue();
+    int32_t* info = mb_info + 8 * addr;
+    for (int q = 0; q < 8; q++) info[q] = 0;
+    if (mb_type >= 5) {
+      int icode = mb_type - 5;
+      if (icode < 1 || icode > 24) return -1;
+      int t = icode - 1;
+      info[0] = 2;
+      info[1] = t % 4;
+      info[3] = t >= 12 ? 1 : 0;
+      info[4] = (t / 4) % 3;
+      info[2] = r.ue();
+      r.se();
+      int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+      decode_block(r, luma_dc + 16 * addr, nc0, 16);
+      if (info[3]) {
+        for (int b = 0; b < 16; b++) {
+          int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+          int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int tc = decode_block(r, luma_ac + (16 * addr + 4 * by + bx) * 16 + 1,
+                                nc, 15);
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+        }
+      } else {
+        for (int by = 0; by < 4; by++)
+          for (int bx = 0; bx < 4; bx++)
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+      }
+      parse_chroma(mbx, mby, left_mb, top_mb, info[4], addr);
+    } else if (mb_type == 0) {
+      info[0] = 1;
+      info[5] = r.se();
+      info[6] = r.se();
+      uint32_t code = r.ue();
+      if (code >= 48 || r.error) return -1;
+      int cbp = CBP_INTER_TAB[code];
+      info[3] = cbp & 15;
+      info[4] = cbp >> 4;
+      if (cbp) r.se();
+      for (int i8 = 0; i8 < 4; i8++) {
+        if (info[3] >> i8 & 1) {
+          for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+            int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+            int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                           bx > 0 || left_mb, by > 0 || top_mb);
+            int tc = decode_block(
+                r, luma_ac + (16 * addr + 4 * by + bx) * 16, nc, 16);
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+          }
+        } else {
+          for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+            int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+          }
+        }
+      }
+      parse_chroma(mbx, mby, left_mb, top_mb, info[4], addr);
+    } else {
+      return -1;
+    }
+    if (r.error) return -1;
+    addr++;
+    count++;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -231,8 +231,8 @@ class DecoderPool:
                 chroma_dc=stack(6, (r, c, 2, 4)),
                 chroma_ac=stack(7, (r, c, 2, 4, 15)),
             )
-            y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
-            y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+            dy, du, dv = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+            y, u, v = np.asarray(dy), np.asarray(du), np.asarray(dv)
             for i, (idx, sess, p) in enumerate(group):
                 sps = p[0]
                 out = (
@@ -243,6 +243,10 @@ class DecoderPool:
                 sess.last_frame = out
                 sess.needs_keyframe = False
                 sess.frames_decoded += 1
+                # keep per-session state current so a following P frame
+                # can reference this reconstruction
+                sess._sps, sess._pps = p[0], p[1]
+                sess._ref = (dy[i : i + 1], du[i : i + 1], dv[i : i + 1])
                 results[idx] = out
         for idx, sess, p in parsed:
             if p is None:

@@ -2,21 +2,17 @@
 
 The reference's SharedArrayBuffer ring exists to avoid copying encoded
 frames between workers (SURVEY.md L4).  On TPU, the analog is keeping the
-codec state in HBM: the encoder's symbol tensors stay on device, the
-fan-out decoders reconstruct directly from them, and only two things ever
-cross the host link per frame:
-
-  * one fused int16 symbol buffer (for the wire bitstream -- host CAVLC
-    pack produces the actual annex-B bytes), and
-  * scalar quality metrics (PSNR sums computed on device).
-
-Host<->device transfer is the bottleneck on tunneled dev setups and still
-costs real latency on PCIe, so this is the production shape of the
-pipeline; the host-centric engine.Pipeline remains the portable path.
+codec state in HBM -- and, just as important on tunneled/PCIe hosts,
+issuing the whole per-frame pipeline as ONE device program: source,
+encode scan, on-device CAVLC bit assembly, N-stream fan-out decode, and
+quality accounting all fuse into a single dispatch.  Per frame the host
+link carries exactly two transfers: a small metadata vector and the
+actual slice payload bytes.
 """
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, Optional
 
@@ -24,30 +20,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core import nal
+from ..core.bitstream import BitWriter
 from ..core.params import PPS, SPS
+from ..entropy import device_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
-from ..kernels import iframe
+from ..kernels import entropy_tpu, iframe
 from .config import CodecConfig
 from . import sources
 from .metrics import StatsWindow
 
 
-@jax.jit
-def _psnr_sums(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    d = a.astype(jnp.int32) - b.astype(jnp.int32)
-    return jnp.sum(d * d, axis=(-1, -2))  # per-stream SSE
-
-
 class DevicePipeline:
-    """encode -> (wire bitstream via host pack) -> N-stream fan-out decode,
-    all pixel work device-resident."""
+    """encode -> wire bitstream -> N-stream fan-out decode, one dispatch."""
 
     def __init__(self, config: Optional[CodecConfig] = None, **kw):
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
-        # pad dims to MB grid
         self.w16 = (config.width + 15) // 16 * 16
         self.h16 = (config.height + 15) // 16 * 16
         self.sps = SPS.for_size(config.width, config.height)
@@ -59,79 +50,105 @@ class DevicePipeline:
         )
         self.last_stream: bytes = b""
         self.last_psnr_y: float = 0.0
+        self._step = self._build_step()
+        self._hdr = None
+
+    def _build_step(self):
+        streams = self.config.streams
+        source = sources._device_source(self.w16, self.h16, 1)
+
+        @jax.jit
+        def step(t, qp, hdr_hw, hdr_len):
+            y, u, v = source(t)
+            symbols, recon = iframe.encode_iframe_rows(y, u, v, qp)
+            frame_hw, frame_bits, slice_bytes, ovf = (
+                entropy_tpu.encode_bits_iframe(symbols, qp, hdr_hw, hdr_len)
+            )
+            tiled = iframe.MBSymbols(
+                *(jnp.repeat(x, streams, axis=0) for x in symbols)
+            )
+            dy, du, dv = iframe.decode_iframe_rows(tiled, qp)
+            d = dy.astype(jnp.float32) - jnp.repeat(
+                y.astype(jnp.float32), streams, axis=0
+            )
+            sse = jnp.sum(d * d, axis=(-1, -2))  # [streams, rows]? -> [streams]
+            sse = sse.reshape(streams, -1).sum(-1)
+            meta = jnp.concatenate(
+                [
+                    ovf.astype(jnp.int32).reshape(1),
+                    frame_bits.reshape(-1),
+                    slice_bytes.reshape(-1),
+                    jax.lax.bitcast_convert_type(
+                        sse.astype(jnp.float32), jnp.int32
+                    ).reshape(-1),
+                ]
+            )
+            return frame_hw, meta
+
+        return step
 
     def pump_frame(self, emit_bitstream: bool = True) -> None:
         cfg = self.config
         qp = cfg.qp if cfg.qp is not None else 32
         t_in = time.perf_counter()
-        y, u, v = sources.device_yuv_frame(self.w16, self.h16, self.frame_index)
+        if self._hdr is None:
+            self._hdr = device_pack.slice_headers_device(
+                self.sps, self.pps, qp, 0, True, 1
+            )
+        hdr_hw, hdr_len = self._hdr
         self.stats.on_input()
 
-        # --- encode (device) ---
-        symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
-
-        # --- fan-out decode (device): each stream decodes the access unit;
-        # the batch IS the worker pool ---
-        tiled = iframe.MBSymbols(
-            *(jnp.repeat(x, cfg.streams, axis=0) for x in symbols)
+        frame_hw, meta_dev = self._step(
+            jnp.int32(self.frame_index), jnp.int32(qp), hdr_hw, hdr_len
         )
-        dy, du, dv = iframe.decode_iframe_rows(tiled, jnp.int32(qp))
-        sse = _psnr_sums(dy, jnp.repeat(y, cfg.streams, axis=0))
-        jax.block_until_ready(sse)
+        meta = np.asarray(meta_dev)  # transfer 1 (syncs the dispatch)
         t_tpu = time.perf_counter()
 
-        # --- wire bitstream: on-device CAVLC assembly; only the payload
-        # bytes cross the host link (host does escaping + NAL framing) ---
+        s = 1
+        r = self.h16 // 16
+        nbits = meta[1 : 1 + s]
+        sbytes = meta[1 + s : 1 + s + s * r].reshape(s, r)
+        sse = meta[1 + s + s * r :].view(np.float32)
+
         nbytes = 0
         if emit_bitstream:
-            from ..entropy import device_pack
-
-            streams, overflow = device_pack.assemble_iframe(
-                symbols, self.sps, self.pps, qp
+            if meta[0]:
+                raise RuntimeError("device entropy overflow (host fallback TBD)")
+            n_hw = (int(nbits[0]) + 15) // 16
+            # fixed-size bucket slice: a shape-varying slice would trigger
+            # a fresh XLA compile (~1 s) every frame
+            bucket = 1 << 17  # 256 KB of halfwords
+            n_slice = min(frame_hw.shape[-1], -(-n_hw // bucket) * bucket)
+            hw = np.asarray(frame_hw[0, :n_slice])[:n_hw].astype(np.uint16)
+            payload = hw.astype(">u2").tobytes()[: int(nbits[0]) // 8]
+            esc = (
+                entropy_native.escape_rbsp
+                if entropy_native.available()
+                else nal.escape_rbsp
             )
-            if overflow:  # adversarial content: host packer fallback
-                streams = [self._host_pack(symbols, qp)]
-            self.last_stream = streams[0]
+            w = BitWriter()
+            self.sps.write(w)
+            out = bytearray(nal.wrap_nal(nal.NAL_SPS, w.get_bytes()))
+            w = BitWriter()
+            self.pps.write(w)
+            out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+            hdr_byte = bytes([(3 << 5) | nal.NAL_SLICE_IDR])
+            off = 0
+            for i in range(r):
+                n = int(sbytes[0, i])
+                out += nal.START_CODE + hdr_byte + esc(payload[off : off + n])
+                off += n
+            self.last_stream = bytes(out)
             nbytes = len(self.last_stream)
         t_done = time.perf_counter()
 
-        mse = float(np.asarray(sse[0]).sum()) / (self.w16 * self.h16)
+        mse = float(sse[0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
         self.stats.on_encode(
             1, (t_tpu - t_in) * 1e3, 0.0, (t_done - t_tpu) * 1e3, nbytes
         )
         self.stats.on_decode(cfg.streams, (t_tpu - t_in) * 1e3)
         self.frame_index += 1
-
-    def _host_pack(self, symbols, qp: int) -> bytes:
-        """Symbol-download fallback path (overflow or no device entropy)."""
-        flat = iframe.flatten_symbols(symbols)
-        s, r, c = 1, self.h16 // 16, self.w16 // 16
-        fields = iframe.unflatten_symbols_np(flat, s, r, c)
-        n = r * c
-        mb_info = np.ascontiguousarray(
-            np.stack(
-                [
-                    fields["mode"].reshape(n),
-                    fields["cmode"].reshape(n),
-                    fields["cbp_luma"].reshape(n),
-                    fields["cbp_chroma"].reshape(n),
-                ],
-                axis=1,
-            ),
-            np.int32,
-        )
-        return self._entropy.pack_iframe(
-            mb_info,
-            fields["luma_dc"].reshape(n, 16),
-            fields["luma_ac"].reshape(n, 16, 16),
-            fields["chroma_dc"].reshape(n, 2, 4),
-            fields["chroma_ac"].reshape(n, 2, 4, 15),
-            self.sps,
-            self.pps,
-            qp,
-            slice_mode=self.config.slice_mode,
-        )
 
     def run(self, duration_s: float = 5.0, warmup: int = 3) -> Dict[str, float]:
         for _ in range(warmup):
