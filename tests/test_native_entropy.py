@@ -44,3 +44,42 @@ def test_native_escape_roundtrip():
         raw = bytes(rng.integers(0, 4, rng.integers(1, 400)).astype(np.uint8))
         raw += b"\x80"
         assert native.escape_rbsp(raw) == nal.escape_rbsp(raw)
+
+
+def test_native_pframe_pack_parse_matches_python():
+    from tpuh264.core.bitstream import BitReader
+    from tpuh264.core.params import SPS, PPS
+    from tpuh264.core.sliceheader import SliceHeader
+    from tpuh264.core import nal as nal_mod
+    from tpuh264.entropy import packp
+    from tpuh264.golden import codec as gc
+    from tests.test_golden_pframe import moving_sequence
+
+    frames = moving_sequence(48, 64, 3, seed=11)
+    stream, _ = gc.encode_sequence(frames, qp=28)
+    sps = pps = None
+    groups = {}
+    for _, t, rbsp in nal_mod.split_annexb(stream):
+        if t == 7:
+            from tpuh264.core.params import SPS as S
+
+            sps = S.parse(BitReader(rbsp))
+        elif t == 8:
+            from tpuh264.core.params import PPS as P
+
+            pps = P.parse(BitReader(rbsp))
+        elif t == 1:
+            r = BitReader(rbsp)
+            h = SliceHeader.parse(r, sps, pps, False)
+            groups.setdefault(h.frame_num, []).append(
+                (rbsp, r.bit_position, h.first_mb_in_slice)
+            )
+    for fn, slices in groups.items():
+        py = packp.parse_pframe_slices(slices, sps, pps)
+        nat = native.parse_pframe_slices(slices, sps, pps)
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
+        # pack back: native must reproduce the original P slices
+        py_stream = packp.pack_pframe(*py, sps, pps, 28, frame_num=fn)
+        nat_stream = native.pack_pframe(*nat, sps, pps, 28, frame_num=fn)
+        assert py_stream == nat_stream

@@ -183,7 +183,9 @@ class EncoderSession:
                 mb_info[:, 4] = cbp_c[i]
                 mb_info[:, 5] = mvdx[i]
                 mb_info[:, 6] = mvdy[i]
-                stream = entropy_packp.pack_pframe(
+                pack_p = getattr(self._entropy, "pack_pframe",
+                                 entropy_packp.pack_pframe)
+                stream = pack_p(
                     mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=fnum,

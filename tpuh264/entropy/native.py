@@ -82,6 +82,21 @@ def load() -> ctypes.CDLL:
             _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P, ctypes.c_int32,
         ]
+        lib.th264_pack_slice_p.restype = ctypes.c_int64
+        lib.th264_pack_slice_p.argtypes = [
+            _U8P, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
+            _I32P, _I32P, _I32P,
+            _U8P, ctypes.c_int64,
+        ]
+        lib.th264_parse_slice_p.restype = ctypes.c_int64
+        lib.th264_parse_slice_p.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I16P, _I16P, _I16P, _I16P,
+            _I32P, _I32P, _I32P,
+        ]
         _lib = lib
         return lib
 
@@ -249,3 +264,88 @@ def parse_iframe(
     if got < 0:
         raise RuntimeError("th264_parse_frame failed")
     return (sps, pps, qp) + arrays
+
+
+def pack_pframe(
+    mb_info: np.ndarray,
+    luma_dc: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    slice_mode: str = "rows",
+    frame_num: int = 1,
+) -> bytes:
+    """Native-path equivalent of entropy.packp.pack_pframe (byte-identical)."""
+    from ..core.sliceheader import SLICE_P
+
+    lib = load()
+    mbw, mbh = sps.mb_width, sps.mb_height
+    mb_info = np.ascontiguousarray(mb_info, np.int32)
+    luma_dc = np.ascontiguousarray(luma_dc, np.int16)
+    luma_ac = np.ascontiguousarray(luma_ac, np.int16)
+    chroma_dc = np.ascontiguousarray(chroma_dc, np.int16)
+    chroma_ac = np.ascontiguousarray(chroma_ac, np.int16)
+    nnz_y = np.zeros(16 * mbw * mbh, np.int32)
+    nnz_u = np.zeros(4 * mbw * mbh, np.int32)
+    nnz_v = np.zeros(4 * mbw * mbh, np.int32)
+    if slice_mode == "rows":
+        slices = [(r * mbw, mbw) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, mbw * mbh)]
+    else:
+        raise ValueError(slice_mode)
+    out = bytearray()
+    cap = 4096 + mbw * mbh * 1400
+    buf = np.empty(cap, np.uint8)
+    for start, count in slices:
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=start,
+            slice_type=SLICE_P,
+            frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
+            slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+        ).write(w, sps, pps, idr=False)
+        header_bits = w.bit_length
+        w.u((8 - header_bits % 8) % 8, 0)
+        header = np.frombuffer(w.get_bytes(), np.uint8)
+        n = lib.th264_pack_slice_p(
+            header, header_bits, start, count, mbw,
+            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+            nnz_y, nnz_u, nnz_v, buf, cap,
+        )
+        if n < 0:
+            raise RuntimeError("th264_pack_slice_p failed")
+        esc = np.empty(int(n) * 3 // 2 + 16, np.uint8)
+        m = lib.th264_escape(buf, n, esc, len(esc))
+        assert m >= 0
+        out += nal.START_CODE + bytes([(2 << 5) | nal.NAL_SLICE_NON_IDR])
+        out += esc[:m].tobytes()
+    return bytes(out)
+
+
+def parse_pframe_slices(slices, sps: SPS, pps: PPS):
+    """Native-path equivalent of entropy.packp.parse_pframe_slices."""
+    lib = load()
+    mbw, mbh = sps.mb_width, sps.mb_height
+    n = mbw * mbh
+    mb_info = np.zeros((n, 8), np.int32)
+    luma_dc = np.zeros((n, 16), np.int16)
+    luma_ac = np.zeros((n, 16, 16), np.int16)
+    chroma_dc = np.zeros((n, 2, 4), np.int16)
+    chroma_ac = np.zeros((n, 2, 4, 15), np.int16)
+    nnz_y = np.zeros(16 * n, np.int32)
+    nnz_u = np.zeros(4 * n, np.int32)
+    nnz_v = np.zeros(4 * n, np.int32)
+    for rbsp, start_bit, first_mb in slices:
+        rb = np.frombuffer(rbsp, np.uint8)
+        got = lib.th264_parse_slice_p(
+            rb, len(rb), start_bit, first_mb, mbw, n - first_mb,
+            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+            nnz_y, nnz_u, nnz_v,
+        )
+        if got < 0:
+            raise RuntimeError("th264_parse_slice_p failed")
+    return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac
