@@ -301,6 +301,7 @@ def encode_iframe(
     include_ps: bool = True,
     sps: Optional[SPS] = None,
     pps: Optional[PPS] = None,
+    deblock: bool = False,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encode one I-frame.  Returns (annexb bytes, padded recon planes)."""
     height, width = y.shape
@@ -330,6 +331,7 @@ def encode_iframe(
         raise ValueError(slice_mode)
 
     slice_qp_delta = qp - 26 - pps.pic_init_qp_minus26
+    idc = 2 if deblock else 1
     for sid, (_, mbs) in enumerate(slices):
         w = BitWriter()
         header = SliceHeader(
@@ -337,6 +339,7 @@ def encode_iframe(
             slice_type=SLICE_I,
             frame_num=frame_num,
             slice_qp_delta=slice_qp_delta,
+            disable_deblocking_filter_idc=idc,
         )
         header.write(w, sps, pps, idr)
         for mby, mbx in mbs:
@@ -345,6 +348,14 @@ def encode_iframe(
         ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
         out += nal.wrap_nal(ntype, w.get_bytes(), nal_ref_idc=3)
 
+    if deblock:
+        from .deblock import deblock_frame
+
+        deblock_frame(
+            ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
+            ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
+            chroma_qp_offset=pps.chroma_qp_index_offset,
+        )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
 
@@ -713,6 +724,7 @@ def encode_pframe(
     frame_num: int = 1,
     sps: Optional[SPS] = None,
     pps: Optional[PPS] = None,
+    deblock: bool = False,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encode one P-frame against reference planes (padded recon of the
     previous frame).  Returns (annexb bytes, padded recon planes)."""
@@ -734,6 +746,7 @@ def encode_pframe(
 
     out = bytearray()
     slice_qp_delta = qp - 26 - pps.pic_init_qp_minus26
+    idc = 2 if deblock else 1
     for sid, (_, mbs) in enumerate(slices):
         w = BitWriter()
         SliceHeader(
@@ -741,6 +754,7 @@ def encode_pframe(
             slice_type=SLICE_P,
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=slice_qp_delta,
+            disable_deblocking_filter_idc=idc,
         ).write(w, sps, pps, idr=False)
         skiprun = [0]
         for mby, mbx in mbs:
@@ -749,6 +763,14 @@ def encode_pframe(
             w.ue(skiprun[0])
         w.rbsp_trailing_bits()
         out += nal.wrap_nal(nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2)
+    if deblock:
+        from .deblock import deblock_frame
+
+        deblock_frame(
+            ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
+            ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
+            chroma_qp_offset=pps.chroma_qp_index_offset,
+        )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
 
@@ -906,11 +928,21 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
     ctx: Optional[_MBContext] = None
     refs = None
     sid = 0
+    frame_idc = [1]
     frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
     def finish_frame():
         nonlocal ctx, refs
         if ctx is not None:
+            if frame_idc[0] != 1:
+                from .deblock import deblock_frame
+
+                deblock_frame(
+                    ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
+                    ctx.kind, ctx.mv, ctx.slice_id, ctx.qp,
+                    idc=frame_idc[0],
+                    chroma_qp_offset=pps.chroma_qp_index_offset,
+                )
             frames.append(
                 (
                     ctx.recon_y[: sps.height, : sps.width].copy(),
@@ -937,6 +969,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                 qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
                 ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
                 sid = 0
+            frame_idc[0] = header.disable_deblocking_filter_idc
             addr = header.first_mb_in_slice
             if header.slice_type == SLICE_P:
                 assert refs is not None, "P slice without reference"
@@ -966,6 +999,7 @@ def encode_sequence(
     qp: int = 28,
     gop: int = 30,
     slice_mode: str = "rows",
+    deblock: bool = False,
 ) -> Tuple[bytes, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Encode a list of (y, u, v) frames as IPPP... with IDR every `gop`."""
     out = bytearray()
@@ -976,7 +1010,7 @@ def encode_sequence(
         if t % gop == 0 or refs is None:
             data, recon = encode_iframe(
                 y, u, v, qp=qp, slice_mode=slice_mode, frame_num=0,
-                idr=True, include_ps=True, sps=sps, pps=pps,
+                idr=True, include_ps=True, sps=sps, pps=pps, deblock=deblock,
             )
         else:
             if sps is None:
@@ -984,7 +1018,7 @@ def encode_sequence(
                 pps = PPS()
             data, recon = encode_pframe(
                 y, u, v, refs, qp=qp, slice_mode=slice_mode,
-                frame_num=t % gop, sps=sps, pps=pps,
+                frame_num=t % gop, sps=sps, pps=pps, deblock=deblock,
             )
         out += data
         recons.append(recon)
