@@ -156,3 +156,27 @@ def test_gop_ippp_roundtrip():
         assert psnr(out[0], y) > 28
     # IDR at t=0 and t=4 (gop_size=4), P frames elsewhere
     assert kinds == [True, False, False, False, True, False]
+
+
+def test_gop_deblock_roundtrip_libav():
+    from tpuh264.conformance import decode_with_libav, libav_available
+
+    cfg = CodecConfig(width=64, height=48, qp=30, gop_size=4, deblock=True)
+    enc = EncoderSession(cfg)
+    pool = DecoderPool()
+    pool.init_decoder(0)
+    stream = bytearray()
+    outs = []
+    for t in range(5):
+        y, u, v = sources.yuv_frame(64, 48, t)
+        f = enc.encode_frame_yuv(y, u, v)[0]
+        stream += f.data
+        out = pool.decode(0, f.data)
+        assert out is not None and not pool[0].needs_keyframe
+        np.testing.assert_array_equal(out[0], np.asarray(enc._ref[0][0]))
+        outs.append(out)
+    if libav_available():
+        libav = decode_with_libav(bytes(stream))
+        assert len(libav) == 5
+        for t in range(5):
+            np.testing.assert_array_equal(libav[t][0], outs[t][0])

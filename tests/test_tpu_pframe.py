@@ -49,7 +49,7 @@ def tpu_encode_sequence(frames, qp):
                 sps, pps, qp, slice_mode="rows",
             )
         else:
-            symbols, recon = pframe.encode_pframe_rows(
+            symbols, recon, _motion = pframe.encode_pframe_rows(
                 yb, ub, vb, ref[0], ref[1], ref[2], qp
             )
             s = symbols
@@ -128,7 +128,7 @@ def test_tpu_pframe_decode_roundtrip():
             chroma_dc=cdc.reshape(1, rr, cc, 2, 4),
             chroma_ac=cac.reshape(1, rr, cc, 2, 4, 15),
         )
-        dy, du, dv = pframe.decode_pframe_rows(symbols, ref[0], ref[1], ref[2], 28)
+        (dy, du, dv), _m = pframe.decode_pframe_rows(symbols, ref[0], ref[1], ref[2], 28)
         np.testing.assert_array_equal(np.asarray(dy[0]), recons[fn][0])
         np.testing.assert_array_equal(np.asarray(du[0]), recons[fn][1])
         np.testing.assert_array_equal(np.asarray(dv[0]), recons[fn][2])

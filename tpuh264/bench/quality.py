@@ -97,10 +97,21 @@ def compare_at_matched_bitrate(
 
 
 def main():
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     if not encoder_available():
         print("libx264 unavailable")
         return
-    rows = compare_at_matched_bitrate()
+    rows = compare_at_matched_bitrate(
+        width=320, height=192, n_frames=8,
+        qps=(22, 26, 30, 34, 38, 42),
+        anchors=(250_000, 500_000, 1_000_000),
+    )
     print(f"{'anchor kbps':>12} {'x264 dB':>9} {'our qp':>7} "
           f"{'our kbps':>9} {'our dB':>7} {'delta':>7}")
     for r in rows:

@@ -33,6 +33,7 @@ class CodecConfig:
     streams: int = 1  # 1..32 (app.js:106-108)
     threads: int = 0  # 0 = default policy (hardwareConcurrency-2, clamped)
     slice_mode: str = "rows"  # "rows" (parallel) | "single"
+    deblock: bool = False  # in-loop deblocking (idc=2: within-slice)
     gop_size: int = 30  # IDR interval
     profile: str = "baseline"
     # pool constants mirroring app.js:52-53 and openh264_wrapper.cpp:8

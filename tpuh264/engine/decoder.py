@@ -30,7 +30,7 @@ from ..core.sliceheader import SLICE_P, SliceHeader
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
-from ..kernels import color, iframe, pframe
+from ..kernels import color, deblock as kdeblock, iframe, pframe
 
 
 class DecoderSession:
@@ -45,6 +45,7 @@ class DecoderSession:
         self._sps = None
         self._pps = None
         self._ref = None  # device-resident reference planes
+        self._idc = 1
 
     def decode(
         self, data: bytes
@@ -80,8 +81,13 @@ class DecoderSession:
             elif ntype == nal.NAL_SLICE_NON_IDR:
                 r = BitReader(rbsp)
                 h = SliceHeader.parse(r, self._sps, self._pps, False)
+                self._idc = h.disable_deblocking_filter_idc
                 if h.slice_type == SLICE_P:
                     is_p = True
+            elif ntype == nal.NAL_SLICE_IDR and self._sps is not None:
+                r = BitReader(rbsp)
+                h = SliceHeader.parse(r, self._sps, self._pps, True)
+                self._idc = h.disable_deblocking_filter_idc
         return is_p
 
     def _decode_i(self, data: bytes):
@@ -101,6 +107,13 @@ class DecoderSession:
             chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
         )
         y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+        if self._idc != 1:
+            sh = symbols.mode.shape
+            y, u, v = kdeblock.deblock_frame_rows(
+                y, u, v, jnp.full(sh, 2, jnp.int32),
+                jnp.zeros(sh, jnp.int32), jnp.zeros(sh, jnp.int32),
+                jnp.zeros((*sh, 4, 4), jnp.int32), jnp.int32(qp),
+            )
         self._ref = (y, u, v)
         return (
             np.asarray(y[0])[: sps.height, : sps.width],
@@ -136,9 +149,18 @@ class DecoderSession:
             chroma_dc=cdc.reshape(1, rr, cc, 2, 4),
             chroma_ac=cac.reshape(1, rr, cc, 2, 4, 15),
         )
-        y, u, v = pframe.decode_pframe_rows(
+        (y, u, v), motion = pframe.decode_pframe_rows(
             symbols, self._ref[0], self._ref[1], self._ref[2], jnp.int32(qp)
         )
+        if self._idc != 1:
+            sh = symbols.kind.shape
+            nnz = jnp.count_nonzero(
+                jnp.asarray(symbols.luma_ac).astype(jnp.int32), axis=-1
+            ).reshape(*sh, 4, 4)
+            y, u, v = kdeblock.deblock_frame_rows(
+                y, u, v, jnp.asarray(symbols.kind), motion[0], motion[1],
+                nnz, jnp.int32(qp),
+            )
         self._ref = (y, u, v)
         return (
             np.asarray(y[0])[: sps.height, : sps.width],

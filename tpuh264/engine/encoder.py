@@ -25,7 +25,7 @@ from ..core.params import PPS, SPS
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
-from ..kernels import color, iframe, pframe
+from ..kernels import color, deblock as kdeblock, iframe, pframe
 from .config import CodecConfig
 from .ratecontrol import RateController
 
@@ -125,10 +125,27 @@ class EncoderSession:
         t0 = time.perf_counter()
         if idr:
             symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
+            if cfg.deblock:
+                sh = symbols.mode.shape
+                recon = kdeblock.deblock_frame_rows(
+                    recon[0], recon[1], recon[2],
+                    jnp.full(sh, 2, jnp.int32),
+                    jnp.zeros(sh, jnp.int32), jnp.zeros(sh, jnp.int32),
+                    jnp.zeros((*sh, 4, 4), jnp.int32), jnp.int32(qp),
+                )
         else:
-            symbols, recon = pframe.encode_pframe_rows(
+            symbols, recon, motion = pframe.encode_pframe_rows(
                 y, u, v, *self._ref, jnp.int32(qp)
             )
+            if cfg.deblock:
+                sh = symbols.kind.shape
+                nnz = jnp.count_nonzero(
+                    symbols.luma_ac.astype(jnp.int32), axis=-1
+                ).reshape(*sh, 4, 4)
+                recon = kdeblock.deblock_frame_rows(
+                    recon[0], recon[1], recon[2],
+                    symbols.kind, motion[0], motion[1], nnz, jnp.int32(qp),
+                )
         jax.block_until_ready(recon[0])
         t1 = time.perf_counter()
 
@@ -155,6 +172,7 @@ class EncoderSession:
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=0,
                     idr=True, include_ps=True,
+                    deblock_idc=2 if cfg.deblock else 1,
                 )
                 frames.append(EncodedFrame(stream, True, self.frame_num, qp, {}))
             self._frame_in_gop = 1
@@ -189,6 +207,7 @@ class EncoderSession:
                     mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=fnum,
+                    deblock_idc=2 if cfg.deblock else 1,
                 )
                 frames.append(EncodedFrame(stream, False, self.frame_num, qp, {}))
             self._frame_in_gop += 1

@@ -140,6 +140,7 @@ def pack_iframe(
     frame_num: int = 0,
     idr: bool = True,
     include_ps: bool = True,
+    deblock_idc: int = 1,
     threads: int = 0,
 ) -> bytes:
     """Native-path equivalent of entropy.pack.pack_iframe (byte-identical).
@@ -184,6 +185,7 @@ def pack_iframe(
             slice_type=SLICE_I,
             frame_num=frame_num,
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
         ).write(w, sps, pps, idr)
         header_off[i] = len(headers)
         header_bits[i] = w.bit_length
@@ -277,6 +279,7 @@ def pack_pframe(
     qp: int,
     slice_mode: str = "rows",
     frame_num: int = 1,
+    deblock_idc: int = 1,
 ) -> bytes:
     """Native-path equivalent of entropy.packp.pack_pframe (byte-identical)."""
     from ..core.sliceheader import SLICE_P
@@ -307,6 +310,7 @@ def pack_pframe(
             slice_type=SLICE_P,
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
         ).write(w, sps, pps, idr=False)
         header_bits = w.bit_length
         w.u((8 - header_bits % 8) % 8, 0)

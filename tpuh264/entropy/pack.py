@@ -133,6 +133,7 @@ def pack_iframe(
     frame_num: int = 0,
     idr: bool = True,
     include_ps: bool = True,
+    deblock_idc: int = 1,
 ) -> bytes:
     """Pack one frame's symbol arrays into an annex-B stream."""
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -161,6 +162,7 @@ def pack_iframe(
             slice_type=SLICE_I,
             frame_num=frame_num,
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
         ).write(w, sps, pps, idr)
         for addr in range(start, start + count):
             pack_mb(

@@ -133,6 +133,7 @@ def pack_pframe(
     qp: int,
     slice_mode: str = "rows",
     frame_num: int = 1,
+    deblock_idc: int = 1,
 ) -> bytes:
     """Pack one P-frame's symbol arrays into annex-B slice NALs."""
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -151,6 +152,7 @@ def pack_pframe(
             slice_type=SLICE_P,
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
         ).write(w, sps, pps, idr=False)
         pack_pslice(w, nnz, start, count, mbw,
                     mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)

@@ -349,6 +349,8 @@ def encode_pframe_rows(
             rec_y.astype(jnp.uint8),
             rec_u.astype(jnp.uint8),
             rec_v.astype(jnp.uint8),
+            out_mvx.astype(jnp.int32),
+            out_mvy.astype(jnp.int32),
         )
         return new_carry, out
 
@@ -362,7 +364,7 @@ def encode_pframe_rows(
     )
     _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
     (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-     ldc, lac, cdc, cac, ry, ru, rv) = outs
+     ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy) = outs
 
     symbols = MBSymbolsP(
         kind=_unscan(kind), mode=_unscan(mode), cmode=_unscan(cmode),
@@ -376,7 +378,8 @@ def encode_pframe_rows(
         _mbs_to_plane(_unscan(ru)),
         _mbs_to_plane(_unscan(rv)),
     )
-    return symbols, recon
+    motion = (_unscan(amvx), _unscan(amvy))
+    return symbols, recon, motion
 
 
 @jax.jit
@@ -484,6 +487,8 @@ def decode_pframe_rows(
             rec_y.astype(jnp.uint8),
             rec_u.astype(jnp.uint8),
             rec_v.astype(jnp.uint8),
+            mvx.astype(jnp.int32),
+            mvy.astype(jnp.int32),
         )
 
     carry0 = (
@@ -494,9 +499,9 @@ def decode_pframe_rows(
         jnp.zeros((s, r), jnp.int32),
         jnp.full((s, r), KIND_INTRA, jnp.int32),
     )
-    _, (ry, ru, rv) = jax.lax.scan(step, carry0, xs)
+    _, (ry, ru, rv, amvx, amvy) = jax.lax.scan(step, carry0, xs)
     return (
         _mbs_to_plane(_unscan(ry)),
         _mbs_to_plane(_unscan(ru)),
         _mbs_to_plane(_unscan(rv)),
-    )
+    ), (_unscan(amvx), _unscan(amvy))
