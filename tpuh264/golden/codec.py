@@ -596,12 +596,12 @@ def _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
 
 def _apply_skip(ctx, refs, mbx, mby, sid):
     """Reconstruct a P_Skip MB and update all state."""
-    refy, refu, refv = refs
+    refy, refu, refv, planes = refs
     mvx, mvy = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
-    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = inter_mod.mc_luma(
-        refy, mbx, mby, mvx, mvy
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = inter_mod.mc_luma_qpel(
+        planes, mbx, mby, mvx, mvy
     )
     ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = inter_mod.mc_chroma(
         refu, mbx, mby, mvx, mvy
@@ -620,14 +620,16 @@ def _apply_skip(ctx, refs, mbx, mby, sid):
 def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
     """Encode one MB of a P slice (may defer to the skip-run counter)."""
     qp, qpc = ctx.qp, ctx.qpc
-    refy, refu, refv = refs
+    refy, refu, refv, planes = refs
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     src = y[y0 : y0 + 16, x0 : x0 + 16]
 
     pmv = inter_mod.predict_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
     mv_skip = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
-    mvx, mvy, inter_sad = inter_mod.motion_search(src, refy, mbx, mby, pmv)
+    mvx, mvy, inter_sad = inter_mod.motion_search_qpel(
+        src, refy, planes, mbx, mby, pmv
+    )
     _, _, intra_sad = _intra16_decide(ctx, src, mbx, mby, sid)
 
     if intra_sad < inter_sad:
@@ -637,7 +639,7 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
         return
 
     # inter residual
-    predl = inter_mod.mc_luma(refy, mbx, mby, mvx, mvy)
+    predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
     q = quant4x4(forward4x4(plane_to_blocks4(src - predl)), qp, intra=False)
     l_zz = zigzag(q)  # (4,4,16) full 16-coefficient blocks
     cbp_luma = 0
@@ -736,6 +738,8 @@ def encode_pframe(
     mbw, mbh = sps.mb_width, sps.mb_height
     yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
     ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
+    if len(refs) == 3:
+        refs = (*refs, inter_mod.build_halfpel_planes(refs[0]))
 
     if slice_mode == "rows":
         slices = [(r, [(r, c) for c in range(mbw)]) for r in range(mbh)]
@@ -776,7 +780,7 @@ def encode_pframe(
 
 def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
     qp, qpc = ctx.qp, ctx.qpc
-    refy, refu, refv = refs
+    refy, refu, refv, planes = refs
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     mb_type = r.ue()
@@ -833,7 +837,7 @@ def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
         ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
-    predl = inter_mod.mc_luma(refy, mbx, mby, mvx, mvy)
+    predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
     d = dequant4x4(inverse_zigzag(l_zz), qp)
     ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
         idct_add(plane_to_blocks4(predl), d)
@@ -950,7 +954,11 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                     ctx.recon_v[: sps.height // 2, : sps.width // 2].copy(),
                 )
             )
-            refs = (ctx.recon_y.copy(), ctx.recon_u.copy(), ctx.recon_v.copy())
+            ry = ctx.recon_y.copy()
+            refs = (
+                ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
+                inter_mod.build_halfpel_planes(ry),
+            )
             ctx = None
 
     for _, ntype, rbsp in nal.split_annexb(data):

@@ -165,3 +165,116 @@ def motion_search(
         if s < best_sad:
             best, best_sad = cand, s
     return 4 * best[1], 4 * best[0], best_sad
+
+
+# ---------------------------------------------------------------------------
+# Quarter-pel motion (H.264 8.4.2.2.1): normative 6-tap half-pel planes +
+# quarter-sample averaging.  The 4-plane formulation below is shared with
+# the TPU kernels (kernels/pframe.py) -- identical construction, identical
+# candidate schedules.
+# ---------------------------------------------------------------------------
+
+def _tap6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def build_halfpel_planes(ref: np.ndarray, pad: int = SEARCH_PAD):
+    """Edge-pad `ref` by pad+3 and build (G, b, h, j) planes, each
+    [H+2p, W+2p] aligned so index (y, x) is the sample at integer (y, x)
+    of the padded-by-`pad` grid.
+
+    b(y,x) = half-sample at (y, x+1/2); h = (y+1/2, x); j = (y+1/2, x+1/2).
+    """
+    # effective pad is pad+1: quarter positions average with +1-offset
+    # neighbors, so the extreme MV reach is pad integer samples plus one
+    p_eff = pad + 1
+    p3 = p_eff + 3
+    r = np.pad(ref.astype(np.int64), p3, mode="edge")
+    # horizontal intermediate b1 at (y, x+1/2): taps x-2..x+3
+    b1 = _tap6(r[:, :-5], r[:, 1:-4], r[:, 2:-3], r[:, 3:-2], r[:, 4:-1],
+               r[:, 5:])  # [H+2p3, W+2p3-5]
+    # vertical intermediate h1 at (y+1/2, x): taps y-2..y+3
+    h1 = _tap6(r[:-5, :], r[1:-4, :], r[2:-3, :], r[3:-2, :], r[4:-1, :],
+               r[5:, :])
+    # j1: vertical 6-tap over b1
+    j1 = _tap6(b1[:-5, :], b1[1:-4, :], b1[2:-3, :], b1[3:-2, :],
+               b1[4:-1, :], b1[5:, :])
+    # align to the padded-by-`pad` grid: drop the 3-sample margins
+    g_p = r[3:-3, 3:-3]
+    b_p = np.clip((b1[3:-3, 1:] + 16) >> 5, 0, 255)
+    h_p = np.clip((h1[1:, 3:-3] + 16) >> 5, 0, 255)
+    j_p = np.clip((j1[1:, 1:] + 512) >> 10, 0, 255)
+    hp2 = 2 * p_eff
+    out = []
+    for pl in (g_p, b_p, h_p, j_p):
+        out.append(pl[: ref.shape[0] + hp2, : ref.shape[1] + hp2].astype(np.int32))
+    return tuple(out)
+
+
+# component table: (comp1, comp2) per (xf, yf); components are
+# 0:G00 1:b00 2:h00 3:j00 4:G10 5:G01 6:b01 7:h10
+QPEL_TBL = {
+    (0, 0): (0, 0), (1, 0): (0, 1), (2, 0): (1, 1), (3, 0): (1, 4),
+    (0, 1): (0, 2), (1, 1): (1, 2), (2, 1): (1, 3), (3, 1): (1, 7),
+    (0, 2): (2, 2), (1, 2): (2, 3), (2, 2): (3, 3), (3, 2): (3, 7),
+    (0, 3): (2, 5), (1, 3): (2, 6), (2, 3): (3, 6), (3, 3): (7, 6),
+}
+
+
+def mc_luma_qpel(
+    planes, mbx: int, mby: int, mvx_q: int, mvy_q: int, pad: int = SEARCH_PAD
+) -> np.ndarray:
+    """Quarter-pel luma MC from precomputed half-pel planes."""
+    g, b, h, j = planes
+    x_int = mvx_q >> 2
+    y_int = mvy_q >> 2
+    xf = mvx_q & 3
+    yf = mvy_q & 3
+    y0 = 16 * mby + y_int + pad + 1
+    x0 = 16 * mbx + x_int + pad + 1
+
+    def win(pl, dy, dx):
+        return pl[y0 + dy : y0 + dy + 16, x0 + dx : x0 + dx + 16]
+
+    comps = {
+        0: lambda: win(g, 0, 0), 1: lambda: win(b, 0, 0),
+        2: lambda: win(h, 0, 0), 3: lambda: win(j, 0, 0),
+        4: lambda: win(g, 0, 1), 5: lambda: win(g, 1, 0),
+        6: lambda: win(b, 1, 0), 7: lambda: win(h, 0, 1),
+    }
+    c1, c2 = QPEL_TBL[(xf, yf)]
+    a = comps[c1]().astype(np.int32)
+    bb = comps[c2]().astype(np.int32)
+    return (a + bb + 1) >> 1
+
+
+OFFSETS_HALF = [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
+OFFSETS_QUARTER = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def motion_search_qpel(
+    src_mb: np.ndarray,
+    ref: np.ndarray,
+    planes,
+    mbx: int,
+    mby: int,
+    pmv,
+):
+    """Integer search (motion_search) + half then quarter refinement.
+
+    All candidate orders/tie-breaks are shared with the TPU kernel.
+    Returns (mvx_q, mvy_q, sad).
+    """
+    mvx, mvy, best_sad = motion_search(src_mb, ref, mbx, mby, pmv)
+    best = (mvy, mvx)
+    for offsets in (OFFSETS_HALF, OFFSETS_QUARTER):
+        base = best
+        for dy, dx in offsets:
+            if (dy, dx) == (0, 0):
+                continue
+            cand = (base[0] + dy, base[1] + dx)
+            pred = mc_luma_qpel(planes, mbx, mby, cand[1], cand[0])
+            s = int(np.abs(src_mb - pred).sum())
+            if s < best_sad:
+                best, best_sad = cand, s
+    return best[1], best[0], best_sad
