@@ -19,6 +19,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import transform as T
 from .iframe import (
@@ -34,7 +35,15 @@ from .iframe import (
     _subst_dc,
     _unscan,
 )
-from ..golden.inter import OFFSETS_S1, OFFSETS_S2, SEARCH_PAD, SEARCH_RANGE
+from ..golden.inter import (
+    OFFSETS_HALF,
+    OFFSETS_QUARTER,
+    OFFSETS_S1,
+    OFFSETS_S2,
+    QPEL_TBL,
+    SEARCH_PAD,
+    SEARCH_RANGE,
+)
 
 KIND_SKIP = 0
 KIND_INTER = 1
@@ -55,6 +64,104 @@ class MBSymbolsP(NamedTuple):
     luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16
     chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16
     chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16
+
+
+def _tap6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def build_halfpel_planes(ref: jnp.ndarray, pad: int = SEARCH_PAD):
+    """jnp port of golden.inter.build_halfpel_planes: [S,H,W] ->
+    4 planes [S, H+2(pad+1), W+2(pad+1)] (G, b, h, j), bit-exact."""
+    p_eff = pad + 1
+    p3 = p_eff + 3
+    r = jnp.pad(ref.astype(jnp.int32), ((0, 0), (p3, p3), (p3, p3)),
+                mode="edge")
+    b1 = _tap6(r[:, :, :-5], r[:, :, 1:-4], r[:, :, 2:-3], r[:, :, 3:-2],
+               r[:, :, 4:-1], r[:, :, 5:])
+    h1 = _tap6(r[:, :-5, :], r[:, 1:-4, :], r[:, 2:-3, :], r[:, 3:-2, :],
+               r[:, 4:-1, :], r[:, 5:, :])
+    j1 = _tap6(b1[:, :-5, :], b1[:, 1:-4, :], b1[:, 2:-3, :], b1[:, 3:-2, :],
+               b1[:, 4:-1, :], b1[:, 5:, :])
+    g_p = r[:, 3:-3, 3:-3]
+    b_p = jnp.clip((b1[:, 3:-3, 1:] + 16) >> 5, 0, 255)
+    h_p = jnp.clip((h1[:, 1:, 3:-3] + 16) >> 5, 0, 255)
+    j_p = jnp.clip((j1[:, 1:, 1:] + 512) >> 10, 0, 255)
+    h2 = ref.shape[1] + 2 * p_eff
+    w2 = ref.shape[2] + 2 * p_eff
+    return tuple(pl[:, :h2, :w2] for pl in (g_p, b_p, h_p, j_p))
+
+
+def _qpel_bands(planes, col, r: int):
+    """Per-step 41x41 windows for the 4 planes: [4][S,R,41,41].
+
+    Window-local offset (12 + x_int, 12 + y_int) addresses the integer
+    sample grid; +1 slices provide the quarter-average neighbors."""
+    out = []
+    for pl in planes:
+        band = jax.lax.dynamic_slice_in_dim(pl, col * 16 + 1, 41, axis=2)
+        rows = [band[:, i * 16 + 1 : i * 16 + 42, :] for i in range(r)]
+        out.append(jnp.stack(rows, axis=1))
+    return out
+
+
+# component table as arrays: idx1/idx2 [4(xf), 4(yf)] into the 8-component
+# stack [G00 b00 h00 j00 G10 G01 b01 h10]
+_QTBL1 = np.zeros((4, 4), np.int32)
+_QTBL2 = np.zeros((4, 4), np.int32)
+for (xf, yf), (c1, c2) in QPEL_TBL.items():
+    _QTBL1[xf, yf] = c1
+    _QTBL2[xf, yf] = c2
+_QTBL1 = jnp.asarray(_QTBL1)
+_QTBL2 = jnp.asarray(_QTBL2)
+
+
+def _mc_qpel(qbands, mvx, mvy):
+    """Quarter-pel luma MC: qbands [4][S,R,41,41], mv [S,R] quarter units."""
+    x_int = mvx >> 2
+    y_int = mvy >> 2
+    xf = mvx & 3
+    yf = mvy & 3
+    wins = [
+        _gather_window(b, 12 + y_int, 12 + x_int, 17) for b in qbands
+    ]  # 17x17 per plane
+    wg, wb, wh, wj = wins
+    comps = jnp.stack(
+        [
+            wg[..., :16, :16], wb[..., :16, :16],
+            wh[..., :16, :16], wj[..., :16, :16],
+            wg[..., :16, 1:17], wg[..., 1:17, :16],
+            wb[..., 1:17, :16], wh[..., :16, 1:17],
+        ],
+        axis=0,
+    )  # [8, S, R, 16, 16]
+    i1 = _QTBL1[xf, yf]  # [S, R]
+    i2 = _QTBL2[xf, yf]
+    k = jnp.arange(8).reshape(8, 1, 1, 1, 1)
+    c1 = jnp.sum(jnp.where(k == i1[None, ..., None, None], comps, 0), axis=0)
+    c2 = jnp.sum(jnp.where(k == i2[None, ..., None, None], comps, 0), axis=0)
+    return (c1 + c2 + 1) >> 1
+
+
+def _me_subpel(qbands, src, mvx_i, mvy_i, best_sad):
+    """Half then quarter refinement around the integer winner (matches
+    golden.inter.motion_search_qpel order and tie-breaks)."""
+    best_x = 4 * mvx_i
+    best_y = 4 * mvy_i
+    for offsets in (OFFSETS_HALF, OFFSETS_QUARTER):
+        base_x, base_y = best_x, best_y
+        for dy, dx in offsets:
+            if (dy, dx) == (0, 0):
+                continue
+            cx = base_x + dx
+            cy = base_y + dy
+            pred = _mc_qpel(qbands, cx, cy)
+            s = jnp.abs(src - pred).sum((-1, -2))
+            better = s < best_sad
+            best_sad = jnp.where(better, s, best_sad)
+            best_x = jnp.where(better, cx, best_x)
+            best_y = jnp.where(better, cy, best_y)
+    return best_x, best_y, best_sad
 
 
 def _pad_ref(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -211,7 +318,7 @@ def encode_pframe_rows(
     p = SEARCH_PAD
     cp = p // 2 + 2  # chroma pad: |dx/2|+1 <= p/2+1
 
-    ref_yp = _pad_ref(ref_y, p)     # [S, H+2p, W+2p]
+    planes = build_halfpel_planes(ref_y, p)  # 4x [S, H+2(p+1), W+2(p+1)]
     ref_up = _pad_ref(ref_u, cp)
     ref_vp = _pad_ref(ref_v, cp)
 
@@ -225,9 +332,9 @@ def encode_pframe_rows(
         ymb, umb, vmb, col = xs
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        # reference windows for this MB column
-        band = jax.lax.dynamic_slice_in_dim(ref_yp, col * 16, 16 + 2 * p, axis=2)
-        band4 = _row_windows(band, r, 16, 16 + 2 * p)  # [S,R,40,40]
+        # reference windows for this MB column (4 half-pel planes)
+        qbands = _qpel_bands(planes, col, r)  # 4x [S,R,41,41]
+        band4 = qbands[0]  # integer samples; offset 12 = SEARCH_PAD
         cband_u = _row_windows(
             jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
             r, 8, 8 + 2 * cp,
@@ -243,14 +350,12 @@ def encode_pframe_rows(
         pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
 
         dx, dy, inter_sad = _me_16x16(band4, ymb, pmvx, pmvy)
+        mvx, mvy, inter_sad = _me_subpel(qbands, ymb, dx, dy, inter_sad)
         imode, ipred, intra_sad = _intra16_costs(left_y, first, ymb)
         use_intra = intra_sad < inter_sad
 
-        mvx = 4 * dx
-        mvy = 4 * dy
-
         # --- inter path ---
-        predl = _mc_luma(band4, dx, dy)
+        predl = _mc_qpel(qbands, mvx, mvy)
         l_zz, ql_flat, cbp4 = _transform_inter_luma(ymb, predl, qp)
         nzmask8 = jnp.repeat(
             jnp.repeat(
@@ -392,7 +497,7 @@ def decode_pframe_rows(
     p = SEARCH_PAD
     cp = p // 2 + 2
 
-    ref_yp = _pad_ref(ref_y, p)
+    planes = build_halfpel_planes(ref_y, p)
     ref_up = _pad_ref(ref_u, cp)
     ref_vp = _pad_ref(ref_v, cp)
 
@@ -407,8 +512,7 @@ def decode_pframe_rows(
          dc_zz, ac, cdc, cac, col) = xs
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        band = jax.lax.dynamic_slice_in_dim(ref_yp, col * 16, 16 + 2 * p, axis=2)
-        band4 = _row_windows(band, r, 16, 16 + 2 * p)
+        qbands = _qpel_bands(planes, col, r)
         cband_u = _row_windows(
             jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
             r, 8, 8 + 2 * cp,
@@ -425,10 +529,9 @@ def decode_pframe_rows(
         is_skip = kind == KIND_SKIP
         mvx = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvx + mvdx))
         mvy = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvy + mvdy))
-        dx, dy = mvx >> 2, mvy >> 2
 
         # inter recon
-        predl = _mc_luma(band4, dx, dy)
+        predl = _mc_qpel(qbands, mvx, mvy)
         inter_cbp = jnp.where(is_skip, 0, cbp_l)
         nzmask8 = jnp.repeat(
             jnp.repeat(
