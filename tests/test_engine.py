@@ -180,3 +180,27 @@ def test_gop_deblock_roundtrip_libav():
         assert len(libav) == 5
         for t in range(5):
             np.testing.assert_array_equal(libav[t][0], outs[t][0])
+
+
+def test_temporal_layers_engine_roundtrip():
+    from tpuh264.conformance import decode_with_libav, libav_available
+
+    cfg = CodecConfig(width=64, height=48, qp=30, gop_size=6,
+                      temporal_layers=2, deblock=True)
+    enc = EncoderSession(cfg)
+    pool = DecoderPool()
+    pool.init_decoder(0)
+    stream = bytearray()
+    outs = []
+    for t in range(6):
+        y, u, v = sources.yuv_frame(64, 48, t)
+        f = enc.encode_frame_yuv(y, u, v)[0]
+        stream += f.data
+        out = pool.decode(0, f.data)
+        assert out is not None and not pool[0].needs_keyframe
+        outs.append(out)
+    if libav_available():
+        libav = decode_with_libav(bytes(stream))
+        assert len(libav) == 6
+        for t in range(6):
+            np.testing.assert_array_equal(libav[t][0], outs[t][0])

@@ -40,7 +40,7 @@ def our_rd_point(
 ) -> Dict[str, float]:
     """Encode with our engine at fixed QP; returns {bits_per_s, psnr}."""
     h, w = frames[0][0].shape
-    cfg = CodecConfig(width=w, height=h, qp=qp, gop_size=gop, fps=fps)
+    cfg = CodecConfig(width=w, height=h, qp=qp, gop_size=gop, fps=fps, deblock=True)
     enc = EncoderSession(cfg)
     stream = bytearray()
     for y, u, v in frames:

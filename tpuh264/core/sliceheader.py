@@ -31,7 +31,12 @@ class SliceHeader:
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
 
-    def write(self, w: BitWriter, sps: SPS, pps: PPS, idr: bool) -> None:
+    def write(
+        self, w: BitWriter, sps: SPS, pps: PPS, idr: bool, ref: bool = True
+    ) -> None:
+        """`ref` False = non-reference picture (nal_ref_idc 0): the
+        dec_ref_pic_marking syntax is absent (7.3.3, temporal SVC
+        enhancement-layer frames)."""
         w.ue(self.first_mb_in_slice)
         # type+5 asserts "all slices in this picture have this type"
         w.ue(self.slice_type + 5)
@@ -53,7 +58,7 @@ class SliceHeader:
         if idr:
             w.u(1, 0)  # no_output_of_prior_pics_flag
             w.u(1, 0)  # long_term_reference_flag
-        else:
+        elif ref:
             w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         if pps.entropy_coding_mode_flag and self.slice_type != SLICE_I:
             w.ue(0)  # cabac_init_idc
@@ -65,7 +70,9 @@ class SliceHeader:
                 w.se(self.slice_beta_offset_div2)
 
     @classmethod
-    def parse(cls, r: BitReader, sps: SPS, pps: PPS, idr: bool) -> "SliceHeader":
+    def parse(
+        cls, r: BitReader, sps: SPS, pps: PPS, idr: bool, ref: bool = True
+    ) -> "SliceHeader":
         h = cls()
         h.first_mb_in_slice = r.ue()
         h.slice_type = r.ue() % 5
@@ -85,7 +92,7 @@ class SliceHeader:
             r.u(1)
             if r.u(1):
                 raise NotImplementedError("long-term reference")
-        else:
+        elif ref:
             if r.u(1):
                 raise NotImplementedError("adaptive ref pic marking")
         if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:

@@ -34,6 +34,7 @@ class CodecConfig:
     threads: int = 0  # 0 = default policy (hardwareConcurrency-2, clamped)
     slice_mode: str = "rows"  # "rows" (parallel) | "single"
     deblock: bool = False  # in-loop deblocking (idc=2: within-slice)
+    temporal_layers: int = 1  # 2 = non-ref T1 frames (droppable layer)
     gop_size: int = 30  # IDR interval
     profile: str = "baseline"
     # pool constants mirroring app.js:52-53 and openh264_wrapper.cpp:8

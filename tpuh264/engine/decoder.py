@@ -46,6 +46,7 @@ class DecoderSession:
         self._pps = None
         self._ref = None  # device-resident reference planes
         self._idc = 1
+        self._is_ref_frame = True
 
     def decode(
         self, data: bytes
@@ -73,15 +74,17 @@ class DecoderSession:
     def _classify(self, data: bytes) -> bool:
         """Parse SPS/PPS and report whether the access unit is a P frame."""
         is_p = False
-        for _, ntype, rbsp in nal.split_annexb(data):
+        for ridc, ntype, rbsp in nal.split_annexb(data):
             if ntype == nal.NAL_SPS:
                 self._sps = SPS.parse(BitReader(rbsp))
             elif ntype == nal.NAL_PPS:
                 self._pps = PPS.parse(BitReader(rbsp))
             elif ntype == nal.NAL_SLICE_NON_IDR:
                 r = BitReader(rbsp)
-                h = SliceHeader.parse(r, self._sps, self._pps, False)
+                h = SliceHeader.parse(r, self._sps, self._pps, False,
+                                      ref=ridc != 0)
                 self._idc = h.disable_deblocking_filter_idc
+                self._is_ref_frame = ridc != 0
                 if h.slice_type == SLICE_P:
                     is_p = True
             elif ntype == nal.NAL_SLICE_IDR and self._sps is not None:
@@ -126,10 +129,10 @@ class DecoderSession:
         sps, pps = self._sps, self._pps
         qp = 26 + pps.pic_init_qp_minus26
         slices = []
-        for _, ntype, rbsp in nal.split_annexb(data):
+        for ridc, ntype, rbsp in nal.split_annexb(data):
             if ntype == nal.NAL_SLICE_NON_IDR:
                 r = BitReader(rbsp)
-                h = SliceHeader.parse(r, sps, pps, False)
+                h = SliceHeader.parse(r, sps, pps, False, ref=ridc != 0)
                 qp = 26 + pps.pic_init_qp_minus26 + h.slice_qp_delta
                 slices.append((rbsp, r.bit_position, h.first_mb_in_slice))
         parse_p = getattr(self._entropy, "parse_pframe_slices",
@@ -161,7 +164,8 @@ class DecoderSession:
                 y, u, v, jnp.asarray(symbols.kind), motion[0], motion[1],
                 nnz, jnp.int32(qp),
             )
-        self._ref = (y, u, v)
+        if self._is_ref_frame:
+            self._ref = (y, u, v)
         return (
             np.asarray(y[0])[: sps.height, : sps.width],
             np.asarray(u[0])[: sps.height // 2, : sps.width // 2],

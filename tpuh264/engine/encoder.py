@@ -177,6 +177,7 @@ class EncoderSession:
                 frames.append(EncodedFrame(stream, True, self.frame_num, qp, {}))
             self._frame_in_gop = 1
         else:
+            is_ref = cfg.temporal_layers == 1 or (self._frame_in_gop % 2 == 0)
             sy = symbols
             kind = np.asarray(sy.kind).reshape(s, n)
             mode = np.asarray(sy.mode).reshape(s, n)
@@ -189,7 +190,8 @@ class EncoderSession:
             luma_ac = np.asarray(sy.luma_ac).reshape(s, n, 16, 16)
             chroma_dc = np.asarray(sy.chroma_dc).reshape(s, n, 2, 4)
             chroma_ac = np.asarray(sy.chroma_ac).reshape(s, n, 2, 4, 15)
-            fnum = self._frame_in_gop % (
+            k = self._frame_in_gop
+            fnum = (k if cfg.temporal_layers == 1 else (k + 1) // 2) % (
                 1 << (self.sps.log2_max_frame_num_minus4 + 4)
             )
             for i in range(s):
@@ -208,10 +210,15 @@ class EncoderSession:
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=fnum,
                     deblock_idc=2 if cfg.deblock else 1,
+                    ref=is_ref,
                 )
                 frames.append(EncodedFrame(stream, False, self.frame_num, qp, {}))
             self._frame_in_gop += 1
-        self._ref = recon
+        if idr:
+            self._ref = recon
+        else:
+            if is_ref:
+                self._ref = recon
         t3 = time.perf_counter()
 
         self.rc.update(sum(len(f.data) for f in frames) / max(s, 1))

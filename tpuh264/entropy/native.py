@@ -280,6 +280,7 @@ def pack_pframe(
     slice_mode: str = "rows",
     frame_num: int = 1,
     deblock_idc: int = 1,
+    ref: bool = True,
 ) -> bytes:
     """Native-path equivalent of entropy.packp.pack_pframe (byte-identical)."""
     from ..core.sliceheader import SLICE_P
@@ -311,7 +312,7 @@ def pack_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
-        ).write(w, sps, pps, idr=False)
+        ).write(w, sps, pps, idr=False, ref=ref)
         header_bits = w.bit_length
         w.u((8 - header_bits % 8) % 8, 0)
         header = np.frombuffer(w.get_bytes(), np.uint8)
@@ -325,7 +326,9 @@ def pack_pframe(
         esc = np.empty(int(n) * 3 // 2 + 16, np.uint8)
         m = lib.th264_escape(buf, n, esc, len(esc))
         assert m >= 0
-        out += nal.START_CODE + bytes([(2 << 5) | nal.NAL_SLICE_NON_IDR])
+        out += nal.START_CODE + bytes(
+            [((2 if ref else 0) << 5) | nal.NAL_SLICE_NON_IDR]
+        )
         out += esc[:m].tobytes()
     return bytes(out)
 

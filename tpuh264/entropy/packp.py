@@ -134,6 +134,7 @@ def pack_pframe(
     slice_mode: str = "rows",
     frame_num: int = 1,
     deblock_idc: int = 1,
+    ref: bool = True,
 ) -> bytes:
     """Pack one P-frame's symbol arrays into annex-B slice NALs."""
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -153,11 +154,13 @@ def pack_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
-        ).write(w, sps, pps, idr=False)
+        ).write(w, sps, pps, idr=False, ref=ref)
         pack_pslice(w, nnz, start, count, mbw,
                     mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)
         w.rbsp_trailing_bits()
-        out += nal.wrap_nal(nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2)
+        out += nal.wrap_nal(
+            nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2 if ref else 0
+        )
     return bytes(out)
 
 

@@ -727,9 +727,11 @@ def encode_pframe(
     sps: Optional[SPS] = None,
     pps: Optional[PPS] = None,
     deblock: bool = False,
+    ref: bool = True,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encode one P-frame against reference planes (padded recon of the
-    previous frame).  Returns (annexb bytes, padded recon planes)."""
+    previous frame).  `ref` False marks a non-reference (temporal
+    enhancement layer) picture.  Returns (annexb bytes, recon planes)."""
     height, width = y.shape
     if sps is None:
         sps = SPS.for_size(width, height)
@@ -759,14 +761,16 @@ def encode_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=slice_qp_delta,
             disable_deblocking_filter_idc=idc,
-        ).write(w, sps, pps, idr=False)
+        ).write(w, sps, pps, idr=False, ref=ref)
         skiprun = [0]
         for mby, mbx in mbs:
             _encode_mb_p(w, skiprun, ctx, yp, up, vp, refs, mbx, mby, sid)
         if skiprun[0]:
             w.ue(skiprun[0])
         w.rbsp_trailing_bits()
-        out += nal.wrap_nal(nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2)
+        out += nal.wrap_nal(
+            nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2 if ref else 0
+        )
     if deblock:
         from .deblock import deblock_frame
 
@@ -933,6 +937,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
     refs = None
     sid = 0
     frame_idc = [1]
+    frame_is_ref = [True]
     frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
     def finish_frame():
@@ -954,14 +959,15 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                     ctx.recon_v[: sps.height // 2, : sps.width // 2].copy(),
                 )
             )
-            ry = ctx.recon_y.copy()
-            refs = (
-                ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
-                inter_mod.build_halfpel_planes(ry),
-            )
+            if frame_is_ref[0]:
+                ry = ctx.recon_y.copy()
+                refs = (
+                    ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
+                    inter_mod.build_halfpel_planes(ry),
+                )
             ctx = None
 
-    for _, ntype, rbsp in nal.split_annexb(data):
+    for ridc, ntype, rbsp in nal.split_annexb(data):
         if ntype == nal.NAL_SPS:
             sps = SPS.parse(BitReader(rbsp))
         elif ntype == nal.NAL_PPS:
@@ -970,9 +976,12 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
             assert sps is not None and pps is not None
             mbw, mbh = sps.mb_width, sps.mb_height
             r = BitReader(rbsp)
-            header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
+            header = SliceHeader.parse(
+                r, sps, pps, ntype == nal.NAL_SLICE_IDR, ref=ridc != 0
+            )
             if header.first_mb_in_slice == 0:
                 finish_frame()
+                frame_is_ref[0] = ridc != 0
             if ctx is None:
                 qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
                 ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
@@ -1008,27 +1017,40 @@ def encode_sequence(
     gop: int = 30,
     slice_mode: str = "rows",
     deblock: bool = False,
+    temporal_layers: int = 1,
 ) -> Tuple[bytes, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
-    """Encode a list of (y, u, v) frames as IPPP... with IDR every `gop`."""
+    """Encode (y, u, v) frames as IPPP... with IDR every `gop`.
+
+    temporal_layers=2: odd in-GOP frames are non-reference T1 pictures
+    predicting from the T0 base layer -- dropping every second frame
+    still decodes (the temporal-SVC capability of BASELINE.json config 4,
+    expressed with a single-reference DPB)."""
+    assert temporal_layers in (1, 2)
     out = bytearray()
     recons = []
     refs = None
     sps = pps = None
     for t, (y, u, v) in enumerate(frames):
-        if t % gop == 0 or refs is None:
+        k = t % gop
+        if k == 0 or refs is None:
             data, recon = encode_iframe(
                 y, u, v, qp=qp, slice_mode=slice_mode, frame_num=0,
                 idr=True, include_ps=True, sps=sps, pps=pps, deblock=deblock,
             )
+            is_ref = True
         else:
             if sps is None:
                 sps = SPS.for_size(y.shape[1], y.shape[0])
                 pps = PPS()
+            is_ref = temporal_layers == 1 or (k % 2 == 0)
+            fnum = k if temporal_layers == 1 else (k + 1) // 2
             data, recon = encode_pframe(
                 y, u, v, refs, qp=qp, slice_mode=slice_mode,
-                frame_num=t % gop, sps=sps, pps=pps, deblock=deblock,
+                frame_num=fnum, sps=sps, pps=pps, deblock=deblock,
+                ref=is_ref,
             )
         out += data
         recons.append(recon)
-        refs = recon
+        if is_ref:
+            refs = recon
     return bytes(out), recons
