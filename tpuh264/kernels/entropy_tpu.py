@@ -71,7 +71,7 @@ def _ctx_of(nc):
     )
 
 
-def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
+def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     """Per-block VLC slots.
 
     levels: [..., 16] int32 zigzag coefficients (entries >= maxc are 0);
@@ -175,11 +175,11 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc: int):
     # --- total_zeros ---
     idx_hi = jnp.max(jnp.where(nz, pos, -1), axis=-1)
     tz = idx_hi + 1 - total
-    have_tz = (total > 0) & (total < maxc)
-    if maxc == 4:
-        tz_e = _TZC[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
-    else:
-        tz_e = _TZ[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
+    maxc_arr = jnp.asarray(maxc)
+    have_tz = (total > 0) & (total < maxc_arr)
+    tz_reg = _TZ[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
+    tz_cdc = _TZC[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
+    tz_e = jnp.where(maxc_arr == 4, tz_cdc, tz_reg)
     tz_len = jnp.where(have_tz, tz_e >> 16, 0)[..., None]
     tz_val = jnp.where(have_tz, tz_e & 0xFFFF, 0)[..., None]
 
@@ -396,73 +396,61 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     nc_u = _nc_chroma_grid(nnz_u)
     nc_v = _nc_chroma_grid(nnz_v)
 
-    # ---- chunk strings ----
-    # [0] MB header slots + Intra16x16 DC block
+    # ---- chunk strings: ONE unified coder call over all 27 chunks/MB ----
+    # chunk 0: MB header slots + Intra16x16 DC; 1..16 luma AC (z-order);
+    # 17,18 chroma DC; 19..26 chroma AC (u0..3 v0..3)
     mode = symbols.mode.astype(jnp.int32)
     cmode = symbols.cmode.astype(jnp.int32)
     mb_type = 1 + mode + 4 * cbp_c + 12 * cbp_l
     h1l, h1v = _ue_slot(mb_type)
     h2l, h2v = _ue_slot(cmode)
+
     dc_lv = symbols.luma_dc.astype(jnp.int32)  # [S,R,C,16]
-    dc_sl, dc_sv, _ = block_slots(dc_lv, nc_y[..., 0, 0], 16)
-    hdr_sl = jnp.stack([h1l, h2l, jnp.ones_like(h1l)], axis=-1)
-    hdr_sv = jnp.stack([h1v, h2v, jnp.ones_like(h1v)], axis=-1)
-    dc_hw, dc_bits = pack_slots(
-        jnp.concatenate([hdr_sl, dc_sl], -1),
-        jnp.concatenate([hdr_sv, dc_sv], -1),
-        BLOCK_HW,
-    )
+    ac_vec = _shift_ac(lac[..., 1:]).reshape(s, r, c, 16, 16)
+    ac_vec = ac_vec[..., _BLK_SCAN_RASTER, :]
+    cdc = symbols.chroma_dc.astype(jnp.int32)
+    cdc_vec = jnp.pad(cdc, ((0, 0),) * 4 + ((0, 12),))  # [S,R,C,2,16]
+    cac_vec = _shift_ac(cac).reshape(s, r, c, 8, 16)
 
-    # [1..16] luma AC blocks in z-scan order
-    ac_vec = _shift_ac(lac[..., 1:])  # [S,R,C,4,4,16] position-indexed
-    ac_vec = ac_vec.reshape(s, r, c, 16, 16)[..., _BLK_SCAN_RASTER, :]
+    levels27 = jnp.concatenate(
+        [dc_lv[..., None, :], ac_vec, cdc_vec, cac_vec], axis=-2
+    )  # [S,R,C,27,16]
     nc_flat = nc_y.reshape(s, r, c, 16)[..., _BLK_SCAN_RASTER]
-    ac_sl, ac_sv, _ = block_slots(ac_vec, nc_flat, 15)
-    ac_hw, ac_bits = pack_slots(ac_sl, ac_sv, BLOCK_HW)  # [S,R,C,16,BW]
-    mask = (cbp_l == 1)[..., None]
-    ac_bits = jnp.where(mask, ac_bits, 0)
-    ac_hw = jnp.where(mask[..., None], ac_hw, 0)
-
-    # [17,18] chroma DC blocks (nC = -1)
-    cdc = symbols.chroma_dc.astype(jnp.int32)  # [S,R,C,2,4]
-    cdc_vec = jnp.pad(cdc, ((0, 0),) * 4 + ((0, 12),))
-    ncm1 = jnp.full((s, r, c, 2), -1)
-    cdc_sl, cdc_sv, _ = block_slots(cdc_vec, ncm1, 4)
-    cdc_hw, cdc_bits = pack_slots(cdc_sl, cdc_sv, BLOCK_HW)  # [S,R,C,2,BW]
-    cmask = (cbp_c >= 1)[..., None]
-    cdc_bits = jnp.where(cmask, cdc_bits, 0)
-    cdc_hw = jnp.where(cmask[..., None], cdc_hw, 0)
-
-    # [19..26] chroma AC blocks (u0..3, v0..3; raster within component)
-    cac_vec = _shift_ac(cac)  # [S,R,C,2,4,16]
-    nc_c = jnp.stack(
-        [nc_u.reshape(s, r, c, 4), nc_v.reshape(s, r, c, 4)], axis=-2
-    )  # [S,R,C,2,4]
-    cac_sl, cac_sv, _ = block_slots(cac_vec, nc_c, 15)
-    cac_hw, cac_bits = pack_slots(cac_sl, cac_sv, BLOCK_HW)  # [S,R,C,2,4,BW]
-    amask = (cbp_c == 2)[..., None, None]
-    cac_bits = jnp.where(amask, cac_bits, 0)
-    cac_hw = jnp.where(amask[..., None], cac_hw, 0)
-
-    # ---- per-MB merge: 27 chunks ----
-    chunks_hw = jnp.concatenate(
+    nc27 = jnp.concatenate(
         [
-            dc_hw[..., None, :],
-            ac_hw,
-            cdc_hw,
-            cac_hw.reshape(s, r, c, 8, BLOCK_HW),
+            nc_y[..., 0, 0][..., None],
+            nc_flat,
+            jnp.full((s, r, c, 2), -1),
+            nc_u.reshape(s, r, c, 4),
+            nc_v.reshape(s, r, c, 4),
         ],
-        axis=-2,
-    )  # [S,R,C,27,BW]
-    chunks_bits = jnp.concatenate(
+        axis=-1,
+    )  # [S,R,C,27]
+    maxc27 = jnp.asarray([16] + [15] * 16 + [4, 4] + [15] * 8)
+
+    sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
+    # prepend the 3 MB-header slots to chunk 0 (zero-len slots elsewhere)
+    zeros3 = jnp.zeros((s, r, c, 27, 3), jnp.int32)
+    hdr_l = zeros3.at[..., 0, 0].set(h1l).at[..., 0, 1].set(h2l)                   .at[..., 0, 2].set(1)
+    hdr_v = zeros3.at[..., 0, 0].set(h1v).at[..., 0, 1].set(h2v)                   .at[..., 0, 2].set(1)
+    chunks_hw, chunks_bits = pack_slots(
+        jnp.concatenate([hdr_l, sl27], -1),
+        jnp.concatenate([hdr_v, sv27], -1),
+        BLOCK_HW,
+    )  # [S,R,C,27,BW], [S,R,C,27]
+
+    # presence gating: absent chunks become empty strings
+    present = jnp.concatenate(
         [
-            dc_bits[..., None],
-            ac_bits,
-            cdc_bits,
-            cac_bits.reshape(s, r, c, 8),
+            jnp.ones((s, r, c, 1), bool),
+            jnp.broadcast_to((cbp_l == 1)[..., None], (s, r, c, 16)),
+            jnp.broadcast_to((cbp_c >= 1)[..., None], (s, r, c, 2)),
+            jnp.broadcast_to((cbp_c == 2)[..., None], (s, r, c, 8)),
         ],
         axis=-1,
     )
+    chunks_bits = jnp.where(present, chunks_bits, 0)
+    chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
     mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_HW)  # [S,R,C,MBW]
     overflow = jnp.any(mb_bits > 16 * MB_HW)
 
