@@ -79,7 +79,11 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     Returns (slot_len [..., NSLOT], slot_val [..., NSLOT]) ints, slots all
     <= 16 bits, plus per-block total_coeff for nnz bookkeeping.
     """
-    lv = levels.astype(jnp.int32)
+    lead_shape = levels.shape[:-1]
+    lv = levels.astype(jnp.int32).reshape(-1, 16)  # flat lanes: full VPU rows
+    nc = jnp.asarray(nc).reshape(-1)
+    if not isinstance(maxc, int):
+        maxc = jnp.broadcast_to(jnp.asarray(maxc), lead_shape).reshape(-1)
     nz = lv != 0
     absd = jnp.abs(lv)
     total = nz.sum(-1)
@@ -167,7 +171,7 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
         )
         return sl, (slot_l, slot_v)
 
-    _, (lv_l, lv_v) = jax.lax.scan(level_step, sl0, xs)
+    _, (lv_l, lv_v) = jax.lax.scan(level_step, sl0, xs, unroll=16)
     # [16, ..., 3] (descending j) -> [..., 48] in emission order
     lev_len = jnp.moveaxis(lv_l, 0, -2).reshape(*lv.shape[:-1], 48)
     lev_val = jnp.moveaxis(lv_v, 0, -2).reshape(*lv.shape[:-1], 48)
@@ -212,7 +216,12 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
 
     slot_len = jnp.concatenate([tok_len, lev_len, tz_len, run_len], axis=-1)
     slot_val = jnp.concatenate([tok_val, lev_val, tz_val, run_val], axis=-1)
-    return slot_len, slot_val, total
+    ns = slot_len.shape[-1]
+    return (
+        slot_len.reshape(*lead_shape, ns),
+        slot_val.reshape(*lead_shape, ns),
+        total.reshape(lead_shape),
+    )
 
 
 def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
@@ -224,6 +233,8 @@ def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
     """
     ns = slot_len.shape[-1]
     lead = slot_len.shape[:-1]
+    slot_len = slot_len.reshape(-1, ns)
+    slot_val = slot_val.reshape(-1, ns)
 
     def body(k, state):
         acc, nbits, hwidx, out = state
@@ -249,17 +260,24 @@ def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
             acc = jnp.where(do, acc & ((1 << nbits) - 1), acc)
         return acc, nbits, hwidx, out
 
-    acc0 = jnp.zeros(lead, jnp.int32)
-    nb0 = jnp.zeros(lead, jnp.int32)
-    hw0 = jnp.zeros(lead, jnp.int32)
-    out0 = jnp.zeros((*lead, n_hw), jnp.int32)
-    acc, nbits, hwidx, out = jax.lax.fori_loop(0, ns, body, (acc0, nb0, hw0, out0))
+    n_flat = slot_len.shape[0]
+    acc0 = jnp.zeros(n_flat, jnp.int32)
+    nb0 = jnp.zeros(n_flat, jnp.int32)
+    hw0 = jnp.zeros(n_flat, jnp.int32)
+    out0 = jnp.zeros((n_flat, n_hw), jnp.int32)
+
+    def scan_body(state, k):
+        return body(k, state), None
+
+    (acc, nbits, hwidx, out), _ = jax.lax.scan(
+        scan_body, (acc0, nb0, hw0, out0), jnp.arange(ns), unroll=8
+    )
     # final partial halfword (left-aligned within its 16 bits)
     hw = ((acc << (16 - nbits)) & 0xFFFF).astype(jnp.int32)
     onehot = jnp.arange(n_hw) == jnp.clip(hwidx, 0, n_hw - 1)[..., None]
     out = out + jnp.where((nbits > 0)[..., None] & onehot, hw[..., None], 0)
     bitlen = 16 * hwidx + nbits
-    return out, bitlen
+    return out.reshape(*lead, n_hw), bitlen.reshape(lead)
 
 
 def merge_strings(a, la, b, lb, n_out: int):
