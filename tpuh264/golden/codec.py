@@ -129,6 +129,8 @@ class _MBContext:
     # inter state (P slices)
     mv: np.ndarray = None      # (mbh, mbw, 2) quarter-pel MVs
     kind: np.ndarray = None    # (mbh, mbw) inter.MB_SKIP/INTER/INTRA
+    i4modes: np.ndarray = None  # (4*mbh, 4*mbw) I4x4 modes, -1 = n/a
+    intra44: bool = False
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
@@ -144,6 +146,7 @@ def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
         qpc=qpc,
         mv=np.zeros((mbh, mbw, 2), np.int32),
         kind=np.full((mbh, mbw), 2, np.int32),
+        i4modes=np.full((4 * mbh, 4 * mbw), -1, np.int32),
     )
 
 
@@ -206,6 +209,12 @@ def _encode_mb(
         if best_cost is None or cost < best_cost:
             best_mode, best_pred, best_cost = mode, p, cost
     pred = best_pred
+
+    if getattr(ctx, "intra44", False):
+        sad44, _, _, _, _ = _code_i44_luma(ctx, y, mbx, mby, sid, False)
+        if sad44 < best_cost:
+            _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid)
+            return
 
     # --- luma transform & quant ---
     resid = src - pred
@@ -302,6 +311,7 @@ def encode_iframe(
     sps: Optional[SPS] = None,
     pps: Optional[PPS] = None,
     deblock: bool = False,
+    intra44: bool = False,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encode one I-frame.  Returns (annexb bytes, padded recon planes)."""
     height, width = y.shape
@@ -313,6 +323,7 @@ def encode_iframe(
     yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
 
     ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
+    ctx.intra44 = intra44
 
     out = bytearray()
     if include_ps:
@@ -368,6 +379,9 @@ def _decode_mb(
 ) -> None:
     qp, qpc = ctx.qp, ctx.qpc
     mb_type = r.ue()
+    if mb_type == 0:
+        _decode_i44_mb(r, ctx, mbx, mby, sid)
+        return
     if not 1 <= mb_type <= 24:
         raise NotImplementedError(f"mb_type {mb_type}")
     t = mb_type - 1
@@ -1054,3 +1068,263 @@ def encode_sequence(
         if is_ref:
             refs = recon
     return bytes(out), recons
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 macroblocks (H.264 8.3.1): 9-mode 4x4 prediction with causal
+# in-MB reconstruction, prev_intra4x4_pred_mode signaling, Table 9-4 CBP.
+# ---------------------------------------------------------------------------
+
+from ..entropy.cavlc_tables import CBP_INTRA, CBP_INTRA_INV  # noqa: E402
+from . import intra44 as i44  # noqa: E402
+
+
+def _i44_neighbors(ctx, gbx, gby, sid):
+    """Neighbor samples for the 4x4 block at global block coords."""
+    mbw = ctx.slice_id.shape[1]
+    y0, x0 = 4 * gby, 4 * gbx
+
+    def mb_ok(bx, by):
+        if bx < 0 or by < 0 or bx >= 4 * mbw:
+            return False
+        return ctx.slice_id[by // 4, bx // 4] == sid or (
+            bx // 4 == gbx // 4 and by // 4 == gby // 4
+        )
+
+    left_ok = gbx > 0 and mb_ok(gbx - 1, gby)
+    top_ok = gby > 0 and mb_ok(gbx, gby - 1)
+    # top-right: causal availability (z-scan within MB, raster across MBs)
+    tr_ok = False
+    if gby > 0 and gbx + 1 < 4 * mbw:
+        nbx, nby = gbx + 1, gby - 1
+        if nby // 4 < gby // 4:  # in the MB row above
+            tr_ok = mb_ok(nbx, nby)
+        elif nbx // 4 > gbx // 4:  # top-right MB on the same row: future
+            tr_ok = False
+        else:  # same MB: must precede in z-scan
+            a = BLK_SCAN.index((gbx % 4, gby % 4))
+            b = BLK_SCAN.index((nbx % 4, nby % 4))
+            tr_ok = b < a
+    L = ctx.recon_y[y0 : y0 + 4, x0 - 1] if left_ok else np.zeros(4, np.int32)
+    T = ctx.recon_y[y0 - 1, x0 : x0 + 4] if top_ok else np.zeros(4, np.int32)
+    if tr_ok:
+        TR = ctx.recon_y[y0 - 1, x0 + 4 : x0 + 8].copy()
+        if TR.shape[0] < 4:  # frame edge: replicate last available
+            TR = np.pad(TR, (0, 4 - TR.shape[0]), mode="edge")
+    elif top_ok:
+        TR = np.full(4, int(T[3]), np.int32)
+    else:
+        TR = np.zeros(4, np.int32)
+    X = (
+        int(ctx.recon_y[y0 - 1, x0 - 1])
+        if (left_ok and top_ok)
+        else 0
+    )
+    return L, T, TR, X, left_ok, top_ok
+
+
+def _i44_pred_mode(i4modes, gbx, gby, left_ok, top_ok):
+    ma = i4modes[gby, gbx - 1] if left_ok else -1
+    mb = i4modes[gby - 1, gbx] if top_ok else -1
+    ma = 2 if ma < 0 else ma
+    mb = 2 if mb < 0 else mb
+    if not left_ok or not top_ok:
+        return 2
+    return min(ma, mb)
+
+
+def _code_i44_luma(ctx, y, mbx, mby, sid, commit: bool):
+    """Trial/commit the causal I4x4 luma loop; returns (sad, modes, coeffs,
+    cbp_luma, recon_mb).  When commit=False, state is restored."""
+    qp = ctx.qp
+    y0, x0 = 16 * mby, 16 * mbx
+    save = ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16].copy()
+    modes = np.zeros(16, np.int32)
+    coeffs = np.zeros((16, 16), np.int32)  # zigzag per block, scan order
+    sad = 0
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        L, T, TR, X, l_ok, t_ok = _i44_neighbors(ctx, gbx, gby, sid)
+        src = y[4 * gby : 4 * gby + 4, 4 * gbx : 4 * gbx + 4]
+        best_m, best_p, best_c = None, None, None
+        for m in i44.available_modes(l_ok, t_ok):
+            p = i44.pred4(m, L, T, TR, X, l_ok, t_ok)
+            c = int(np.abs(src - p).sum())
+            if best_c is None or c < best_c:
+                best_m, best_p, best_c = m, p, c
+        sad += best_c
+        modes[bi] = best_m
+        w4 = forward4x4(src - best_p)
+        q = quant4x4(w4, qp, intra=True)
+        coeffs[bi] = zigzag(q)
+        d = dequant4x4(inverse_zigzag(coeffs[bi]), qp)
+        rec = idct_add(best_p, d)
+        ctx.recon_y[4 * gby : 4 * gby + 4, 4 * gbx : 4 * gbx + 4] = rec
+    cbp = 0
+    for i8 in range(4):
+        if any(np.any(coeffs[b]) for b in range(4 * i8, 4 * i8 + 4)):
+            cbp |= 1 << i8
+    if not commit:
+        ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = save
+    else:
+        # re-run reconstruction honoring cbp gating (dropped 8x8s are all
+        # zero by construction, so recon is already correct)
+        pass
+    rec_mb = ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16].copy() if commit else None
+    return sad, modes, coeffs, cbp, rec_mb
+
+
+def _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=False):
+    """Encode one I_4x4 macroblock (luma loop already committed)."""
+    qp, qpc = ctx.qp, ctx.qpc
+    _, modes, coeffs, cbp_l, _ = _code_i44_luma(ctx, y, mbx, mby, sid, True)
+
+    # chroma (same machinery as I16x16)
+    best_cmode, (predu, predv) = _chroma_decide(ctx, u, v, mbx, mby, sid)
+    c0, cx0 = 8 * mby, 8 * mbx
+    srcu = u[c0 : c0 + 8, cx0 : cx0 + 8]
+    srcv = v[c0 : c0 + 8, cx0 : cx0 + 8]
+
+    def chroma_fwd(srcc, predc):
+        wc = forward4x4(plane_to_blocks4(srcc - predc))
+        dcc = quant_chroma_dc(hadamard2x2(wc[..., 0, 0]), qpc, intra=True)
+        acc = zigzag(quant4x4(wc, qpc, intra=True))[..., 1:]
+        return dcc, acc
+
+    dcu, acu = chroma_fwd(srcu, predu)
+    dcv, acv = chroma_fwd(srcv, predv)
+    any_ac = bool(np.any(acu)) or bool(np.any(acv))
+    any_dc = bool(np.any(dcu)) or bool(np.any(dcv))
+    cbp_c = 2 if any_ac else (1 if any_dc else 0)
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu.reshape(4), acu, qpc, cbp_c
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv.reshape(4), acv, qpc, cbp_c
+    )
+
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+
+    # --- syntax ---
+    w.ue(5 if in_p_slice else 0)  # mb_type I_NxN
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        l_ok = gbx > 0 and (bx > 0 or left_ok)
+        t_ok = gby > 0 and (by > 0 or top_ok)
+        pm = _i44_pred_mode(ctx.i4modes, gbx, gby, l_ok, t_ok)
+        m = int(modes[bi])
+        if m == pm:
+            w.u(1, 1)
+        else:
+            w.u(1, 0)
+            w.u(3, m if m < pm else m - 1)
+        ctx.i4modes[gby, gbx] = m
+    w.ue(best_cmode)
+    w.ue(CBP_INTRA_INV[cbp_l | (cbp_c << 4)])
+    if cbp_l or cbp_c:
+        w.se(0)  # mb_qp_delta
+    for i8 in range(4):
+        if cbp_l >> i8 & 1:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+                encode_residual_block(w, coeffs[b].tolist(), ncb, 16)
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                    np.count_nonzero(coeffs[b])
+                )
+        else:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = 0
+    _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_c,
+                           dcu, dcv, acu, acv)
+    ctx.slice_id[mby, mbx] = sid
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+
+
+def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
+    qp, qpc = ctx.qp, ctx.qpc
+    left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
+    top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+
+    modes = np.zeros(16, np.int32)
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        l_ok = gbx > 0 and (bx > 0 or left_ok)
+        t_ok = gby > 0 and (by > 0 or top_ok)
+        pm = _i44_pred_mode(ctx.i4modes, gbx, gby, l_ok, t_ok)
+        if r.u(1):
+            m = pm
+        else:
+            rem = r.u(3)
+            m = rem if rem < pm else rem + 1
+        modes[bi] = m
+        ctx.i4modes[gby, gbx] = m
+    cmode = r.ue()
+    cbp = CBP_INTRA[r.ue()]
+    cbp_l = cbp & 15
+    cbp_c = cbp >> 4
+    if cbp:
+        r.se()  # mb_qp_delta
+
+    coeffs = np.zeros((16, 16), np.int32)
+    for i8 in range(4):
+        if cbp_l >> i8 & 1:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+                coeffs[b] = decode_residual_block(r, ncb, 16)
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                    np.count_nonzero(coeffs[b])
+                )
+        else:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = 0
+
+    dcu = np.zeros(4, np.int32)
+    dcv = np.zeros(4, np.int32)
+    acu = np.zeros((2, 2, 15), np.int32)
+    acv = np.zeros((2, 2, 15), np.int32)
+    if cbp_c:
+        dcu = np.array(decode_residual_block(r, -1, 4), np.int32)
+        dcv = np.array(decode_residual_block(r, -1, 4), np.int32)
+    if cbp_c == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                ac[by, bx] = decode_residual_block(r, ncb, 15)
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(
+                    np.count_nonzero(ac[by, bx])
+                )
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    # causal reconstruction
+    ctx.slice_id[mby, mbx] = sid  # in-MB neighbor checks
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        L, T, TR, X, l_ok, t_ok = _i44_neighbors(ctx, gbx, gby, sid)
+        p = i44.pred4(int(modes[bi]), L, T, TR, X, l_ok, t_ok)
+        d = dequant4x4(inverse_zigzag(coeffs[bi]), qp)
+        ctx.recon_y[4 * gby : 4 * gby + 4, 4 * gbx : 4 * gbx + 4] = idct_add(
+            p, d
+        )
+
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    predu = intra.pred8(cmode, topu, leftu, corneru, top_ok, left_ok)
+    predv = intra.pred8(cmode, topv, leftv, cornerv, top_ok, left_ok)
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu, acu, qpc, cbp_c
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv, acv, qpc, cbp_c
+    )
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
