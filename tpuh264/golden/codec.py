@@ -212,7 +212,10 @@ def _encode_mb(
 
     if getattr(ctx, "intra44", False):
         sad44, _, _, _, _ = _code_i44_luma(ctx, y, mbx, mby, sid, False)
-        if sad44 < best_cost:
+        # Lagrangian mode bias: I_4x4 spends ~4 extra signaling bits per
+        # 4x4 block; lambda_SAD ~ 0.92 * 2^((QP-12)/6) (JM convention)
+        lam = 0.92 * 2.0 ** ((qp - 12) / 6.0)
+        if sad44 + int(lam * 64) < best_cost:
             _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid)
             return
 
