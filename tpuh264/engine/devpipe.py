@@ -150,15 +150,81 @@ class DevicePipeline:
         self.stats.on_decode(cfg.streams, (t_tpu - t_in) * 1e3)
         self.frame_index += 1
 
+    def _dispatch(self, qp: int):
+        """Issue one frame's device program without synchronizing."""
+        if self._hdr is None:
+            self._hdr = device_pack.slice_headers_device(
+                self.sps, self.pps, qp, 0, True, 1
+            )
+        hdr_hw, hdr_len = self._hdr
+        out = self._step(
+            jnp.int32(self.frame_index), jnp.int32(qp), hdr_hw, hdr_len
+        )
+        self.frame_index += 1
+        self.stats.on_input()
+        return out
+
+    def _retire(self, handles, qp: int) -> None:
+        """Consume a dispatched frame: metadata sync + wire bitstream."""
+        frame_hw, meta_dev = handles
+        meta = np.asarray(meta_dev)
+        s = 1
+        r = self.h16 // 16
+        if meta[0]:
+            raise RuntimeError("device entropy overflow (host fallback TBD)")
+        nbits = meta[1 : 1 + s]
+        sbytes = meta[1 + s : 1 + s + s * r].reshape(s, r)
+        sse = meta[1 + s + s * r :].view(np.float32)
+        n_hw = (int(nbits[0]) + 15) // 16
+        bucket = 1 << 17
+        n_slice = min(frame_hw.shape[-1], -(-n_hw // bucket) * bucket)
+        hw = np.asarray(frame_hw[0, :n_slice])[:n_hw].astype(np.uint16)
+        payload = hw.astype(">u2").tobytes()[: int(nbits[0]) // 8]
+        esc = (
+            entropy_native.escape_rbsp
+            if entropy_native.available()
+            else nal.escape_rbsp
+        )
+        w = BitWriter()
+        self.sps.write(w)
+        out = bytearray(nal.wrap_nal(nal.NAL_SPS, w.get_bytes()))
+        w = BitWriter()
+        self.pps.write(w)
+        out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+        hdr_byte = bytes([(3 << 5) | nal.NAL_SLICE_IDR])
+        off = 0
+        for i in range(r):
+            nb = int(sbytes[0, i])
+            out += nal.START_CODE + hdr_byte + esc(payload[off : off + nb])
+            off += nb
+        self.last_stream = bytes(out)
+        mse = float(sse[0]) / (self.w16 * self.h16)
+        self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        self.stats.on_encode(1, 0.0, 0.0, 0.0, len(self.last_stream))
+        self.stats.on_decode(self.config.streams, 0.0)
+
     def run(self, duration_s: float = 5.0, warmup: int = 3) -> Dict[str, float]:
+        """Measurement loop with one-frame-deep software pipelining: the
+        host retires frame t (metadata sync, payload download, escaping,
+        NAL framing) while the device executes frame t+1 -- the TPU
+        expression of the reference's triple-buffered readback
+        (app.js:528-588)."""
+        qp = self.config.qp if self.config.qp is not None else 32
         for _ in range(warmup):
             self.pump_frame()
         self.stats.snapshot(self.config.streams)
         n = 0
         t0 = time.perf_counter()
         deadline = t0 + duration_s
+        pending = None
         while time.perf_counter() < deadline:
-            self.pump_frame()
+            handles = self._dispatch(qp)
+            if pending is not None:
+                self._retire(pending, qp)
+                n += 1
+            pending = handles
+        if pending is not None:
+            self._retire(pending, qp)
             n += 1
         wall = time.perf_counter() - t0
         snap = self.stats.snapshot(self.config.streams)
