@@ -61,7 +61,7 @@ class DevicePipeline:
         def step(t, qp, hdr_hw, hdr_len):
             y, u, v = source(t)
             symbols, recon = iframe.encode_iframe_rows(y, u, v, qp)
-            frame_hw, frame_bits, slice_bytes, ovf = (
+            slice_hw, slice_bytes, ovf = (
                 entropy_tpu.encode_bits_iframe(symbols, qp, hdr_hw, hdr_len)
             )
             tiled = iframe.MBSymbols(
@@ -76,14 +76,13 @@ class DevicePipeline:
             meta = jnp.concatenate(
                 [
                     ovf.astype(jnp.int32).reshape(1),
-                    frame_bits.reshape(-1),
                     slice_bytes.reshape(-1),
                     jax.lax.bitcast_convert_type(
                         sse.astype(jnp.float32), jnp.int32
                     ).reshape(-1),
                 ]
             )
-            return frame_hw, meta
+            return slice_hw, meta
 
         return step
 
@@ -98,47 +97,21 @@ class DevicePipeline:
         hdr_hw, hdr_len = self._hdr
         self.stats.on_input()
 
-        frame_hw, meta_dev = self._step(
+        slice_hw, meta_dev = self._step(
             jnp.int32(self.frame_index), jnp.int32(qp), hdr_hw, hdr_len
         )
         meta = np.asarray(meta_dev)  # transfer 1 (syncs the dispatch)
         t_tpu = time.perf_counter()
 
-        s = 1
         r = self.h16 // 16
-        nbits = meta[1 : 1 + s]
-        sbytes = meta[1 + s : 1 + s + s * r].reshape(s, r)
-        sse = meta[1 + s + s * r :].view(np.float32)
+        sbytes = meta[1 : 1 + r]
+        sse = meta[1 + r :].view(np.float32)
 
         nbytes = 0
         if emit_bitstream:
             if meta[0]:
                 raise RuntimeError("device entropy overflow (host fallback TBD)")
-            n_hw = (int(nbits[0]) + 15) // 16
-            # fixed-size bucket slice: a shape-varying slice would trigger
-            # a fresh XLA compile (~1 s) every frame
-            bucket = 1 << 17  # 256 KB of halfwords
-            n_slice = min(frame_hw.shape[-1], -(-n_hw // bucket) * bucket)
-            hw = np.asarray(frame_hw[0, :n_slice])[:n_hw].astype(np.uint16)
-            payload = hw.astype(">u2").tobytes()[: int(nbits[0]) // 8]
-            esc = (
-                entropy_native.escape_rbsp
-                if entropy_native.available()
-                else nal.escape_rbsp
-            )
-            w = BitWriter()
-            self.sps.write(w)
-            out = bytearray(nal.wrap_nal(nal.NAL_SPS, w.get_bytes()))
-            w = BitWriter()
-            self.pps.write(w)
-            out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
-            hdr_byte = bytes([(3 << 5) | nal.NAL_SLICE_IDR])
-            off = 0
-            for i in range(r):
-                n = int(sbytes[0, i])
-                out += nal.START_CODE + hdr_byte + esc(payload[off : off + n])
-                off += n
-            self.last_stream = bytes(out)
+            self._assemble(slice_hw, sbytes)
             nbytes = len(self.last_stream)
         t_done = time.perf_counter()
 
@@ -164,22 +137,18 @@ class DevicePipeline:
         self.stats.on_input()
         return out
 
-    def _retire(self, handles, qp: int) -> None:
-        """Consume a dispatched frame: metadata sync + wire bitstream."""
-        frame_hw, meta_dev = handles
-        meta = np.asarray(meta_dev)
-        s = 1
+    def _assemble(self, slice_hw, sbytes) -> None:
+        """Download the bucketed per-slice payload slab and frame NALs.
+
+        Column bucketing (1024-halfword granularity, sized by the fattest
+        slice) keeps the compiled device slice shape stable across frames
+        while downloading ~the compressed payload, as uint16."""
         r = self.h16 // 16
-        if meta[0]:
-            raise RuntimeError("device entropy overflow (host fallback TBD)")
-        nbits = meta[1 : 1 + s]
-        sbytes = meta[1 + s : 1 + s + s * r].reshape(s, r)
-        sse = meta[1 + s + s * r :].view(np.float32)
-        n_hw = (int(nbits[0]) + 15) // 16
-        bucket = 1 << 17
-        n_slice = min(frame_hw.shape[-1], -(-n_hw // bucket) * bucket)
-        hw = np.asarray(frame_hw[0, :n_slice])[:n_hw].astype(np.uint16)
-        payload = hw.astype(">u2").tobytes()[: int(nbits[0]) // 8]
+        n_cols = min(
+            slice_hw.shape[-1],
+            -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024,
+        )
+        slab = np.asarray(slice_hw[0, :, :n_cols]).astype(">u2")
         esc = (
             entropy_native.escape_rbsp
             if entropy_native.available()
@@ -192,12 +161,21 @@ class DevicePipeline:
         self.pps.write(w)
         out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
         hdr_byte = bytes([(3 << 5) | nal.NAL_SLICE_IDR])
-        off = 0
         for i in range(r):
-            nb = int(sbytes[0, i])
-            out += nal.START_CODE + hdr_byte + esc(payload[off : off + nb])
-            off += nb
+            rbsp = slab[i].tobytes()[: int(sbytes[i])]
+            out += nal.START_CODE + hdr_byte + esc(rbsp)
         self.last_stream = bytes(out)
+
+    def _retire(self, handles, qp: int) -> None:
+        """Consume a dispatched frame: metadata sync + wire bitstream."""
+        slice_hw, meta_dev = handles
+        meta = np.asarray(meta_dev)
+        r = self.h16 // 16
+        if meta[0]:
+            raise RuntimeError("device entropy overflow (host fallback TBD)")
+        sbytes = meta[1 : 1 + r]
+        sse = meta[1 + r :].view(np.float32)
+        self._assemble(slice_hw, sbytes)
         mse = float(sse[0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
         self.stats.on_encode(1, 0.0, 0.0, 0.0, len(self.last_stream))

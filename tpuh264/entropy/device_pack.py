@@ -17,21 +17,30 @@ import functools
 from ..core import nal
 from ..core.bitstream import BitWriter
 from ..core.params import PPS, SPS
-from ..core.sliceheader import SLICE_I, SliceHeader
+from ..core.sliceheader import SLICE_I, SLICE_P, SliceHeader
 from ..kernels import entropy_tpu
 
 _HDR_CACHE = {}
 
 
 def slice_headers_device(
-    sps: SPS, pps: PPS, qp: int, frame_num: int, idr: bool, s: int
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    frame_num: int,
+    idr: bool,
+    s: int,
+    slice_type: int = SLICE_I,
+    ref: bool = True,
+    deblock_idc: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(stream, row) slice-header bit strings as device arrays.
 
     Cached per config: headers are constant for a given
-    (dims, qp, frame_num, idr, s), so the upload happens once."""
+    (dims, qp, frame_num, idr, type, ref, idc, s), so the upload happens
+    once per configuration."""
     key = (sps.mb_width, sps.mb_height, qp, frame_num, idr, s,
-           pps.pic_init_qp_minus26)
+           pps.pic_init_qp_minus26, slice_type, ref, deblock_idc)
     hit = _HDR_CACHE.get(key)
     if hit is not None:
         return hit
@@ -42,10 +51,11 @@ def slice_headers_device(
         w = BitWriter()
         SliceHeader(
             first_mb_in_slice=r * mbw,
-            slice_type=SLICE_I,
-            frame_num=frame_num,
+            slice_type=slice_type,
+            frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
-        ).write(w, sps, pps, idr)
+            disable_deblocking_filter_idc=deblock_idc,
+        ).write(w, sps, pps, idr, ref=ref)
         bits = w.bit_length
         w.u((16 - bits % 16) % 16, 0)
         data = np.frombuffer(w.get_bytes(), np.uint8).astype(np.int32)
@@ -73,23 +83,21 @@ def assemble_iframe(
     """
     s = int(symbols.mode.shape[0])
     hdr_hw, hdr_len = slice_headers_device(sps, pps, qp, frame_num, idr, s)
-    frame_hw, frame_bits, slice_bytes, overflow = entropy_tpu.encode_bits_iframe(
+    slice_hw, slice_bytes, overflow = entropy_tpu.encode_bits_iframe(
         symbols, jnp.int32(qp), hdr_hw, hdr_len
     )
-    # one fused metadata download (overflow flag + bit lengths + slice sizes)
+    # one fused metadata download (overflow flag + slice sizes)
     meta = np.asarray(
         jnp.concatenate(
             [
                 overflow.astype(jnp.int32).reshape(1),
-                frame_bits.reshape(-1),
                 slice_bytes.reshape(-1),
             ]
         )
     )
     if meta[0]:
         return None, True
-    nbits = meta[1 : 1 + s]
-    sbytes = meta[1 + s :].reshape(s, -1)
+    sbytes = meta[1:].reshape(s, -1)
 
     prefix = b""
     if include_ps:
@@ -110,17 +118,72 @@ def assemble_iframe(
     ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
     header_byte = bytes([(3 << 5) | ntype])
 
+    # bucketed column slice: covers the fattest slice, fixed granularity
+    # so the download shape (and its compiled slice) stays stable
+    n_cols = min(
+        entropy_tpu.SLICE_HW, -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024
+    )
+    slab = np.asarray(slice_hw[:, :, :n_cols]).astype(">u2")  # [S, R, n_cols]
     streams = []
     for i in range(s):
-        n_hw = (int(nbits[i]) + 15) // 16
-        hw = np.asarray(frame_hw[i, :n_hw]).astype(np.uint16)
-        payload = hw.astype(">u2").tobytes()[: int(nbits[i]) // 8]
         out = bytearray(prefix)
-        off = 0
         for r in range(sps.mb_height):
-            n = int(sbytes[i, r])
-            rbsp = payload[off : off + n]
-            off += n
+            rbsp = slab[i, r].tobytes()[: int(sbytes[i, r])]
+            out += nal.START_CODE + header_byte + esc(rbsp)
+        streams.append(bytes(out))
+    return streams, False
+
+
+def assemble_pframe(
+    symbols,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    frame_num: int = 1,
+    ref: bool = True,
+    deblock_idc: int = 1,
+):
+    """MBSymbolsP (device, S streams) -> list of per-stream annex-B bytes.
+
+    Byte-identical to entropy.packp.pack_pframe (slice NALs only).
+    Returns (streams list, overflowed bool)."""
+    s = int(symbols.kind.shape[0])
+    hdr_hw, hdr_len = slice_headers_device(
+        sps, pps, qp, frame_num, False, s,
+        slice_type=SLICE_P, ref=ref, deblock_idc=deblock_idc,
+    )
+    slice_hw, slice_bytes, overflow = entropy_tpu.encode_bits_pframe(
+        symbols, jnp.int32(qp), hdr_hw, hdr_len
+    )
+    meta = np.asarray(
+        jnp.concatenate(
+            [
+                overflow.astype(jnp.int32).reshape(1),
+                slice_bytes.reshape(-1),
+            ]
+        )
+    )
+    if meta[0]:
+        return None, True
+    sbytes = meta[1:].reshape(s, -1)
+
+    from . import native as entropy_native
+
+    esc = (
+        entropy_native.escape_rbsp
+        if entropy_native.available()
+        else nal.escape_rbsp
+    )
+    header_byte = bytes([((2 if ref else 0) << 5) | nal.NAL_SLICE_NON_IDR])
+    n_cols = min(
+        entropy_tpu.SLICE_HW, -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024
+    )
+    slab = np.asarray(slice_hw[:, :, :n_cols]).astype(">u2")
+    streams = []
+    for i in range(s):
+        out = bytearray()
+        for r in range(sps.mb_height):
+            rbsp = slab[i, r].tobytes()[: int(sbytes[i, r])]
             out += nal.START_CODE + header_byte + esc(rbsp)
         streams.append(bytes(out))
     return streams, False

@@ -53,6 +53,10 @@ _TZC = jnp.asarray(
     )
 )                                                 # [3,4]
 _RB = jnp.asarray(tbl.run_before_dense())         # [7,15]
+# coded_block_pattern ue symbol, indexed cbp_luma | cbp_chroma << 4
+_CBP_INTER_INV = jnp.asarray(
+    np.array([tbl.CBP_INTER_INV[i] for i in range(48)], np.int32)
+)
 # lower-triangular-inclusive matrix: (x @ _TRI16)[j] = sum_{k<=j} x[k]
 _TRI16 = jnp.asarray(np.tril(np.ones((16, 16), np.int32)).T)
 
@@ -62,6 +66,25 @@ def _ue_slot(v):
     code = v + 1
     nbits = 32 - jax.lax.clz(code.astype(jnp.int32))
     return 2 * nbits - 1, code
+
+
+def _sel2(table, i, j):
+    """Gather-free 2-D table lookup: table [n0, n1], traced indices i, j.
+
+    Per-lane gathers lower to the TPU scalar path (milliseconds per frame
+    at these lane counts); for small VLC tables a one-hot select
+    reduction is hundreds of times cheaper and fuses with its consumers.
+    """
+    n0, n1 = table.shape
+    rows = jnp.sum(
+        jnp.where(
+            (i[..., None] == jnp.arange(n0))[..., None], table, 0
+        ),
+        axis=-2,
+    )  # [..., n1]
+    return jnp.sum(
+        jnp.where(j[..., None] == jnp.arange(n1), rows, 0), axis=-1
+    )
 
 
 def _ctx_of(nc):
@@ -106,21 +129,14 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     is_t1 = nz & (pos > last_big[..., None]) & (above < t1[..., None])
 
     ctx = _ctx_of(nc)
-    tok = _CT[ctx, total, t1]
+    tok = _sel2(_CT.reshape(5 * 17, 4), ctx * 17 + total, t1)
     tok_len = (tok >> 16)[..., None]
     tok_val = (tok & 0xFFFF)[..., None]
 
-    # --- per-position (descending) sign / level slots, via lax.scan ---
-    # only the suffix-length chain is sequential; everything else is data
-    desc16 = jnp.arange(15, -1, -1)
-
-    def to_scan(x):
-        return jnp.moveaxis(x[..., desc16], -1, 0)  # [16, ...] descending j
-
-    xs = (
-        to_scan(lv), to_scan(absd), to_scan(nz & ~is_t1), to_scan(is_t1),
-        to_scan(above),
-    )
+    # --- per-position (descending) sign / level slots ---
+    # only the suffix-length chain is sequential; everything else is data.
+    # statically unrolled (16 steps): a lax.scan here spends ~25% of the
+    # stage in dynamic-slice/update framing around a tiny body
     sl0 = jnp.where((total > 10) & (t1 < 3), 1, 0)
 
     def level_step(sl, x):
@@ -165,24 +181,43 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
             (a > (3 << (new_sl - 1))) & (new_sl < 6), new_sl + 1, new_sl
         )
         sl = jnp.where(active, new_sl, sl)
-        slot_l = jnp.stack([zhi, tail_len, jnp.where(active, sufl, 0)], -1)
-        slot_v = jnp.stack(
-            [jnp.zeros_like(zhi), tail_val, jnp.where(active, sufv, 0)], -1
+        return sl, (
+            zhi, tail_len, jnp.where(active, sufl, 0),
+            tail_val, jnp.where(active, sufv, 0),
         )
-        return sl, (slot_l, slot_v)
 
-    _, (lv_l, lv_v) = jax.lax.scan(level_step, sl0, xs, unroll=16)
-    # [16, ..., 3] (descending j) -> [..., 48] in emission order
-    lev_len = jnp.moveaxis(lv_l, 0, -2).reshape(*lv.shape[:-1], 48)
-    lev_val = jnp.moveaxis(lv_v, 0, -2).reshape(*lv.shape[:-1], 48)
+    # statically unrolled; each step returns flat [lanes] vectors which
+    # are stacked ONCE afterwards ([lanes, 3]-shaped per-step outputs pad
+    # to full 128-lane tiles and cost ~7 ms/frame in partial-tile writes)
+    active16 = nz & ~is_t1
+    sl = sl0
+    cols = [[], [], [], [], []]
+    for j in range(15, -1, -1):
+        sl, outs = level_step(
+            sl,
+            (lv[..., j], absd[..., j], active16[..., j], is_t1[..., j],
+             above[..., j]),
+        )
+        for acc, o in zip(cols, outs):
+            acc.append(o)
+    zhi16, tlen16, slen16, tval16, sval16 = (
+        jnp.stack(acc, axis=-1) for acc in cols
+    )  # [lanes, 16] each, descending j
+    # emission order is (zhi, tail, suffix) per position -> [lanes, 16, 3]
+    lev_len = jnp.stack([zhi16, tlen16, slen16], axis=-1).reshape(
+        *lv.shape[:-1], 48
+    )
+    lev_val = jnp.stack(
+        [jnp.zeros_like(zhi16), tval16, sval16], axis=-1
+    ).reshape(*lv.shape[:-1], 48)
 
     # --- total_zeros ---
     idx_hi = jnp.max(jnp.where(nz, pos, -1), axis=-1)
     tz = idx_hi + 1 - total
     maxc_arr = jnp.asarray(maxc)
     have_tz = (total > 0) & (total < maxc_arr)
-    tz_reg = _TZ[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
-    tz_cdc = _TZC[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
+    tz_reg = _sel2(_TZ, jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15))
+    tz_cdc = _sel2(_TZC, jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3))
     tz_e = jnp.where(maxc_arr == 4, tz_cdc, tz_reg)
     tz_len = jnp.where(have_tz, tz_e >> 16, 0)[..., None]
     tz_val = jnp.where(have_tz, tz_e & 0xFFFF, 0)[..., None]
@@ -205,7 +240,13 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     emit = nz & (above < total[..., None] - 1) & (zeros_below > 0)
     run = pos - pnb - 1
     zl = jnp.clip(zeros_below, 1, 7)
-    e = _RB[zl - 1, jnp.clip(run, 0, 14)]
+    # table lookup as one-hot selects: a per-lane 2-D gather here lowers
+    # to the TPU scalar gather path (~20 ms/frame at 1080p); the 7x15
+    # table is small enough to reduce over instead
+    oz = (zl - 1)[..., None] == jnp.arange(7)
+    row = jnp.sum(jnp.where(oz[..., None], _RB, 0), axis=-2)  # [..., 15]
+    orr = jnp.clip(run, 0, 14)[..., None] == jnp.arange(15)
+    e = jnp.sum(jnp.where(orr, row, 0), axis=-1)
     run_len_all = jnp.where(emit, e >> 16, 0)
     run_val_all = jnp.where(emit, e & 0xFFFF, 0)
     # emission order = descending positions 15..1 (explicit gather; a
@@ -236,47 +277,45 @@ def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
     slot_len = slot_len.reshape(-1, ns)
     slot_val = slot_val.reshape(-1, ns)
 
-    def body(k, state):
-        acc, nbits, hwidx, out = state
-        ln = slot_len[..., k]
-        v = slot_val[..., k]
-        # int32 with wraparound; halfword extraction only looks at bits
-        # [shift, shift+16) with shift < 16, so arithmetic shifts are safe
-        acc = (acc << ln) | v
-        nbits = nbits + ln
-        # flush up to two halfwords (slot <= 17 bits keeps nbits <= 32)
-        for _ in range(2):
-            do = nbits >= 16
-            shift = jnp.maximum(nbits - 16, 0)
-            hw = (acc >> shift) & 0xFFFF
-            onehot = (
-                jnp.arange(n_hw) == jnp.clip(hwidx, 0, n_hw - 1)[..., None]
-            )
-            out = out + jnp.where(
-                do[..., None] & onehot, hw[..., None], 0
-            )
-            nbits = jnp.where(do, nbits - 16, nbits)
-            hwidx = jnp.where(do, hwidx + 1, hwidx)
-            acc = jnp.where(do, acc & ((1 << nbits) - 1), acc)
-        return acc, nbits, hwidx, out
-
-    n_flat = slot_len.shape[0]
-    acc0 = jnp.zeros(n_flat, jnp.int32)
-    nb0 = jnp.zeros(n_flat, jnp.int32)
-    hw0 = jnp.zeros(n_flat, jnp.int32)
-    out0 = jnp.zeros((n_flat, n_hw), jnp.int32)
-
-    def scan_body(state, k):
-        return body(k, state), None
-
-    (acc, nbits, hwidx, out), _ = jax.lax.scan(
-        scan_body, (acc0, nb0, hw0, out0), jnp.arange(ns), unroll=8
+    # Fully parallel packing -- no scan.  The bit offset of slot k is the
+    # exclusive prefix sum of slot lengths (log-shift scan over ns).  A
+    # slot of <= 17 bits starting at bit b (= offset % 16, <= 15) ends at
+    # b + len <= 32, i.e. every slot touches at most TWO halfwords; its
+    # 32-bit window left-aligned at b is val << (32 - b - len).  Slots
+    # sharing a halfword are disjoint bit ranges, so an OR-reduction over
+    # the 2*ns emissions assembles the string exactly.  (The earlier
+    # sequential accumulator scan was the dominant term of the entropy
+    # stage: its carry and stacked emissions cost ~10x the HBM traffic.)
+    # inclusive prefix sum via log-shift adds (cumsum lowers to a
+    # reduce-window op that is both slower and fusion-fragile on TPU)
+    off = slot_len
+    shift = 1
+    while shift < ns:
+        off = off + jnp.pad(
+            off, [(0, 0)] * (off.ndim - 1) + [(shift, 0)]
+        )[..., :-shift]
+        shift *= 2
+    bitlen = off[..., -1]
+    off = off - slot_len  # exclusive prefix
+    b = off & 15
+    sh = jnp.clip(32 - b - slot_len, 0, 31)
+    w = slot_val << sh
+    live = slot_len > 0
+    c_hi = jax.lax.shift_right_logical(w, 16)
+    c_lo = w & 0xFFFF
+    h0 = off >> 4
+    # out-of-range sentinel (n_hw) drops dead or overflowing emissions
+    ix_hi = jnp.where(live, h0, n_hw)
+    ix_lo = jnp.where(live & (c_lo > 0), h0 + 1, n_hw)
+    hw_all = jnp.concatenate([c_hi, c_lo], axis=-1)  # [lanes, 2*ns]
+    ix_all = jnp.concatenate([ix_hi, ix_lo], axis=-1)
+    j = jnp.arange(n_hw)
+    out = jax.lax.reduce(
+        jnp.where(ix_all[..., :, None] == j, hw_all[..., :, None], 0),
+        np.int32(0),
+        jax.lax.bitwise_or,
+        (1,),
     )
-    # final partial halfword (left-aligned within its 16 bits)
-    hw = ((acc << (16 - nbits)) & 0xFFFF).astype(jnp.int32)
-    onehot = jnp.arange(n_hw) == jnp.clip(hwidx, 0, n_hw - 1)[..., None]
-    out = out + jnp.where((nbits > 0)[..., None] & onehot, hw[..., None], 0)
-    bitlen = 16 * hwidx + nbits
     return out.reshape(*lead, n_hw), bitlen.reshape(lead)
 
 
@@ -387,14 +426,33 @@ def _shift_ac(levels15: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(levels15, [(0, 0)] * (levels15.ndim - 1) + [(0, 1)])
 
 
+def _finish_slices(slice_chunks, slice_bits_in, s, r):
+    """Merge per-slice chunk lists and append rbsp trailing bits.
+
+    slice_chunks [S, R, K, MB_HW], slice_bits_in [S, R, K] ->
+    (slice_hw uint16 [S, R, SLICE_HW], slice_bytes [S, R], overflow).
+    """
+    body_hw, body_bits = tree_merge(slice_chunks, slice_bits_in, SLICE_HW)
+    overflow = jnp.any(body_bits > 16 * SLICE_HW - 32)
+    # rbsp trailing: stop bit + zero pad to byte
+    tl = 1 + ((8 - ((body_bits + 1) % 8)) % 8)
+    tv = jnp.left_shift(1, tl - 1)
+    t_hw = jnp.zeros((s, r, 1), jnp.int32).at[..., 0].set(tv << (16 - tl))
+    slice_hw, slice_bits = merge_strings(body_hw, body_bits, t_hw, tl, SLICE_HW)
+    slice_bytes = slice_bits // 8  # [S, R]
+    return (slice_hw & 0xFFFF).astype(jnp.uint16), slice_bytes, overflow
+
+
 @functools.partial(jax.jit, static_argnames=())
 def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     """Produce per-stream slice payload bits on device.
 
     symbols: iframe.MBSymbols; hdr_hw [S, R, 8] int32 halfwords of each
     slice header (host-computed, MSB-aligned); hdr_len [S, R] bit counts.
-    Returns (frame_hw [S, FRAME_HW'], frame_bits [S],
-             slice_bytes [S, R], overflow flag).
+    Returns (slice_hw [S, R, SLICE_HW] uint16 big-endian-halfword payload
+    per slice, slice_bytes [S, R], overflow flag).  Slices stay separate:
+    the host frames them into NALs anyway, and stopping the merge tree at
+    slice level skips its two widest (frame-width) barrel-shift levels.
     """
     s, r, c = symbols.mode.shape
     lac = symbols.luma_ac.astype(jnp.int32).reshape(s, r, c, 4, 4, 16)
@@ -476,18 +534,208 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_HW - hdr_hw.shape[-1])))
     slice_chunks = jnp.concatenate([hdr_pad[..., None, :], mb_hw], axis=-2)
     slice_bits_in = jnp.concatenate([hdr_len[..., None], mb_bits], axis=-1)
-    body_hw, body_bits = tree_merge(slice_chunks, slice_bits_in, SLICE_HW)
-    overflow |= jnp.any(body_bits > 16 * SLICE_HW - 32)
-    # rbsp trailing: stop bit + zero pad to byte
-    tl = 1 + ((8 - ((body_bits + 1) % 8)) % 8)
-    tv = jnp.left_shift(1, tl - 1)
-    t_hw = jnp.zeros((s, r, 1), jnp.int32).at[..., 0].set(tv << (16 - tl))
-    slice_hw, slice_bits = merge_strings(
-        body_hw, body_bits, t_hw, tl, SLICE_HW
-    )
-    slice_bytes = slice_bits // 8  # [S, R]
+    slice_hw, slice_bytes, ovf2 = _finish_slices(slice_chunks, slice_bits_in, s, r)
+    return slice_hw, slice_bytes, overflow | ovf2
 
-    # ---- per-stream frame merge (slices are byte aligned) ----
-    frame_hw, frame_bits = tree_merge(slice_hw, slice_bits, FRAME_HW)
-    overflow |= jnp.any(frame_bits > 16 * FRAME_HW)
-    return frame_hw, frame_bits, slice_bytes, overflow
+
+# ---------------------------------------------------------------------------
+# P-frame assembly: MBSymbolsP -> slice payload bytes, entirely on device.
+# ---------------------------------------------------------------------------
+
+
+def _se_val(v):
+    """Exp-Golomb se(v) symbol value (Rec. 9.1.1)."""
+    return jnp.where(v > 0, 2 * v - 1, -2 * v)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
+    """P-slice payload bits on device (rows slice mode).
+
+    Bit-for-bit the entropy/packp.py emission: per coded MB a skip_run,
+    then Intra_16x16-in-P (mb_type / intra_chroma_pred_mode / dqp +
+    DC-split residuals) or P_L0_16x16 (mvd / coded_block_pattern / dqp +
+    16-coeff luma residuals), plus the trailing skip_run of each slice.
+    The skip runs -- the only cross-MB sequential syntax -- become a
+    prefix-max over each row's coded-MB indices, so the whole frame stays
+    one parallel coder call.  (The reference outsources this stage to
+    libopenh264 via openh264_wrapper.cpp:282-311.)
+    """
+    s, r, c = symbols.kind.shape
+    kind = symbols.kind.astype(jnp.int32)
+    coded = kind != 0
+    intra = kind == 2
+    inter = kind == 1
+    lac = symbols.luma_ac.astype(jnp.int32).reshape(s, r, c, 4, 4, 16)
+    cbp_l = symbols.cbp_luma.astype(jnp.int32)
+    cbp_c = jnp.where(coded, symbols.cbp_chroma.astype(jnp.int32), 0)
+
+    # ---- nnz grids: intra counts slots 1..15 when cbp_luma==1; inter
+    # counts all 16 when the block's 8x8 group bit is set ----
+    nz_intra = jnp.count_nonzero(lac[..., 1:], axis=-1)  # [S,R,C,4,4]
+    nz_inter = jnp.count_nonzero(lac, axis=-1)
+    by4 = jnp.arange(4)[:, None]
+    bx4 = jnp.arange(4)[None, :]
+    i8 = (by4 // 2) * 2 + (bx4 // 2)  # [4,4] 8x8 group per raster block
+    gbit = ((cbp_l[..., None, None] >> i8) & 1) == 1
+    nnz_y = jnp.where(
+        intra[..., None, None] & (cbp_l[..., None, None] == 1), nz_intra,
+        jnp.where(inter[..., None, None] & gbit, nz_inter, 0),
+    )
+    nc_y = _nc_luma_grid(nnz_y)
+
+    cac = symbols.chroma_ac.astype(jnp.int32)  # [S,R,C,2,4,15]
+    cac_nz = jnp.count_nonzero(cac, axis=-1).reshape(s, r, c, 2, 2, 2)
+    nnz_u = jnp.where(cbp_c[..., None, None] == 2, cac_nz[..., 0, :, :], 0)
+    nnz_v = jnp.where(cbp_c[..., None, None] == 2, cac_nz[..., 1, :, :], 0)
+    nc_u = _nc_chroma_grid(nnz_u)
+    nc_v = _nc_chroma_grid(nnz_v)
+
+    # ---- header slots (6 per MB, all zero-length when absent) ----
+    # coded: [skip_run] then intra: [mb_type][cmode][dqp] or
+    #                        inter: [ue(0)][mvdx][mvdy][cbp][dqp?]
+    idxc = jnp.arange(c)
+    marked = jnp.where(coded, idxc, -1)
+    m = jnp.pad(marked, ((0, 0), (0, 0), (1, 0)), constant_values=-1)[..., :-1]
+    shift = 1
+    while shift < c:
+        m = jnp.maximum(
+            m,
+            jnp.pad(m, ((0, 0), (0, 0), (shift, 0)), constant_values=-1)[
+                ..., :-shift
+            ],
+        )
+        shift *= 2
+    skip_run = idxc - m - 1
+    h0l, h0v = _ue_slot(skip_run)
+
+    mode = symbols.mode.astype(jnp.int32)
+    cmode = symbols.cmode.astype(jnp.int32)
+    mvdx = symbols.mvdx.astype(jnp.int32)
+    mvdy = symbols.mvdy.astype(jnp.int32)
+    h1l, h1v = _ue_slot(jnp.where(intra, 6 + mode + 4 * cbp_c + 12 * cbp_l, 0))
+    h2l, h2v = _ue_slot(jnp.where(intra, cmode, _se_val(mvdx)))
+    # intra slot 3 is dqp: se(0) == ue(0), same 1-bit code
+    h3l, h3v = _ue_slot(jnp.where(intra, 0, _se_val(mvdy)))
+    cbp_sym = jnp.sum(
+        jnp.where(
+            (cbp_l | (cbp_c << 4))[..., None] == jnp.arange(48),
+            _CBP_INTER_INV,
+            0,
+        ),
+        axis=-1,
+    )
+    h4l, h4v = _ue_slot(cbp_sym)
+    h4l = jnp.where(inter, h4l, 0)
+    h5l = jnp.where(inter & ((cbp_l | cbp_c) > 0), 1, 0)  # dqp se(0)
+
+    # ---- residual chunk levels (27 chunks, as the I-frame layout) ----
+    dc_lv = jnp.where(intra[..., None], symbols.luma_dc.astype(jnp.int32), 0)
+    ac_intra = _shift_ac(lac[..., 1:])
+    ac_vec = jnp.where(intra[..., None, None, None], ac_intra, lac)
+    ac_vec = ac_vec.reshape(s, r, c, 16, 16)[..., _BLK_SCAN_RASTER, :]
+    cdc = symbols.chroma_dc.astype(jnp.int32)
+    cdc_vec = jnp.pad(cdc, ((0, 0),) * 4 + ((0, 12),))
+    cac_vec = _shift_ac(cac).reshape(s, r, c, 8, 16)
+    levels27 = jnp.concatenate(
+        [dc_lv[..., None, :], ac_vec, cdc_vec, cac_vec], axis=-2
+    )
+    nc_flat = nc_y.reshape(s, r, c, 16)[..., _BLK_SCAN_RASTER]
+    nc27 = jnp.concatenate(
+        [
+            nc_y[..., 0, 0][..., None],
+            nc_flat,
+            jnp.full((s, r, c, 2), -1),
+            nc_u.reshape(s, r, c, 4),
+            nc_v.reshape(s, r, c, 4),
+        ],
+        axis=-1,
+    )
+    maxc_ac = jnp.where(intra, 15, 16)  # [S,R,C]
+    maxc27 = jnp.concatenate(
+        [
+            jnp.full((s, r, c, 1), 16),
+            jnp.broadcast_to(maxc_ac[..., None], (s, r, c, 16)),
+            jnp.full((s, r, c, 2), 4),
+            jnp.full((s, r, c, 8), 15),
+        ],
+        axis=-1,
+    )
+
+    sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
+    # inter/skip MBs have no luma-DC chunk: kill chunk 0's residual slots
+    kill0 = (~intra)[..., None, None] & (jnp.arange(27) == 0)[:, None]
+    sl27 = jnp.where(kill0, 0, sl27)
+
+    zeros6 = jnp.zeros((s, r, c, 27, 6), jnp.int32)
+    cg = coded.astype(jnp.int32)
+    hdr_l = (
+        zeros6
+        .at[..., 0, 0].set(h0l * cg)
+        .at[..., 0, 1].set(h1l * cg)
+        .at[..., 0, 2].set(h2l * cg)
+        .at[..., 0, 3].set(h3l * cg)
+        .at[..., 0, 4].set(h4l * cg)
+        .at[..., 0, 5].set(h5l * cg)
+    )
+    hdr_v = (
+        zeros6
+        .at[..., 0, 0].set(h0v)
+        .at[..., 0, 1].set(h1v)
+        .at[..., 0, 2].set(h2v)
+        .at[..., 0, 3].set(h3v)
+        .at[..., 0, 4].set(h4v)
+        .at[..., 0, 5].set(1)
+    )
+    chunks_hw, chunks_bits = pack_slots(
+        jnp.concatenate([hdr_l, sl27], -1),
+        jnp.concatenate([hdr_v, sv27], -1),
+        BLOCK_HW,
+    )
+
+    grp = jnp.arange(16) // 4  # z-order chunk -> 8x8 group
+    pres_luma = jnp.where(
+        intra[..., None],
+        (cbp_l == 1)[..., None],
+        ((cbp_l[..., None] >> grp) & 1) == 1,
+    ) & coded[..., None]
+    present = jnp.concatenate(
+        [
+            coded[..., None],
+            pres_luma,
+            jnp.broadcast_to((cbp_c >= 1)[..., None], (s, r, c, 2)),
+            jnp.broadcast_to((cbp_c == 2)[..., None], (s, r, c, 8)),
+        ],
+        axis=-1,
+    )
+    chunks_bits = jnp.where(present, chunks_bits, 0)
+    chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
+    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_HW)
+    overflow = jnp.any(mb_bits > 16 * MB_HW)
+
+    # ---- trailing skip_run chunk per slice ----
+    last_coded = jnp.max(marked, axis=-1)  # [S,R]
+    trail = c - 1 - last_coded
+    tll, tlv = _ue_slot(trail)
+    tll = jnp.where(trail > 0, tll, 0)
+    # single-halfword emission caps rows at 254 MBs (ue(255+) > 16 bits);
+    # merged strings must be all-zero past their bit length, so gate the
+    # content on trail > 0
+    overflow |= jnp.any(tll > 16)
+    t_hw = jnp.zeros((s, r, MB_HW), jnp.int32).at[..., 0].set(
+        jnp.where(
+            trail > 0,
+            (tlv << jnp.clip(16 - tll, 0, 15)) & 0xFFFF,
+            0,
+        )
+    )
+
+    hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_HW - hdr_hw.shape[-1])))
+    slice_chunks = jnp.concatenate(
+        [hdr_pad[..., None, :], mb_hw, t_hw[..., None, :]], axis=-2
+    )
+    slice_bits_in = jnp.concatenate(
+        [hdr_len[..., None], mb_bits, tll[..., None]], axis=-1
+    )
+    slice_hw, slice_bytes, ovf2 = _finish_slices(slice_chunks, slice_bits_in, s, r)
+    return slice_hw, slice_bytes, overflow | ovf2
