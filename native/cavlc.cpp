@@ -426,6 +426,112 @@ static const int BLK_SCAN[16][2] = {
     {0, 2}, {1, 2}, {0, 3}, {1, 3}, {2, 2}, {3, 2}, {2, 3}, {3, 3},
 };
 
+// Most-probable Intra_4x4 mode (8.3.1.1); i4ctx holds per-4x4-block modes
+// with -1 = not I4x4-coded (-> DC).  Mirrors pack.py::_i4_pred_mode.
+static inline int i4_pred_mode(const int32_t* i4ctx, int stride, int gbx,
+                               int gby, bool left_ok, bool top_ok) {
+  if (!left_ok || !top_ok) return 2;
+  int ma = i4ctx[gby * stride + gbx - 1];
+  int mb = i4ctx[(gby - 1) * stride + gbx];
+  if (ma < 0) ma = 2;
+  if (mb < 0) mb = 2;
+  return ma < mb ? ma : mb;
+}
+
+// I_NxN macroblock pack (mirrors pack.py::_pack_mb_i4).  cbp_l is the
+// 4-bit per-8x8 pattern; luma_ac blocks carry all 16 zigzag coeffs.
+static void pack_mb_i4(BitWriter& w, int32_t addr, int mbx, int mby,
+                       bool left_mb, bool top_mb, int cmode, int cbp_l,
+                       int cbp_c, const int16_t* i4modes,
+                       const int16_t* luma_ac, int32_t* nnz_y,
+                       int32_t* i4ctx, int ys) {
+  w.ue(0);  // mb_type I_NxN
+  for (int b = 0; b < 16; b++) {
+    int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+    int gbx = 4 * mbx + bx, gby = 4 * mby + by;
+    bool l_ok = bx > 0 || left_mb;
+    bool t_ok = by > 0 || top_mb;
+    int pm = i4_pred_mode(i4ctx, ys, gbx, gby, l_ok, t_ok);
+    int m = i4modes[b];
+    if (m == pm) {
+      w.put(1, 1);
+    } else {
+      w.put(1, 0);
+      w.put(3, m < pm ? m : m - 1);
+    }
+    i4ctx[gby * ys + gbx] = m;
+  }
+  w.ue(cmode);
+  w.ue(CBP_INTRA_INV[(cbp_l | (cbp_c << 4)) & 63]);
+  if (cbp_l || cbp_c) w.se(0);  // mb_qp_delta
+  for (int i8 = 0; i8 < 4; i8++) {
+    if (cbp_l >> i8 & 1) {
+      for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        int t = encode_block(w, luma_ac + (16 * addr + 4 * by + bx) * 16,
+                             nc, 16);
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = t;
+      }
+    } else {
+      for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+      }
+    }
+  }
+}
+
+// Inverse of pack_mb_i4; returns false on malformed input.
+static bool parse_mb_i4(BitReader& r, int32_t addr, int mbx, int mby,
+                        bool left_mb, bool top_mb, int32_t* mb_info,
+                        int16_t* luma_ac, int16_t* i4modes, int32_t* nnz_y,
+                        int32_t* i4ctx, int ys) {
+  for (int b = 0; b < 16; b++) {
+    int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+    int gbx = 4 * mbx + bx, gby = 4 * mby + by;
+    bool l_ok = bx > 0 || left_mb;
+    bool t_ok = by > 0 || top_mb;
+    int pm = i4_pred_mode(i4ctx, ys, gbx, gby, l_ok, t_ok);
+    int m;
+    if (r.u(1)) {
+      m = pm;
+    } else {
+      int rem = r.u(3);
+      m = rem < pm ? rem : rem + 1;
+    }
+    i4modes[16 * addr + b] = (int16_t)m;
+    i4ctx[gby * ys + gbx] = m;
+  }
+  uint32_t cmode = r.ue();
+  uint32_t code = r.ue();
+  if (code >= 48 || r.error) return false;
+  int cbp = CBP_INTRA_TAB[code];
+  int cbp_l = cbp & 15, cbp_c = cbp >> 4;
+  if (cbp) r.se();  // mb_qp_delta
+  int32_t* info = mb_info + 4 * addr;
+  info[0] = 4; info[1] = (int32_t)cmode; info[2] = cbp_l; info[3] = cbp_c;
+  for (int i8 = 0; i8 < 4; i8++) {
+    if (cbp_l >> i8 & 1) {
+      for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        int tc = decode_block(r, luma_ac + (16 * addr + 4 * by + bx) * 16,
+                              nc, 16);
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+      }
+    } else {
+      for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+      }
+    }
+  }
+  return !r.error;
+}
+
 }  // namespace
 
 extern "C" {
@@ -440,6 +546,7 @@ int64_t th264_pack_slice(
     const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
     const int16_t* chroma_dc, const int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    const int16_t* i4modes, int32_t* i4ctx,
     uint8_t* out, int64_t out_cap) {
   BitWriter w{out, out_cap};
   // replay header bits
@@ -456,12 +563,20 @@ int64_t th264_pack_slice(
 
     const int32_t* info = mb_info + 4 * addr;
     int mode = info[0], cmode = info[1], cbp_l = info[2], cbp_c = info[3];
+    if (mode == 4) {  // Intra_4x4
+      if (!i4modes || !i4ctx) return -1;
+      pack_mb_i4(w, addr, mbx, mby, left_mb, top_mb, cmode, cbp_l, cbp_c,
+                 i4modes + 16 * addr, luma_ac, nnz_y, i4ctx, ys);
+      goto chroma;
+    }
     w.ue(1 + mode + 4 * cbp_c + 12 * cbp_l);
     w.ue(cmode);
     w.se(0);  // mb_qp_delta
 
-    int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
-    encode_block(w, luma_dc + 16 * addr, nc0, 16);
+    {
+      int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+      encode_block(w, luma_dc + 16 * addr, nc0, 16);
+    }
 
     if (cbp_l) {
       for (int b = 0; b < 16; b++) {
@@ -478,6 +593,7 @@ int64_t th264_pack_slice(
           nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
     }
 
+  chroma:
     if (cbp_c) {
       encode_block(w, chroma_dc + (2 * addr + 0) * 4, -1, 4);
       encode_block(w, chroma_dc + (2 * addr + 1) * 4, -1, 4);
@@ -515,7 +631,8 @@ int64_t th264_parse_slice(
     int32_t slice_start, int32_t mbw, int32_t max_mbs,
     int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
     int16_t* chroma_dc, int16_t* chroma_ac,
-    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v) {
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    int16_t* i4modes, int32_t* i4ctx) {
   build_luts();
   BitReader r{rbsp, nbytes, start_bit};
   const int ys = 4 * mbw, cs = 2 * mbw;
@@ -527,38 +644,50 @@ int64_t th264_parse_slice(
     bool top_mb = (addr - mbw >= slice_start);
 
     uint32_t mb_type = r.ue();
+    if (mb_type == 0) {  // I_NxN
+      if (!i4modes || !i4ctx) return -1;
+      if (!parse_mb_i4(r, addr, mbx, mby, left_mb, top_mb, mb_info,
+                       luma_ac, i4modes, nnz_y, i4ctx, ys))
+        return -1;
+      goto chroma;
+    }
     if (mb_type < 1 || mb_type > 24 || r.error) return -1;
-    int t = mb_type - 1;
-    int mode = t % 4, cbp_c = (t / 4) % 3, cbp_l = t >= 12 ? 1 : 0;
-    uint32_t cmode = r.ue();
-    r.se();  // mb_qp_delta
+    {
+      int t = mb_type - 1;
+      int mode = t % 4, cbp_c = (t / 4) % 3, cbp_l = t >= 12 ? 1 : 0;
+      uint32_t cmode = r.ue();
+      r.se();  // mb_qp_delta
 
-    int32_t* info = mb_info + 4 * addr;
-    info[0] = mode; info[1] = (int32_t)cmode; info[2] = cbp_l; info[3] = cbp_c;
+      int32_t* info = mb_info + 4 * addr;
+      info[0] = mode; info[1] = (int32_t)cmode; info[2] = cbp_l;
+      info[3] = cbp_c;
 
-    int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
-    decode_block(r, luma_dc + 16 * addr, nc0, 16);
+      int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+      decode_block(r, luma_dc + 16 * addr, nc0, 16);
 
-    if (cbp_l) {
-      for (int b = 0; b < 16; b++) {
-        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
-        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
-                       bx > 0 || left_mb, by > 0 || top_mb);
-        int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 16 + 1;
-        int tc = decode_block(r, blk, nc, 15);
-        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+      if (cbp_l) {
+        for (int b = 0; b < 16; b++) {
+          int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+          int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int16_t* blk = luma_ac + (16 * addr + 4 * by + bx) * 16 + 1;
+          int tc = decode_block(r, blk, nc, 15);
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+        }
+      } else {
+        for (int by = 0; by < 4; by++)
+          for (int bx = 0; bx < 4; bx++)
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
       }
-    } else {
-      for (int by = 0; by < 4; by++)
-        for (int bx = 0; bx < 4; bx++)
-          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
     }
 
-    if (cbp_c) {
+  chroma:
+    const int cbp_c2 = mb_info[4 * addr + 3];
+    if (cbp_c2) {
       decode_block(r, chroma_dc + (2 * addr + 0) * 4, -1, 4);
       decode_block(r, chroma_dc + (2 * addr + 1) * 4, -1, 4);
     }
-    if (cbp_c == 2) {
+    if (cbp_c2 == 2) {
       for (int comp = 0; comp < 2; comp++) {
         int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
         for (int b = 0; b < 4; b++) {
@@ -644,6 +773,7 @@ int64_t th264_pack_frame(
     const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
     const int16_t* chroma_dc, const int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    const int16_t* i4modes, int32_t* i4ctx,
     uint8_t* out, int64_t out_cap, int32_t n_threads) {
   build_luts();
   std::vector<std::vector<uint8_t>> escaped(n_slices);
@@ -660,7 +790,7 @@ int64_t th264_pack_frame(
       int64_t n = th264_pack_slice(
           headers + header_off[i], header_bits[i], slice_starts[i],
           slice_counts[i], mbw, mb_info, luma_dc, luma_ac, chroma_dc,
-          chroma_ac, nnz_y, nnz_u, nnz_v, rbsp.data(), cap);
+          chroma_ac, nnz_y, nnz_u, nnz_v, i4modes, i4ctx, rbsp.data(), cap);
       if (n < 0) { failed.store(true); return; }
       escaped[i].resize(n + n / 2 + 16);
       int64_t m = th264_escape(rbsp.data(), n, escaped[i].data(),
@@ -702,7 +832,8 @@ int64_t th264_parse_frame(
     int32_t n_slices, int32_t mbw, int32_t total_mbs,
     int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
     int16_t* chroma_dc, int16_t* chroma_ac,
-    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v, int32_t n_threads) {
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    int16_t* i4modes, int32_t* i4ctx, int32_t n_threads) {
   build_luts();
   std::atomic<int32_t> next{0};
   std::atomic<int64_t> total{0};
@@ -717,7 +848,7 @@ int64_t th264_parse_frame(
       int64_t got = th264_parse_slice(
           rbsp + off[i], nbytes[i], start_bit[i], slice_starts[i], mbw,
           max_mbs, mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-          nnz_y, nnz_u, nnz_v);
+          nnz_y, nnz_u, nnz_v, i4modes, i4ctx);
       if (got < 0) { failed.store(true); return; }
       total.fetch_add(got);
     }

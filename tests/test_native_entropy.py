@@ -21,8 +21,10 @@ def _symbols_for(y, u, v, qp, slice_mode="rows"):
 def test_native_pack_matches_python(qp, slice_mode):
     y, u, v = synth_frame(48, 80, seed=qp, kind="gradient")
     stream, (sps, pps, qp2, *arrays) = _symbols_for(y, u, v, qp, slice_mode)
-    py_stream = pack.pack_iframe(*arrays, sps, pps, qp2, slice_mode=slice_mode)
-    nat_stream = native.pack_iframe(*arrays, sps, pps, qp2, slice_mode=slice_mode)
+    py_stream = pack.pack_iframe(*arrays[:5], sps, pps, qp2,
+                                 slice_mode=slice_mode, i4modes=arrays[5])
+    nat_stream = native.pack_iframe(*arrays[:5], sps, pps, qp2,
+                                    slice_mode=slice_mode, i4modes=arrays[5])
     assert py_stream == stream
     assert nat_stream == stream
 

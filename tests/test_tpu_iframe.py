@@ -68,7 +68,7 @@ def test_jax_encoder_matches_golden_noise():
 def test_parse_then_tpu_decode_roundtrip(qp):
     y, u, v = synth_frame(48, 64, seed=qp + 1)
     stream, (ry, ru, rv) = codec.encode_iframe(y, u, v, qp=qp, slice_mode="rows")
-    sps, pps, qp2, mb_info, ldc, lac, cdc, cac = pack.parse_iframe(stream)
+    sps, pps, qp2, mb_info, ldc, lac, cdc, cac, i4m = pack.parse_iframe(stream)
     assert qp2 == qp
     r, c = sps.mb_height, sps.mb_width
     symbols = iframe.MBSymbols(
@@ -90,7 +90,7 @@ def test_parse_then_tpu_decode_roundtrip(qp):
 def test_pack_parse_inverse():
     y, u, v = synth_frame(48, 64, seed=5)
     stream, _ = codec.encode_iframe(y, u, v, qp=26, slice_mode="rows")
-    sps, pps, qp, mb_info, ldc, lac, cdc, cac = pack.parse_iframe(stream)
+    sps, pps, qp, mb_info, ldc, lac, cdc, cac, i4m = pack.parse_iframe(stream)
     restream = pack.pack_iframe(mb_info, ldc, lac, cdc, cac, sps, pps, qp)
     assert restream == stream
 

@@ -90,6 +90,7 @@ def sharded_encode_step(mesh: Mesh):
         luma_ac=P("streams", "rows", None, None, None),
         chroma_dc=P("streams", "rows", None, None, None),
         chroma_ac=P("streams", "rows", None, None, None, None),
+        i4modes=P("streams", "rows", None, None),
     )
     out_specs = (specs_symbols, (plane, plane, plane), P())
     fn = shard_map(

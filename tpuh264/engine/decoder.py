@@ -94,11 +94,12 @@ class DecoderSession:
         return is_p
 
     def _decode_i(self, data: bytes):
-        sps, pps, qp, mb_info, ldc, lac, cdc, cac = self._entropy.parse_iframe(
-            data
+        (sps, pps, qp, mb_info, ldc, lac, cdc, cac, i4m) = (
+            self._entropy.parse_iframe(data)
         )
         self._sps, self._pps = sps, pps
         r, c = sps.mb_height, sps.mb_width
+        has_i4 = bool((mb_info[:, 0] == 4).any())
         symbols = iframe.MBSymbols(
             mode=jnp.asarray(mb_info[:, 0].reshape(1, r, c)),
             cmode=jnp.asarray(mb_info[:, 1].reshape(1, r, c)),
@@ -108,8 +109,10 @@ class DecoderSession:
             luma_ac=jnp.asarray(lac.reshape(1, r, c, 16, 16)),
             chroma_dc=jnp.asarray(cdc.reshape(1, r, c, 2, 4)),
             chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
+            i4modes=jnp.asarray(i4m.reshape(1, r, c, 16)),
         )
-        y, u, v = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+        y, u, v = iframe.decode_iframe_scan(symbols, jnp.int32(qp),
+                                            intra44=has_i4)
         if self._idc != 1:
             sh = symbols.mode.shape
             y, u, v = kdeblock.deblock_frame_rows(
@@ -247,6 +250,7 @@ class DecoderPool:
                 np.stack([g[2][k].reshape(*shape) for g in group])
             )
             mb = np.stack([g[2][3] for g in group])  # [B, N, 4]
+            has_i4 = bool((mb[:, :, 0] == 4).any())
             symbols = iframe.MBSymbols(
                 mode=jnp.asarray(mb[:, :, 0].reshape(-1, r, c)),
                 cmode=jnp.asarray(mb[:, :, 1].reshape(-1, r, c)),
@@ -256,8 +260,10 @@ class DecoderPool:
                 luma_ac=stack(5, (r, c, 16, 16)),
                 chroma_dc=stack(6, (r, c, 2, 4)),
                 chroma_ac=stack(7, (r, c, 2, 4, 15)),
+                i4modes=stack(8, (r, c, 16)),
             )
-            dy, du, dv = iframe.decode_iframe_rows(symbols, jnp.int32(qp))
+            dy, du, dv = iframe.decode_iframe_scan(symbols, jnp.int32(qp),
+                                                   intra44=has_i4)
             y, u, v = np.asarray(dy), np.asarray(du), np.asarray(dv)
             for i, (idx, sess, p) in enumerate(group):
                 sps = p[0]

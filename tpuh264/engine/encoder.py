@@ -124,7 +124,9 @@ class EncoderSession:
 
         t0 = time.perf_counter()
         if idr:
-            symbols, recon = iframe.encode_iframe_rows(y, u, v, jnp.int32(qp))
+            symbols, recon = iframe.encode_iframe_scan(
+                y, u, v, jnp.int32(qp), intra44=cfg.intra44
+            )
             if cfg.deblock:
                 sh = symbols.mode.shape
                 recon = kdeblock.deblock_frame_rows(
@@ -162,6 +164,10 @@ class EncoderSession:
             luma_ac = np.asarray(symbols.luma_ac).reshape(s, n, 16, 16)
             chroma_dc = np.asarray(symbols.chroma_dc).reshape(s, n, 2, 4)
             chroma_ac = np.asarray(symbols.chroma_ac).reshape(s, n, 2, 4, 15)
+            i4m = (
+                np.asarray(symbols.i4modes).reshape(s, n, 16)
+                if cfg.intra44 else None
+            )
             for i in range(s):
                 mb_info = np.ascontiguousarray(
                     np.stack([mode[i], cmode[i], cbp_l[i], cbp_c[i]], axis=1),
@@ -173,6 +179,7 @@ class EncoderSession:
                     slice_mode=cfg.slice_mode, frame_num=0,
                     idr=True, include_ps=True,
                     deblock_idc=2 if cfg.deblock else 1,
+                    i4modes=i4m[i] if i4m is not None else None,
                 )
                 frames.append(EncodedFrame(stream, True, self.frame_num, qp, {}))
             self._frame_in_gop = 1

@@ -53,6 +53,7 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
+            _I16P, _I32P,
             _U8P, ctypes.c_int64,
         ]
         lib.th264_parse_slice.restype = ctypes.c_int64
@@ -61,6 +62,7 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
+            _I16P, _I32P,
         ]
         for fn in (lib.th264_escape, lib.th264_unescape):
             fn.restype = ctypes.c_int64
@@ -73,6 +75,7 @@ def load() -> ctypes.CDLL:
             ctypes.c_uint8, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
             _I32P, _I32P, _I32P,
+            _I16P, _I32P,
             _U8P, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.th264_parse_frame.restype = ctypes.c_int64
@@ -80,7 +83,8 @@ def load() -> ctypes.CDLL:
             _U8P, _I64P, _I64P, _I64P, _I32P,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
-            _I32P, _I32P, _I32P, ctypes.c_int32,
+            _I32P, _I32P, _I32P,
+            _I16P, _I32P, ctypes.c_int32,
         ]
         lib.th264_pack_slice_p.restype = ctypes.c_int64
         lib.th264_pack_slice_p.argtypes = [
@@ -142,6 +146,7 @@ def pack_iframe(
     include_ps: bool = True,
     deblock_idc: int = 1,
     threads: int = 0,
+    i4modes: Optional[np.ndarray] = None,
 ) -> bytes:
     """Native-path equivalent of entropy.pack.pack_iframe (byte-identical).
 
@@ -158,6 +163,10 @@ def pack_iframe(
     nnz_y = np.zeros(16 * mbw * mbh, np.int32)
     nnz_u = np.zeros(4 * mbw * mbh, np.int32)
     nnz_v = np.zeros(4 * mbw * mbh, np.int32)
+    if i4modes is None:
+        i4modes = np.zeros((mbw * mbh, 16), np.int16)
+    i4modes = np.ascontiguousarray(i4modes, np.int16)
+    i4ctx = np.full(16 * mbw * mbh, -1, np.int32)
 
     out = bytearray()
     if include_ps:
@@ -204,7 +213,7 @@ def pack_iframe(
         np.frombuffer(bytes(headers), np.uint8), header_off, header_bits,
         len(slices), starts, counts, nal_hdr, mbw,
         mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-        nnz_y, nnz_u, nnz_v, buf, cap, threads,
+        nnz_y, nnz_u, nnz_v, i4modes, i4ctx, buf, cap, threads,
     )
     if n < 0:
         raise RuntimeError("th264_pack_frame failed")
@@ -248,6 +257,8 @@ def parse_iframe(
         np.zeros(4 * n, np.int32),
         np.zeros(4 * n, np.int32),
     )
+    i4m = np.full((n, 16), -1, np.int16)
+    i4ctx = np.full(16 * n, -1, np.int32)
     blob = b"".join(s[0] for s in slices)
     off = np.zeros(len(slices), np.int64)
     nbytes = np.zeros(len(slices), np.int64)
@@ -261,11 +272,11 @@ def parse_iframe(
         threads = os.cpu_count() or 1
     got = lib.th264_parse_frame(
         np.frombuffer(blob, np.uint8), off, nbytes, start_bit, first_mb,
-        len(slices), mbw, n, *arrays, *nnz, threads,
+        len(slices), mbw, n, *arrays, *nnz, i4m, i4ctx, threads,
     )
     if got < 0:
         raise RuntimeError("th264_parse_frame failed")
-    return (sps, pps, qp) + arrays
+    return (sps, pps, qp) + arrays + (i4m,)
 
 
 def pack_pframe(

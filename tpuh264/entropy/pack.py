@@ -26,6 +26,7 @@ from ..core.bitstream import BitReader, BitWriter
 from ..core.params import PPS, SPS
 from ..core.sliceheader import SLICE_I, SliceHeader
 from .cavlc import decode_residual_block, encode_residual_block
+from .cavlc_tables import CBP_INTRA, CBP_INTRA_INV
 
 # luma4x4BlkIdx scan order as (bx, by)
 BLK_SCAN = [
@@ -41,6 +42,9 @@ class _NnzState:
         self.y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.u = np.zeros((2 * mbh, 2 * mbw), np.int32)
         self.v = np.zeros((2 * mbh, 2 * mbw), np.int32)
+        # per-4x4-block Intra_4x4 modes; -1 = not an I4x4 block (-> DC in
+        # the most-probable-mode rule, golden/codec.py:_i44_pred_mode)
+        self.i4 = np.full((4 * mbh, 4 * mbw), -1, np.int32)
 
     @staticmethod
     def _nc(nnz, bx, by, left_ok, top_ok):
@@ -71,38 +75,73 @@ def _mb_avail(addr: int, slice_start: int, mbw: int) -> Tuple[bool, bool]:
     return left_mb, top_mb
 
 
-def pack_mb(
+def _i4_pred_mode(i4, gbx, gby, left_ok, top_ok) -> int:
+    """Most-probable Intra_4x4 mode (H.264 8.3.1.1; golden/codec.py
+    _i44_pred_mode): min of left/top block modes, DC when a neighbor is
+    missing or not I4x4-coded."""
+    if not left_ok or not top_ok:
+        return 2
+    ma = int(i4[gby, gbx - 1])
+    mb = int(i4[gby - 1, gbx])
+    ma = 2 if ma < 0 else ma
+    mb = 2 if mb < 0 else mb
+    return min(ma, mb)
+
+
+def _pack_mb_i4(
     w: BitWriter,
     nnz: _NnzState,
     addr: int,
-    slice_start: int,
-    mbw: int,
-    mb_info: np.ndarray,
-    luma_dc: np.ndarray,
+    mbx: int,
+    mby: int,
+    left_mb: bool,
+    top_mb: bool,
+    cmode: int,
+    cbp_l: int,
+    cbp_c: int,
+    i4modes: np.ndarray,
     luma_ac: np.ndarray,
     chroma_dc: np.ndarray,
     chroma_ac: np.ndarray,
 ) -> None:
-    mode, cmode, cbp_l, cbp_c = (int(x) for x in mb_info)
-    mby, mbx = divmod(addr, mbw)
-    left_mb, top_mb = _mb_avail(addr, slice_start, mbw)
-
-    w.ue(1 + mode + 4 * cbp_c + 12 * cbp_l)
+    """I_NxN macroblock syntax (golden/codec.py:_write_i44_mb)."""
+    w.ue(0)  # mb_type I_NxN
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        l_ok = bx > 0 or left_mb
+        t_ok = by > 0 or top_mb
+        pm = _i4_pred_mode(nnz.i4, gbx, gby, l_ok, t_ok)
+        m = int(i4modes[bi])
+        if m == pm:
+            w.u(1, 1)
+        else:
+            w.u(1, 0)
+            w.u(3, m if m < pm else m - 1)
+        nnz.i4[gby, gbx] = m
     w.ue(cmode)
-    w.se(0)  # mb_qp_delta
+    w.ue(CBP_INTRA_INV[cbp_l | (cbp_c << 4)])
+    if cbp_l or cbp_c:
+        w.se(0)  # mb_qp_delta
+    for i8 in range(4):
+        if cbp_l >> i8 & 1:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
+                block = luma_ac[4 * by + bx]
+                encode_residual_block(w, block.tolist(), ncb, 16)
+                nnz.y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
+        else:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                nnz.y[4 * mby + by, 4 * mbx + bx] = 0
+    _pack_chroma_residual(
+        w, nnz, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+    )
 
-    nc0 = nnz.luma_nc(mbx, mby, 0, 0, left_mb, top_mb)
-    encode_residual_block(w, luma_dc.tolist(), nc0, 16)
 
-    if cbp_l:
-        for bx, by in BLK_SCAN:
-            ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
-            block = luma_ac[4 * by + bx][1:]
-            encode_residual_block(w, block.tolist(), ncb, 15)
-            nnz.y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
-    else:
-        nnz.y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
-
+def _pack_chroma_residual(
+    w, nnz, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+) -> None:
     if cbp_c:
         encode_residual_block(w, chroma_dc[0].tolist(), -1, 4)
         encode_residual_block(w, chroma_dc[1].tolist(), -1, 4)
@@ -120,6 +159,51 @@ def pack_mb(
         nnz.v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
 
+def pack_mb(
+    w: BitWriter,
+    nnz: _NnzState,
+    addr: int,
+    slice_start: int,
+    mbw: int,
+    mb_info: np.ndarray,
+    luma_dc: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    i4modes: Optional[np.ndarray] = None,
+) -> None:
+    mode, cmode, cbp_l, cbp_c = (int(x) for x in mb_info)
+    mby, mbx = divmod(addr, mbw)
+    left_mb, top_mb = _mb_avail(addr, slice_start, mbw)
+
+    if mode == 4:  # Intra_4x4 MB (kernels/iframe.py MBSymbols contract)
+        _pack_mb_i4(
+            w, nnz, addr, mbx, mby, left_mb, top_mb, cmode, cbp_l, cbp_c,
+            i4modes, luma_ac, chroma_dc, chroma_ac,
+        )
+        return
+
+    w.ue(1 + mode + 4 * cbp_c + 12 * cbp_l)
+    w.ue(cmode)
+    w.se(0)  # mb_qp_delta
+
+    nc0 = nnz.luma_nc(mbx, mby, 0, 0, left_mb, top_mb)
+    encode_residual_block(w, luma_dc.tolist(), nc0, 16)
+
+    if cbp_l:
+        for bx, by in BLK_SCAN:
+            ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
+            block = luma_ac[4 * by + bx][1:]
+            encode_residual_block(w, block.tolist(), ncb, 15)
+            nnz.y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
+    else:
+        nnz.y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+
+    _pack_chroma_residual(
+        w, nnz, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+    )
+
+
 def pack_iframe(
     mb_info: np.ndarray,
     luma_dc: np.ndarray,
@@ -134,8 +218,12 @@ def pack_iframe(
     idr: bool = True,
     include_ps: bool = True,
     deblock_idc: int = 1,
+    i4modes: Optional[np.ndarray] = None,
 ) -> bytes:
-    """Pack one frame's symbol arrays into an annex-B stream."""
+    """Pack one frame's symbol arrays into an annex-B stream.
+
+    i4modes [N, 16] (z-scan per-block modes) is required when any MB has
+    mode 4 (Intra_4x4)."""
     mbw, mbh = sps.mb_width, sps.mb_height
     nnz = _NnzState(mbw, mbh)
     out = bytearray()
@@ -169,6 +257,7 @@ def pack_iframe(
                 w, nnz, addr, start, mbw,
                 mb_info[addr], luma_dc[addr], luma_ac[addr],
                 chroma_dc[addr], chroma_ac[addr],
+                i4modes[addr] if i4modes is not None else None,
             )
         w.rbsp_trailing_bits()
         ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
@@ -178,10 +267,12 @@ def pack_iframe(
 
 def parse_iframe(
     data: bytes,
-) -> Tuple[SPS, PPS, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[SPS, PPS, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray]:
     """Parse an annex-B I-frame back into symbol arrays.
 
-    Returns (sps, pps, qp, mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac).
+    Returns (sps, pps, qp, mb_info, luma_dc, luma_ac, chroma_dc,
+    chroma_ac, i4modes); i4modes [N, 16] is -1 except for I_NxN MBs.
     """
     sps: Optional[SPS] = None
     pps: Optional[PPS] = None
@@ -204,6 +295,7 @@ def parse_iframe(
                     np.zeros((n, 16, 16), np.int16),
                     np.zeros((n, 2, 4), np.int16),
                     np.zeros((n, 2, 4, 15), np.int16),
+                    np.full((n, 16), -1, np.int16),
                 )
                 nnz = _NnzState(mbw, mbh)
             r = BitReader(rbsp)
@@ -229,11 +321,18 @@ def parse_mb(
     luma_ac: np.ndarray,
     chroma_dc: np.ndarray,
     chroma_ac: np.ndarray,
+    i4modes: Optional[np.ndarray] = None,
 ) -> None:
     mby, mbx = divmod(addr, mbw)
     left_mb, top_mb = _mb_avail(addr, slice_start, mbw)
 
     mb_type = r.ue()
+    if mb_type == 0:  # I_NxN
+        _parse_mb_i4(
+            r, nnz, addr, mbx, mby, left_mb, top_mb,
+            mb_info, luma_ac, chroma_dc, chroma_ac, i4modes,
+        )
+        return
     if not 1 <= mb_type <= 24:
         raise NotImplementedError(f"mb_type {mb_type}")
     t = mb_type - 1
@@ -259,6 +358,14 @@ def parse_mb(
     else:
         nnz.y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
 
+    _parse_chroma_residual(
+        r, nnz, addr, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+    )
+
+
+def _parse_chroma_residual(
+    r, nnz, addr, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+) -> None:
     if cbp_c:
         chroma_dc[addr, 0] = decode_residual_block(r, -1, 4)
         chroma_dc[addr, 1] = decode_residual_block(r, -1, 4)
@@ -276,3 +383,57 @@ def parse_mb(
     else:
         nnz.u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         nnz.v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+
+def _parse_mb_i4(
+    r: BitReader,
+    nnz: _NnzState,
+    addr: int,
+    mbx: int,
+    mby: int,
+    left_mb: bool,
+    top_mb: bool,
+    mb_info: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    i4modes: np.ndarray,
+) -> None:
+    """Inverse of _pack_mb_i4 (golden/codec.py:_decode_i44_mb syntax)."""
+    for bi, (bx, by) in enumerate(BLK_SCAN):
+        gbx, gby = 4 * mbx + bx, 4 * mby + by
+        l_ok = bx > 0 or left_mb
+        t_ok = by > 0 or top_mb
+        pm = _i4_pred_mode(nnz.i4, gbx, gby, l_ok, t_ok)
+        if r.u(1):
+            m = pm
+        else:
+            rem = r.u(3)
+            m = rem if rem < pm else rem + 1
+        i4modes[addr, bi] = m
+        nnz.i4[gby, gbx] = m
+    cmode = r.ue()
+    cbp = CBP_INTRA[r.ue()]
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    if cbp:
+        r.se()  # mb_qp_delta
+    mb_info[addr] = (4, cmode, cbp_l, cbp_c)
+
+    for i8 in range(4):
+        if cbp_l >> i8 & 1:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                ncb = nnz.luma_nc(mbx, mby, bx, by, left_mb, top_mb)
+                block = decode_residual_block(r, ncb, 16)
+                luma_ac[addr, 4 * by + bx] = block
+                nnz.y[4 * mby + by, 4 * mbx + bx] = int(
+                    np.count_nonzero(np.asarray(block))
+                )
+        else:
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                nnz.y[4 * mby + by, 4 * mbx + bx] = 0
+
+    _parse_chroma_residual(
+        r, nnz, addr, mbx, mby, left_mb, top_mb, cbp_c, chroma_dc, chroma_ac
+    )

@@ -26,25 +26,34 @@ stream equality), which libavcodec in turn decodes bit-exactly.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from . import intra44 as I44
 from . import transform as T
 
 
 class MBSymbols(NamedTuple):
-    """Per-MB entropy symbols, layouts shared with native/cavlc.cpp."""
+    """Per-MB entropy symbols, layouts shared with native/cavlc.cpp.
 
-    mode: jnp.ndarray        # [S, R, C] int32 luma I16x16 pred mode
+    `mode` 0..3 = Intra_16x16 prediction mode; 4 = Intra_4x4 MB (then
+    `i4modes` holds the per-block modes, `cbp_luma` is the 4-bit per-8x8
+    pattern, `luma_ac` holds full 16-coefficient zigzag blocks and
+    `luma_dc` is unused).
+    """
+
+    mode: jnp.ndarray        # [S, R, C] int32 luma pred mode (4 = I4x4)
     cmode: jnp.ndarray       # [S, R, C] int32 chroma pred mode
-    cbp_luma: jnp.ndarray    # [S, R, C] int32 0/1
+    cbp_luma: jnp.ndarray    # [S, R, C] int32 0/1 (I16) or 0..15 (I4x4)
     cbp_chroma: jnp.ndarray  # [S, R, C] int32 0..2
     luma_dc: jnp.ndarray     # [S, R, C, 16] int16 zigzag levels
-    luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16 zigzag (slot 0 unused intra)
+    luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16 zigzag (slot 0 unused I16)
     chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16 (Cb, Cr) raster DC levels
     chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16 block raster (by*2+bx)
+    i4modes: Optional[jnp.ndarray] = None  # [S, R, C, 16] int16 z-scan, -1=n/a
 
 
 def _mb_view(plane: jnp.ndarray, mb: int) -> jnp.ndarray:
@@ -169,14 +178,16 @@ def _recon_chroma_from_zz(pred, dcq, ac_zz, cbp_chroma, qpc):
     return _recon_chroma_from_flat(pred, dcq, q_flat, cbp_chroma, qpc)
 
 
-@jax.jit
-def encode_iframe_rows(
-    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, qp
+@functools.partial(jax.jit, static_argnames=("intra44",))
+def encode_iframe_scan(
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, qp, intra44: bool = False
 ) -> Tuple[MBSymbols, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode a batch of frames as I-frames with per-MB-row slices.
 
     y: [S, H, W] uint8/int (H, W multiples of 16); u, v: [S, H/2, W/2];
     qp: traced int32 scalar (no recompile when rate control moves it).
+    intra44 (static): enable the per-MB Intra_4x4 trial + Lagrangian
+    I16-vs-I4x4 decision (golden/codec.py:213-218).
     Returns (symbols, (recon_y, recon_u, recon_v)) with uint8 recon.
     """
     qpc = T.chroma_qp_from_luma(qp)
@@ -201,6 +212,25 @@ def encode_iframe_rows(
         pred = jnp.where(use_dc[..., None, None], pred_dc, pred_h)
 
         dc_zz, ac_zz, cbp_luma, rec_y = _encode_luma(ymb, pred, qp)
+
+        if intra44:
+            best16 = jnp.minimum(cost_dc, cost_h)
+            sad44, m44, coef44, cbp44, rec44 = I44.encode_mb(
+                ymb, left_y, ~first, qp
+            )
+            use_i4 = sad44 + I44.bias_for_qp(qp) < best16
+            mode = jnp.where(use_i4, 4, mode)
+            cbp_luma = jnp.where(use_i4, cbp44, cbp_luma.astype(jnp.int32))
+            dc_zz = jnp.where(use_i4[..., None], 0, dc_zz)
+            ac_zz = jnp.where(
+                use_i4[..., None, None, None],
+                coef44.astype(jnp.int32).reshape(s, r, 4, 4, 16),
+                ac_zz,
+            )
+            rec_y = jnp.where(use_i4[..., None, None], rec44, rec_y)
+            i4modes = jnp.where(use_i4[..., None], m44, -1).astype(jnp.int16)
+        else:
+            i4modes = jnp.full((s, r, 16), -1, jnp.int16)
 
         pu_dc, pu_h = _pred_chroma(left_u, first)
         pv_dc, pv_h = _pred_chroma(left_v, first)
@@ -236,6 +266,7 @@ def encode_iframe_rows(
             jnp.stack(
                 [acu.reshape(s, r, 4, 15), acv.reshape(s, r, 4, 15)], axis=-3
             ).astype(jnp.int16),
+            i4modes,
             rec_y.astype(jnp.uint8),
             rec_u.astype(jnp.uint8),
             rec_v.astype(jnp.uint8),
@@ -248,7 +279,7 @@ def encode_iframe_rows(
         jnp.zeros((s, r, 8), jnp.int32),
     )
     _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
-    (mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, ry, ru, rv) = outs
+    (mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, i4m, ry, ru, rv) = outs
 
     symbols = MBSymbols(
         mode=_unscan(mode),
@@ -259,6 +290,7 @@ def encode_iframe_rows(
         luma_ac=_unscan(ac_zz),
         chroma_dc=_unscan(cdc),
         chroma_ac=_unscan(cac),
+        i4modes=_unscan(i4m),
     )
     recon = (
         _mbs_to_plane(_unscan(ry)),
@@ -268,9 +300,14 @@ def encode_iframe_rows(
     return symbols, recon
 
 
-@jax.jit
-def decode_iframe_rows(
-    symbols: MBSymbols, qp
+def encode_iframe_rows(y, u, v, qp):
+    """I16-only encode scan (the devpipe/bench fast path)."""
+    return encode_iframe_scan(y, u, v, qp, intra44=False)
+
+
+@functools.partial(jax.jit, static_argnames=("intra44",))
+def decode_iframe_scan(
+    symbols: MBSymbols, qp, intra44: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reconstruct frames from parsed symbols (inverse of encode scan)."""
     qpc = T.chroma_qp_from_luma(qp)
@@ -279,11 +316,21 @@ def decode_iframe_rows(
     def to_scan(x):
         return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
 
-    xs = tuple(to_scan(x) for x in symbols) + (jnp.arange(c),)
+    fields = [
+        symbols.mode, symbols.cmode, symbols.cbp_luma, symbols.cbp_chroma,
+        symbols.luma_dc, symbols.luma_ac, symbols.chroma_dc, symbols.chroma_ac,
+    ]
+    if intra44:
+        fields.append(symbols.i4modes)
+    xs = tuple(to_scan(x) for x in fields) + (jnp.arange(c),)
 
     def step(carry, xs):
         left_y, left_u, left_v = carry
-        mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, col = xs
+        if intra44:
+            mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac, i4m, col = xs
+        else:
+            mode, cmode, cbp_l, cbp_c, dc_zz, ac_zz, cdc, cac = xs[:8]
+            col = xs[8]
         first = jnp.broadcast_to(col == 0, (s, r))
 
         pred_dc, pred_h = _pred_luma(left_y, first)
@@ -294,6 +341,12 @@ def decode_iframe_rows(
         q_flat = T.inverse_zigzag(coeffs).reshape(s, r, 4, 4, 16)
         d = _subst_dc(T.dequant_flat(q_flat, qp), dc_deq)
         rec_y = _blocks_to_mb(T.idct_add(_luma_blocks(pred), d))
+
+        if intra44:
+            rec44 = I44.decode_mb(
+                ac_zz.reshape(s, r, 16, 16), i4m, left_y, ~first, qp
+            )
+            rec_y = jnp.where((mode == 4)[..., None, None], rec44, rec_y)
 
         pu_dc, pu_h = _pred_chroma(left_u, first)
         pv_dc, pv_h = _pred_chroma(left_v, first)
@@ -329,16 +382,21 @@ def decode_iframe_rows(
     )
 
 
+def decode_iframe_rows(symbols: MBSymbols, qp):
+    """I16-only decode scan (the devpipe/bench fast path)."""
+    return decode_iframe_scan(symbols, qp, intra44=False)
+
+
 # ---------------------------------------------------------------------------
 # Fused symbol transport: the host<->device link (PCIe, or a tunnel in dev
 # environments) charges per-transfer latency, so the eight symbol tensors
 # travel as ONE flat int16 buffer.
 # ---------------------------------------------------------------------------
 
-def symbol_sizes(s: int, r: int, c: int):
+def symbol_sizes(s: int, r: int, c: int, i4: bool = False):
     """(field, shape, size) table for the flat layout."""
     n = s * r * c
-    return [
+    sizes = [
         ("mode", (s, r, c), n),
         ("cmode", (s, r, c), n),
         ("cbp_luma", (s, r, c), n),
@@ -348,11 +406,16 @@ def symbol_sizes(s: int, r: int, c: int):
         ("chroma_dc", (s, r, c, 2, 4), n * 8),
         ("chroma_ac", (s, r, c, 2, 4, 15), n * 120),
     ]
+    if i4:
+        sizes.append(("i4modes", (s, r, c, 16), n * 16))
+    return sizes
 
 
 @jax.jit
 def flatten_symbols(symbols: MBSymbols) -> jnp.ndarray:
-    """Pack all symbol tensors into one flat int16 device buffer."""
+    """Pack all symbol tensors into one flat int16 device buffer.
+    `i4modes` travels last iff present, so I16-only consumers keep their
+    existing layout."""
     parts = [
         symbols.mode.astype(jnp.int16).reshape(-1),
         symbols.cmode.astype(jnp.int16).reshape(-1),
@@ -363,16 +426,18 @@ def flatten_symbols(symbols: MBSymbols) -> jnp.ndarray:
         symbols.chroma_dc.reshape(-1),
         symbols.chroma_ac.reshape(-1),
     ]
+    if symbols.i4modes is not None:
+        parts.append(symbols.i4modes.reshape(-1))
     return jnp.concatenate(parts)
 
 
-def unflatten_symbols_np(flat, s: int, r: int, c: int):
+def unflatten_symbols_np(flat, s: int, r: int, c: int, i4: bool = False):
     """Host-side inverse of flatten_symbols; returns dict of numpy views."""
     import numpy as np
 
     out = {}
     off = 0
-    for name, shape, size in symbol_sizes(s, r, c):
+    for name, shape, size in symbol_sizes(s, r, c, i4):
         out[name] = np.asarray(flat[off : off + size]).reshape(shape)
         off += size
     return out
