@@ -36,6 +36,7 @@ class CodecConfig:
     deblock: bool = False  # in-loop deblocking (idc=2: within-slice)
     temporal_layers: int = 1  # 2 = non-ref T1 frames (droppable layer)
     intra44: bool = False  # enable Intra_4x4 trial on I frames (quality)
+    cabac: bool = False  # CABAC entropy coding (Main profile; I frames)
     gop_size: int = 30  # IDR interval
     profile: str = "baseline"
     # pool constants mirroring app.js:52-53 and openh264_wrapper.cpp:8

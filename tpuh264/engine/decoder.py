@@ -27,6 +27,7 @@ from ..core import nal
 from ..core.bitstream import BitReader
 from ..core.params import PPS, SPS
 from ..core.sliceheader import SLICE_P, SliceHeader
+from ..entropy import cabac_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
@@ -94,9 +95,11 @@ class DecoderSession:
         return is_p
 
     def _decode_i(self, data: bytes):
-        (sps, pps, qp, mb_info, ldc, lac, cdc, cac, i4m) = (
-            self._entropy.parse_iframe(data)
+        cabac = self._pps is not None and self._pps.entropy_coding_mode_flag
+        parser = (
+            cabac_pack.parse_iframe if cabac else self._entropy.parse_iframe
         )
+        (sps, pps, qp, mb_info, ldc, lac, cdc, cac, i4m) = parser(data)
         self._sps, self._pps = sps, pps
         r, c = sps.mb_height, sps.mb_width
         has_i4 = bool((mb_info[:, 0] == 4).any())

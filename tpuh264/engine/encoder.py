@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.params import PPS, SPS
+from ..core.params import PPS, SPS, PROFILE_MAIN
+from ..entropy import cabac_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
@@ -62,8 +63,20 @@ class EncoderSession:
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
-        self.sps = SPS.for_size(config.width, config.height)
-        self.pps = PPS()
+        if config.cabac:
+            # CABAC requires Main profile; P-slice CABAC lands with the
+            # inter context set (ROADMAP), so gate to I-only GOPs for now.
+            if config.gop_size != 1:
+                raise NotImplementedError(
+                    "cabac=True currently requires gop_size=1 (I-only)"
+                )
+            self.sps = SPS.for_size(
+                config.width, config.height, profile_idc=PROFILE_MAIN
+            )
+            self.pps = PPS(entropy_coding_mode_flag=1)
+        else:
+            self.sps = SPS.for_size(config.width, config.height)
+            self.pps = PPS()
         self.frame_num = 0
         self.idr_pic_id = 0
         self._force_idr = True
@@ -173,7 +186,11 @@ class EncoderSession:
                     np.stack([mode[i], cmode[i], cbp_l[i], cbp_c[i]], axis=1),
                     np.int32,
                 )
-                stream = self._entropy.pack_iframe(
+                packer = (
+                    cabac_pack.pack_iframe if cfg.cabac
+                    else self._entropy.pack_iframe
+                )
+                stream = packer(
                     mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=0,

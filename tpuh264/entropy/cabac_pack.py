@@ -1,0 +1,591 @@
+"""CABAC host entropy backend: I-slice packing/parsing over the same
+per-MB symbol arrays as the CAVLC packer (entropy/pack.py), so the TPU
+scan kernels feed either coder unchanged (PPS entropy_coding_mode_flag
+selects at the session level).
+
+Syntax per 7.3.5 (macroblock_layer) + 9.3 (CABAC): context-adaptive
+mb_type / intra modes / CBP / mb_qp_delta binarizations and the
+residual_block_cabac coding (coded_block_flag, significance map in scan
+order, levels in reverse scan order with the UEG0 binarization and the
+node-context state machine).  Neighbor context rules follow clause
+9.3.3.1; unavailable-macroblock conventions (intra slices):
+coded_block_flag -> condTermFlag 1, CBP luma -> 0 ("treated coded"),
+CBP chroma / chroma pred mode / mb_type -> 0.
+
+Conformance oracle: every stream is decoded bit-exactly by libavcodec
+(tests/test_cabac.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core import nal
+from ..core.bitstream import BitReader, BitWriter
+from ..core.params import PPS, SPS
+from ..core.sliceheader import SLICE_I, SliceHeader
+from .cabac_arith import CabacDecoder, CabacEncoder
+from .cabac_tables import CTX_INIT_I, init_contexts
+from .pack import BLK_SCAN, _i4_pred_mode, _mb_avail
+
+# Table 9-40 ctxBlockCatOffsets for cat 0..4 (Intra16x16DC, Intra16x16AC,
+# Luma4x4, ChromaDC, ChromaAC)
+_CBF_OFF = (0, 4, 8, 12, 16)
+_SIG_OFF = (0, 15, 29, 44, 47)
+_ABS_OFF = (0, 10, 20, 30, 39)
+# coeff_abs_level_minus1 node-context machine (9.3.3.1.3)
+_LVL1_CTX = (1, 2, 3, 4, 0, 0, 0, 0)
+_GT1_CTX = (5, 5, 5, 5, 6, 7, 8, 9)
+_GT1_CTX_DC = (5, 5, 5, 5, 6, 7, 8, 8)
+_NODE_EQ1 = (1, 2, 3, 3, 4, 5, 6, 7)
+_NODE_GT1 = (4, 4, 4, 4, 5, 6, 7, 7)
+
+
+class _Ctx:
+    """Per-frame neighbor-context state (grids persist across slices of a
+    frame; slice availability gates their use, like pack.py::_NnzState)."""
+
+    def __init__(self, mbw: int, mbh: int):
+        self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
+        self.nnz_u = np.zeros((2 * mbh, 2 * mbw), np.int32)
+        self.nnz_v = np.zeros((2 * mbh, 2 * mbw), np.int32)
+        self.dc_y = np.zeros((mbh, mbw), np.int32)   # luma DC cbf (I16)
+        self.dc_u = np.zeros((mbh, mbw), np.int32)
+        self.dc_v = np.zeros((mbh, mbw), np.int32)
+        self.cbp_l = np.zeros((mbh, mbw), np.int32)  # 4-bit (I16: 0/15)
+        self.cbp_c = np.zeros((mbh, mbw), np.int32)
+        self.not_i4 = np.zeros((mbh, mbw), np.int32)
+        self.cmode = np.zeros((mbh, mbw), np.int32)
+        self.i4 = np.full((4 * mbh, 4 * mbw), -1, np.int32)
+
+
+# -- residual block (7.3.5.3.3) ---------------------------------------------
+
+def _encode_residual(enc, st, mps, cat: int, coeffs, cbf_inc: int) -> int:
+    """Encode one scan-ordered coefficient list; returns its cbf."""
+    n = len(coeffs)
+    last = -1
+    for i in range(n):
+        if coeffs[i]:
+            last = i
+    cbf = 1 if last >= 0 else 0
+    enc.encode(st, mps, 85 + _CBF_OFF[cat] + cbf_inc, cbf)
+    if not cbf:
+        return 0
+
+    for i in range(min(last + 1, n - 1)):
+        inc = min(i, 2) if cat == 3 else i
+        sig = 1 if coeffs[i] else 0
+        enc.encode(st, mps, 105 + _SIG_OFF[cat] + inc, sig)
+        if sig:
+            enc.encode(st, mps, 166 + _SIG_OFF[cat] + inc, 1 if i == last else 0)
+
+    gt1_tab = _GT1_CTX_DC if cat == 3 else _GT1_CTX
+    node = 0
+    for i in range(last, -1, -1):
+        c = int(coeffs[i])
+        if c == 0:
+            continue
+        absm1 = abs(c) - 1
+        enc.encode(
+            st, mps, 227 + _ABS_OFF[cat] + _LVL1_CTX[node], 1 if absm1 else 0
+        )
+        if absm1 == 0:
+            node = _NODE_EQ1[node]
+        else:
+            gt1 = 227 + _ABS_OFF[cat] + gt1_tab[node]
+            if absm1 < 14:
+                for _ in range(absm1 - 1):
+                    enc.encode(st, mps, gt1, 1)
+                enc.encode(st, mps, gt1, 0)
+            else:
+                for _ in range(13):
+                    enc.encode(st, mps, gt1, 1)
+                w = absm1 - 13  # EG0 suffix value + 1 (>= 1)
+                j = w.bit_length() - 1
+                for _ in range(j):
+                    enc.bypass(1)
+                enc.bypass(0)
+                for k in range(j - 1, -1, -1):
+                    enc.bypass((w >> k) & 1)
+            node = _NODE_GT1[node]
+        enc.bypass(1 if c < 0 else 0)
+    return 1
+
+
+def _decode_residual(dec, st, mps, cat: int, n: int, cbf_inc: int):
+    """Decode one block; returns (coeff list length n, cbf)."""
+    coeffs = [0] * n
+    if not dec.decode(st, mps, 85 + _CBF_OFF[cat] + cbf_inc):
+        return coeffs, 0
+
+    sig = [False] * n
+    last = -1
+    for i in range(n - 1):
+        inc = min(i, 2) if cat == 3 else i
+        if dec.decode(st, mps, 105 + _SIG_OFF[cat] + inc):
+            sig[i] = True
+            if dec.decode(st, mps, 166 + _SIG_OFF[cat] + inc):
+                last = i
+                break
+    if last < 0:
+        sig[n - 1] = True
+        last = n - 1
+
+    gt1_tab = _GT1_CTX_DC if cat == 3 else _GT1_CTX
+    node = 0
+    for i in range(last, -1, -1):
+        if not sig[i]:
+            continue
+        if not dec.decode(st, mps, 227 + _ABS_OFF[cat] + _LVL1_CTX[node]):
+            level = 1
+            node = _NODE_EQ1[node]
+        else:
+            gt1 = 227 + _ABS_OFF[cat] + gt1_tab[node]
+            level = 2
+            while level < 15 and dec.decode(st, mps, gt1):
+                level += 1
+            if level == 15:
+                j = 0
+                while dec.bypass():
+                    j += 1
+                w = 1
+                for _ in range(j):
+                    w = (w << 1) | dec.bypass()
+                level = 14 + w
+            node = _NODE_GT1[node]
+        if dec.bypass():
+            level = -level
+        coeffs[i] = level
+    return coeffs, 1
+
+
+# -- neighbor-context increments ---------------------------------------------
+
+def _cbf_inc_4x4(grid, gbx, gby, left_ok, top_ok):
+    a = (1 if grid[gby, gbx - 1] else 0) if left_ok else 1
+    b = (1 if grid[gby - 1, gbx] else 0) if top_ok else 1
+    return a + 2 * b
+
+
+def _cbf_inc_dc(grid, mbx, mby, left_mb, top_mb):
+    a = (1 if grid[mby, mbx - 1] else 0) if left_mb else 1
+    b = (1 if grid[mby - 1, mbx] else 0) if top_mb else 1
+    return a + 2 * b
+
+
+def _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, cur_bits):
+    """ctxIdxInc for the four coded_block_pattern luma bins; cur_bits is
+    the (partially known) current MB pattern used by in-MB neighbors."""
+    incs = []
+    for i in range(4):
+        x8, y8 = i & 1, i >> 1
+        if x8 == 1:
+            a = 1 if ((cur_bits >> (i - 1)) & 1) == 0 else 0
+        elif left_mb:
+            a = 1 if ((C.cbp_l[mby, mbx - 1] >> (2 * y8 + 1)) & 1) == 0 else 0
+        else:
+            a = 0  # unavailable: treated as coded
+        if y8 == 1:
+            b = 1 if ((cur_bits >> (i - 2)) & 1) == 0 else 0
+        elif top_mb:
+            b = 1 if ((C.cbp_l[mby - 1, mbx] >> (2 + x8)) & 1) == 0 else 0
+        else:
+            b = 0
+        incs.append(a + 2 * b)
+    return incs
+
+
+# -- macroblock layer ---------------------------------------------------------
+
+def _mb_common_ctx(C, addr, slice_start, mbw):
+    mby, mbx = divmod(addr, mbw)
+    left_mb, top_mb = _mb_avail(addr, slice_start, mbw)
+    return mby, mbx, left_mb, top_mb
+
+
+def _enc_mb(enc, st, mps, C, addr, slice_start, mbw,
+            info, ldc, lac, cdc, cac, i4m) -> None:
+    mode, cmode, cbp_l, cbp_c = (int(x) for x in info)
+    mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
+    i4 = mode == 4
+
+    # mb_type (I slice): bin0 neighbor ctx, then terminate(0) + I16 bins
+    inc = (1 if left_mb and C.not_i4[mby, mbx - 1] else 0) + (
+        1 if top_mb and C.not_i4[mby - 1, mbx] else 0
+    )
+    enc.encode(st, mps, 3 + inc, 0 if i4 else 1)
+    if i4:
+        cbp_bits = cbp_l
+        for bi, (bx, by) in enumerate(BLK_SCAN):
+            gbx, gby = 4 * mbx + bx, 4 * mby + by
+            l_ok = bx > 0 or left_mb
+            t_ok = by > 0 or top_mb
+            pm = _i4_pred_mode(C.i4, gbx, gby, l_ok, t_ok)
+            m = int(i4m[bi])
+            if m == pm:
+                enc.encode(st, mps, 68, 1)
+            else:
+                enc.encode(st, mps, 68, 0)
+                rem = m if m < pm else m - 1
+                for k in range(3):  # rem_intra4x4_pred_mode: FL, LSB first
+                    enc.encode(st, mps, 69, (rem >> k) & 1)
+            C.i4[gby, gbx] = m
+    else:
+        enc.terminate(0)  # not I_PCM
+        enc.encode(st, mps, 6, 1 if cbp_l else 0)
+        if cbp_c == 0:
+            enc.encode(st, mps, 7, 0)
+        else:
+            enc.encode(st, mps, 7, 1)
+            enc.encode(st, mps, 8, 1 if cbp_c == 2 else 0)
+        enc.encode(st, mps, 9, (mode >> 1) & 1)
+        enc.encode(st, mps, 10, mode & 1)
+        cbp_bits = 15 if cbp_l else 0
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+
+    # intra_chroma_pred_mode: TU cMax 3
+    cinc = (1 if left_mb and C.cmode[mby, mbx - 1] else 0) + (
+        1 if top_mb and C.cmode[mby - 1, mbx] else 0
+    )
+    for k in range(cmode):
+        enc.encode(st, mps, (64 + cinc) if k == 0 else 67, 1)
+    if cmode < 3:
+        enc.encode(st, mps, (64 + cinc) if cmode == 0 else 67, 0)
+
+    # coded_block_pattern (I_NxN only)
+    if i4:
+        bits = 0
+        for i in range(4):
+            inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
+            b = (cbp_l >> i) & 1
+            enc.encode(st, mps, 73 + inc_i, b)
+            bits |= b << i
+        a0 = 1 if left_mb and C.cbp_c[mby, mbx - 1] else 0
+        b0 = 1 if top_mb and C.cbp_c[mby - 1, mbx] else 0
+        enc.encode(st, mps, 77 + a0 + 2 * b0, 1 if cbp_c else 0)
+        if cbp_c:
+            a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
+            b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
+            enc.encode(st, mps, 81 + a1 + 2 * b1, 1 if cbp_c == 2 else 0)
+
+    # mb_qp_delta (always 0 here; ctx bin0 = prev delta != 0, always 0)
+    if (not i4) or cbp_l or cbp_c:
+        enc.encode(st, mps, 60, 0)
+
+    # -- residuals ------------------------------------------------------------
+    ys = C.nnz_y.shape[1]
+    if i4:
+        for i8 in range(4):
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                if (cbp_l >> i8) & 1:
+                    inc = _cbf_inc_4x4(
+                        C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                    )
+                    cbf = _encode_residual(
+                        enc, st, mps, 2, lac[4 * by + bx].tolist(), inc
+                    )
+                    C.nnz_y[gby, gbx] = cbf
+                else:
+                    C.nnz_y[gby, gbx] = 0
+        C.dc_y[mby, mbx] = 0
+    else:
+        inc = _cbf_inc_dc(C.dc_y, mbx, mby, left_mb, top_mb)
+        C.dc_y[mby, mbx] = _encode_residual(
+            enc, st, mps, 0, ldc.tolist(), inc
+        )
+        if cbp_l:
+            for bx, by in BLK_SCAN:
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                )
+                cbf = _encode_residual(
+                    enc, st, mps, 1, lac[4 * by + bx][1:].tolist(), inc
+                )
+                C.nnz_y[gby, gbx] = cbf
+        else:
+            C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+
+    if cbp_c:
+        for comp, dc_grid in ((0, C.dc_u), (1, C.dc_v)):
+            inc = _cbf_inc_dc(dc_grid, mbx, mby, left_mb, top_mb)
+            dc_grid[mby, mbx] = _encode_residual(
+                enc, st, mps, 3, cdc[comp].tolist(), inc
+            )
+    else:
+        C.dc_u[mby, mbx] = 0
+        C.dc_v[mby, mbx] = 0
+    if cbp_c == 2:
+        for comp, grid in ((0, C.nnz_u), (1, C.nnz_v)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                gbx, gby = 2 * mbx + bx, 2 * mby + by
+                inc = _cbf_inc_4x4(
+                    grid, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                )
+                cbf = _encode_residual(
+                    enc, st, mps, 4, cac[comp, bidx].tolist(), inc
+                )
+                grid[gby, gbx] = cbf
+    else:
+        C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    C.not_i4[mby, mbx] = 0 if i4 else 1
+    C.cmode[mby, mbx] = cmode
+    C.cbp_l[mby, mbx] = cbp_bits
+    C.cbp_c[mby, mbx] = cbp_c
+
+
+def _dec_mb(dec, st, mps, C, addr, slice_start, mbw,
+            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac, i4modes) -> None:
+    mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
+
+    inc = (1 if left_mb and C.not_i4[mby, mbx - 1] else 0) + (
+        1 if top_mb and C.not_i4[mby - 1, mbx] else 0
+    )
+    i4 = dec.decode(st, mps, 3 + inc) == 0
+    if i4:
+        for bi, (bx, by) in enumerate(BLK_SCAN):
+            gbx, gby = 4 * mbx + bx, 4 * mby + by
+            l_ok = bx > 0 or left_mb
+            t_ok = by > 0 or top_mb
+            pm = _i4_pred_mode(C.i4, gbx, gby, l_ok, t_ok)
+            if dec.decode(st, mps, 68):
+                m = pm
+            else:
+                rem = 0
+                for k in range(3):
+                    rem |= dec.decode(st, mps, 69) << k
+                m = rem if rem < pm else rem + 1
+            i4modes[addr, bi] = m
+            C.i4[gby, gbx] = m
+        mode = 4
+        cbp_l = cbp_c = None  # read after chroma mode
+    else:
+        if dec.terminate():
+            raise NotImplementedError("I_PCM")
+        cbp_l = dec.decode(st, mps, 6)
+        if dec.decode(st, mps, 7):
+            cbp_c = 1 + dec.decode(st, mps, 8)
+        else:
+            cbp_c = 0
+        mode = (dec.decode(st, mps, 9) << 1) | dec.decode(st, mps, 10)
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+
+    cinc = (1 if left_mb and C.cmode[mby, mbx - 1] else 0) + (
+        1 if top_mb and C.cmode[mby - 1, mbx] else 0
+    )
+    cmode = 0
+    while cmode < 3 and dec.decode(
+        st, mps, (64 + cinc) if cmode == 0 else 67
+    ):
+        cmode += 1
+
+    if i4:
+        bits = 0
+        for i in range(4):
+            inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
+            bits |= dec.decode(st, mps, 73 + inc_i) << i
+        cbp_l = bits
+        a0 = 1 if left_mb and C.cbp_c[mby, mbx - 1] else 0
+        b0 = 1 if top_mb and C.cbp_c[mby - 1, mbx] else 0
+        if dec.decode(st, mps, 77 + a0 + 2 * b0):
+            a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
+            b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
+            cbp_c = 1 + dec.decode(st, mps, 81 + a1 + 2 * b1)
+        else:
+            cbp_c = 0
+        cbp_bits = cbp_l
+        info_cbp_l = cbp_l
+    else:
+        cbp_bits = 15 if cbp_l else 0
+        info_cbp_l = cbp_l
+
+    if (not i4) or cbp_l or cbp_c:
+        if dec.decode(st, mps, 60):
+            raise NotImplementedError("nonzero mb_qp_delta")
+
+    mb_info[addr] = (mode, cmode, info_cbp_l, cbp_c)
+
+    if i4:
+        for i8 in range(4):
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                if (cbp_l >> i8) & 1:
+                    inc = _cbf_inc_4x4(
+                        C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                    )
+                    coeffs, cbf = _decode_residual(dec, st, mps, 2, 16, inc)
+                    luma_ac[addr, 4 * by + bx] = coeffs
+                    C.nnz_y[gby, gbx] = cbf
+                else:
+                    C.nnz_y[gby, gbx] = 0
+        C.dc_y[mby, mbx] = 0
+    else:
+        inc = _cbf_inc_dc(C.dc_y, mbx, mby, left_mb, top_mb)
+        coeffs, cbf = _decode_residual(dec, st, mps, 0, 16, inc)
+        luma_dc[addr] = coeffs
+        C.dc_y[mby, mbx] = cbf
+        if cbp_l:
+            for bx, by in BLK_SCAN:
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                )
+                coeffs, cbf = _decode_residual(dec, st, mps, 1, 15, inc)
+                luma_ac[addr, 4 * by + bx, 1:] = coeffs
+                C.nnz_y[gby, gbx] = cbf
+        else:
+            C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+
+    if cbp_c:
+        for comp, dc_grid in ((0, C.dc_u), (1, C.dc_v)):
+            inc = _cbf_inc_dc(dc_grid, mbx, mby, left_mb, top_mb)
+            coeffs, cbf = _decode_residual(dec, st, mps, 3, 4, inc)
+            chroma_dc[addr, comp] = coeffs
+            dc_grid[mby, mbx] = cbf
+    else:
+        C.dc_u[mby, mbx] = 0
+        C.dc_v[mby, mbx] = 0
+    if cbp_c == 2:
+        for comp, grid in ((0, C.nnz_u), (1, C.nnz_v)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                gbx, gby = 2 * mbx + bx, 2 * mby + by
+                inc = _cbf_inc_4x4(
+                    grid, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb
+                )
+                coeffs, cbf = _decode_residual(dec, st, mps, 4, 15, inc)
+                chroma_ac[addr, comp, bidx] = coeffs
+                grid[gby, gbx] = cbf
+    else:
+        C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    C.not_i4[mby, mbx] = 0 if i4 else 1
+    C.cmode[mby, mbx] = cmode
+    C.cbp_l[mby, mbx] = cbp_bits
+    C.cbp_c[mby, mbx] = cbp_c
+
+
+# -- frame level ---------------------------------------------------------------
+
+def pack_iframe(
+    mb_info: np.ndarray,
+    luma_dc: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    slice_mode: str = "rows",
+    frame_num: int = 0,
+    idr: bool = True,
+    include_ps: bool = True,
+    deblock_idc: int = 1,
+    i4modes: Optional[np.ndarray] = None,
+) -> bytes:
+    """Pack one frame's symbol arrays into a CABAC annex-B stream."""
+    assert pps.entropy_coding_mode_flag == 1
+    mbw, mbh = sps.mb_width, sps.mb_height
+    out = bytearray()
+    if include_ps:
+        w = BitWriter()
+        sps.write(w)
+        out += nal.wrap_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        pps.write(w)
+        out += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+
+    if slice_mode == "rows":
+        slices = [(r * mbw, mbw) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, mbw * mbh)]
+    else:
+        raise ValueError(slice_mode)
+
+    C = _Ctx(mbw, mbh)
+    for start, count in slices:
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=start,
+            slice_type=SLICE_I,
+            frame_num=frame_num,
+            slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
+        ).write(w, sps, pps, idr)
+        while w.bit_length % 8:
+            w.u(1, 1)  # cabac_alignment_one_bit
+        st, mps = init_contexts(CTX_INIT_I, qp)
+        enc = CabacEncoder()
+        for k in range(count):
+            addr = start + k
+            _enc_mb(
+                enc, st, mps, C, addr, start, mbw,
+                mb_info[addr], luma_dc[addr], luma_ac[addr],
+                chroma_dc[addr], chroma_ac[addr],
+                i4modes[addr] if i4modes is not None else None,
+            )
+            enc.terminate(1 if k == count - 1 else 0)  # end_of_slice_flag
+        rbsp = w.get_bytes() + enc.get_bytes()
+        ntype = nal.NAL_SLICE_IDR if idr else nal.NAL_SLICE_NON_IDR
+        out += nal.wrap_nal(ntype, rbsp, nal_ref_idc=3)
+    return bytes(out)
+
+
+def parse_iframe(
+    data: bytes,
+) -> Tuple[SPS, PPS, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray]:
+    """Parse a CABAC annex-B I-frame back into symbol arrays (same tuple
+    contract as pack.parse_iframe)."""
+    sps: Optional[SPS] = None
+    pps: Optional[PPS] = None
+    arrays = None
+    qp = 26
+    C = None
+    for _, ntype, rbsp in nal.split_annexb(data):
+        if ntype == nal.NAL_SPS:
+            sps = SPS.parse(BitReader(rbsp))
+        elif ntype == nal.NAL_PPS:
+            pps = PPS.parse(BitReader(rbsp))
+        elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+            assert sps is not None and pps is not None
+            assert pps.entropy_coding_mode_flag == 1
+            mbw, mbh = sps.mb_width, sps.mb_height
+            n = mbw * mbh
+            if arrays is None:
+                arrays = (
+                    np.zeros((n, 4), np.int32),
+                    np.zeros((n, 16), np.int16),
+                    np.zeros((n, 16, 16), np.int16),
+                    np.zeros((n, 2, 4), np.int16),
+                    np.zeros((n, 2, 4, 15), np.int16),
+                    np.full((n, 16), -1, np.int16),
+                )
+                C = _Ctx(mbw, mbh)
+            r = BitReader(rbsp)
+            header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
+            qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
+            byte0 = (r.bit_position + 7) // 8  # skip cabac alignment ones
+            st, mps = init_contexts(CTX_INIT_I, qp)
+            dec = CabacDecoder(rbsp, byte0)
+            addr = header.first_mb_in_slice
+            start = addr
+            while True:
+                _dec_mb(dec, st, mps, C, addr, start, mbw, *arrays)
+                addr += 1
+                if dec.terminate():
+                    break
+                if addr >= n:
+                    raise ValueError("slice overruns frame")
+    assert arrays is not None and sps is not None and pps is not None
+    return (sps, pps, qp) + arrays
