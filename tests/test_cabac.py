@@ -114,3 +114,51 @@ def test_engine_session_cabac():
     if libav_available():
         lv = decode_with_libav(frames[0].data)
         np.testing.assert_array_equal(lv[0][0], recon)
+
+
+def test_engine_cabac_ippp_libav():
+    """CABAC P slices (skip / inter mvd / intra-in-P) through the engine,
+    decoded by us and by libavcodec, all bit-exact with the encoder DPB."""
+    from tests.test_golden_pframe import moving_sequence
+    from tpuh264.engine.decoder import DecoderSession
+    from tpuh264.engine.encoder import EncoderSession
+
+    frames = moving_sequence(48, 64, 5, seed=11)
+    enc = EncoderSession(width=64, height=48, qp=28, cabac=True, gop_size=5)
+    dec = DecoderSession()
+    full = bytearray()
+    recons = []
+    for (y, u, v) in frames:
+        f = enc.encode_frame_yuv(y[None], u[None], v[None])
+        recons.append(np.asarray(enc.recon[0][0])[:48, :64])
+        out = dec.decode(f[0].data)
+        assert out is not None and not dec.needs_keyframe
+        np.testing.assert_array_equal(out[0], recons[-1])
+        full += f[0].data
+    if libav_available():
+        lv = decode_with_libav(bytes(full))
+        assert len(lv) == len(frames)
+        for i, fr in enumerate(lv):
+            np.testing.assert_array_equal(fr[0], recons[i])
+
+
+def test_engine_cabac_ippp_deblock_temporal():
+    from tests.test_golden_pframe import moving_sequence
+    from tpuh264.engine.decoder import DecoderSession
+    from tpuh264.engine.encoder import EncoderSession
+
+    enc = EncoderSession(width=64, height=48, qp=30, cabac=True, gop_size=8,
+                         deblock=True, temporal_layers=2)
+    dec = DecoderSession()
+    full = bytearray()
+    recs = []
+    for (y, u, v) in moving_sequence(48, 64, 6, seed=3):
+        f = enc.encode_frame_yuv(y[None], u[None], v[None])
+        recs.append(np.asarray(enc.recon[0][0])[:48, :64])
+        out = dec.decode(f[0].data)
+        np.testing.assert_array_equal(out[0], recs[-1])
+        full += f[0].data
+    if libav_available():
+        lv = decode_with_libav(bytes(full))
+        for i, fr in enumerate(lv):
+            np.testing.assert_array_equal(fr[0], recs[i])

@@ -141,9 +141,14 @@ class DecoderSession:
                 h = SliceHeader.parse(r, sps, pps, False, ref=ridc != 0)
                 qp = 26 + pps.pic_init_qp_minus26 + h.slice_qp_delta
                 slices.append((rbsp, r.bit_position, h.first_mb_in_slice))
-        parse_p = getattr(self._entropy, "parse_pframe_slices",
-                          entropy_packp.parse_pframe_slices)
-        mb_info, ldc, lac, cdc, cac = parse_p(slices, sps, pps)
+        if pps.entropy_coding_mode_flag:
+            mb_info, ldc, lac, cdc, cac = cabac_pack.parse_pframe_slices(
+                slices, sps, pps, qp=qp
+            )
+        else:
+            parse_p = getattr(self._entropy, "parse_pframe_slices",
+                              entropy_packp.parse_pframe_slices)
+            mb_info, ldc, lac, cdc, cac = parse_p(slices, sps, pps)
         rr, cc = sps.mb_height, sps.mb_width
         symbols = pframe.MBSymbolsP(
             kind=mb_info[:, 0].reshape(1, rr, cc),

@@ -64,12 +64,6 @@ class EncoderSession:
             config = CodecConfig(**kw)
         self.config = config
         if config.cabac:
-            # CABAC requires Main profile; P-slice CABAC lands with the
-            # inter context set (ROADMAP), so gate to I-only GOPs for now.
-            if config.gop_size != 1:
-                raise NotImplementedError(
-                    "cabac=True currently requires gop_size=1 (I-only)"
-                )
             self.sps = SPS.for_size(
                 config.width, config.height, profile_idc=PROFILE_MAIN
             )
@@ -227,8 +221,11 @@ class EncoderSession:
                 mb_info[:, 4] = cbp_c[i]
                 mb_info[:, 5] = mvdx[i]
                 mb_info[:, 6] = mvdy[i]
-                pack_p = getattr(self._entropy, "pack_pframe",
+                pack_p = (
+                    cabac_pack.pack_pframe if cfg.cabac
+                    else getattr(self._entropy, "pack_pframe",
                                  entropy_packp.pack_pframe)
+                )
                 stream = pack_p(
                     mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
                     self.sps, self.pps, qp,

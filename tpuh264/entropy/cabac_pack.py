@@ -25,10 +25,11 @@ import numpy as np
 from ..core import nal
 from ..core.bitstream import BitReader, BitWriter
 from ..core.params import PPS, SPS
-from ..core.sliceheader import SLICE_I, SliceHeader
+from ..core.sliceheader import SLICE_I, SLICE_P, SliceHeader
 from .cabac_arith import CabacDecoder, CabacEncoder
-from .cabac_tables import CTX_INIT_I, init_contexts
+from .cabac_tables import CTX_INIT_I, CTX_INIT_PB, init_contexts
 from .pack import BLK_SCAN, _i4_pred_mode, _mb_avail
+from .packp import KIND_INTER, KIND_INTRA, KIND_SKIP
 
 # Table 9-40 ctxBlockCatOffsets for cat 0..4 (Intra16x16DC, Intra16x16AC,
 # Luma4x4, ChromaDC, ChromaAC)
@@ -59,6 +60,9 @@ class _Ctx:
         self.not_i4 = np.zeros((mbh, mbw), np.int32)
         self.cmode = np.zeros((mbh, mbw), np.int32)
         self.i4 = np.full((4 * mbh, 4 * mbw), -1, np.int32)
+        # P-slice state: skip flags and per-MB |mvd| (zero for skip/intra)
+        self.skip = np.zeros((mbh, mbw), np.int32)
+        self.amvd = np.zeros((mbh, mbw, 2), np.int32)
 
 
 # -- residual block (7.3.5.3.3) ---------------------------------------------
@@ -164,15 +168,17 @@ def _decode_residual(dec, st, mps, cat: int, n: int, cbf_inc: int):
 
 # -- neighbor-context increments ---------------------------------------------
 
-def _cbf_inc_4x4(grid, gbx, gby, left_ok, top_ok):
-    a = (1 if grid[gby, gbx - 1] else 0) if left_ok else 1
-    b = (1 if grid[gby - 1, gbx] else 0) if top_ok else 1
+def _cbf_inc_4x4(grid, gbx, gby, left_ok, top_ok, un=1):
+    """coded_block_flag ctxIdxInc; `un` is the unavailable-neighbor
+    condTermFlag: 1 for intra macroblocks, 0 for inter (9.3.3.1.1.9)."""
+    a = (1 if grid[gby, gbx - 1] else 0) if left_ok else un
+    b = (1 if grid[gby - 1, gbx] else 0) if top_ok else un
     return a + 2 * b
 
 
-def _cbf_inc_dc(grid, mbx, mby, left_mb, top_mb):
-    a = (1 if grid[mby, mbx - 1] else 0) if left_mb else 1
-    b = (1 if grid[mby - 1, mbx] else 0) if top_mb else 1
+def _cbf_inc_dc(grid, mbx, mby, left_mb, top_mb, un=1):
+    a = (1 if grid[mby, mbx - 1] else 0) if left_mb else un
+    b = (1 if grid[mby - 1, mbx] else 0) if top_mb else un
     return a + 2 * b
 
 
@@ -589,3 +595,456 @@ def parse_iframe(
                     raise ValueError("slice overruns frame")
     assert arrays is not None and sps is not None and pps is not None
     return (sps, pps, qp) + arrays
+
+
+# ===========================================================================
+# P slices (P_Skip / P_L0_16x16 / Intra_16x16-in-P), CTX_INIT_PB tables.
+# Same symbol-array contract as entropy/packp.py.
+# ===========================================================================
+
+def _enc_mvd(enc, st, mps, base: int, amvd: int, mvd: int) -> None:
+    """mvd_l0 component: UEG3 (prefix TU cMax 9, ctx base+{0..2} for bin0
+    by neighbor |mvd| sum, base+3..6 for prefix bins), EG3 bypass suffix,
+    bypass sign (9.3.3.1.1.7)."""
+    inc = 0 if amvd < 3 else (1 if amvd < 33 else 2)
+    a = abs(mvd)
+    if a == 0:
+        enc.encode(st, mps, base + inc, 0)
+        return
+    enc.encode(st, mps, base + inc, 1)
+    k = min(a, 9)
+    ctx = base + 3
+    n = 1
+    while n < k:
+        enc.encode(st, mps, ctx, 1)
+        if n < 4:
+            ctx += 1
+        n += 1
+    if a < 9:
+        enc.encode(st, mps, ctx, 0)
+    else:
+        v = a - 9
+        kk = 3
+        while v >= (1 << kk):
+            enc.bypass(1)
+            v -= 1 << kk
+            kk += 1
+        enc.bypass(0)
+        for b in range(kk - 1, -1, -1):
+            enc.bypass((v >> b) & 1)
+    enc.bypass(1 if mvd < 0 else 0)
+
+
+def _dec_mvd(dec, st, mps, base: int, amvd: int) -> int:
+    inc = 0 if amvd < 3 else (1 if amvd < 33 else 2)
+    if not dec.decode(st, mps, base + inc):
+        return 0
+    a = 1
+    ctx = base + 3
+    while a < 9 and dec.decode(st, mps, ctx):
+        if a < 4:
+            ctx += 1
+        a += 1
+    if a >= 9:
+        kk = 3
+        while dec.bypass():
+            a += 1 << kk
+            kk += 1
+        while kk:
+            kk -= 1
+            a += dec.bypass() << kk
+    return -a if dec.bypass() else a
+
+
+def _enc_chroma_res(enc, st, mps, C, mbx, mby, left_mb, top_mb,
+                    cbp_c, cdc, cac, un) -> None:
+    if cbp_c:
+        for comp, dc_grid in ((0, C.dc_u), (1, C.dc_v)):
+            inc = _cbf_inc_dc(dc_grid, mbx, mby, left_mb, top_mb, un)
+            dc_grid[mby, mbx] = _encode_residual(
+                enc, st, mps, 3, cdc[comp].tolist(), inc
+            )
+    else:
+        C.dc_u[mby, mbx] = 0
+        C.dc_v[mby, mbx] = 0
+    if cbp_c == 2:
+        for comp, grid in ((0, C.nnz_u), (1, C.nnz_v)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                gbx, gby = 2 * mbx + bx, 2 * mby + by
+                inc = _cbf_inc_4x4(
+                    grid, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, un
+                )
+                grid[gby, gbx] = _encode_residual(
+                    enc, st, mps, 4, cac[comp, bidx].tolist(), inc
+                )
+    else:
+        C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+
+def _dec_chroma_res(dec, st, mps, C, mbx, mby, left_mb, top_mb,
+                    cbp_c, chroma_dc, chroma_ac, addr, un) -> None:
+    if cbp_c:
+        for comp, dc_grid in ((0, C.dc_u), (1, C.dc_v)):
+            inc = _cbf_inc_dc(dc_grid, mbx, mby, left_mb, top_mb, un)
+            coeffs, cbf = _decode_residual(dec, st, mps, 3, 4, inc)
+            chroma_dc[addr, comp] = coeffs
+            dc_grid[mby, mbx] = cbf
+    else:
+        C.dc_u[mby, mbx] = 0
+        C.dc_v[mby, mbx] = 0
+    if cbp_c == 2:
+        for comp, grid in ((0, C.nnz_u), (1, C.nnz_v)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                gbx, gby = 2 * mbx + bx, 2 * mby + by
+                inc = _cbf_inc_4x4(
+                    grid, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, un
+                )
+                coeffs, cbf = _decode_residual(dec, st, mps, 4, 15, inc)
+                chroma_ac[addr, comp, bidx] = coeffs
+                grid[gby, gbx] = cbf
+    else:
+        C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+
+def _mb_zero_p(C, mbx, mby):
+    C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+    C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    C.dc_y[mby, mbx] = 0
+    C.dc_u[mby, mbx] = 0
+    C.dc_v[mby, mbx] = 0
+
+
+def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
+              info, ldc, lac, cdc, cac) -> None:
+    kind = int(info[0])
+    mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
+
+    # mb_skip_flag: condTermFlagN = mbN available and not skipped
+    sinc = (1 if left_mb and not C.skip[mby, mbx - 1] else 0) + (
+        1 if top_mb and not C.skip[mby - 1, mbx] else 0
+    )
+    enc.encode(st, mps, 11 + sinc, 1 if kind == KIND_SKIP else 0)
+    if kind == KIND_SKIP:
+        _mb_zero_p(C, mbx, mby)
+        C.skip[mby, mbx] = 1
+        C.amvd[mby, mbx] = 0
+        C.not_i4[mby, mbx] = 0
+        C.cmode[mby, mbx] = 0
+        C.cbp_l[mby, mbx] = 0
+        C.cbp_c[mby, mbx] = 0
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+        return
+    C.skip[mby, mbx] = 0
+
+    if kind == KIND_INTRA:
+        _, mode, cmode, cbp_l, cbp_c, _, _, _ = (int(x) for x in info)
+        # P mb_type prefix '1' (intra), then I16 suffix at ctx base 17
+        enc.encode(st, mps, 14, 1)
+        enc.terminate(0)  # not I_PCM
+        enc.encode(st, mps, 18, 1 if cbp_l else 0)
+        if cbp_c == 0:
+            enc.encode(st, mps, 19, 0)
+        else:
+            enc.encode(st, mps, 19, 1)
+            enc.encode(st, mps, 19, 1 if cbp_c == 2 else 0)
+        enc.encode(st, mps, 20, (mode >> 1) & 1)
+        enc.encode(st, mps, 20, mode & 1)
+        cinc = (1 if left_mb and C.cmode[mby, mbx - 1] else 0) + (
+            1 if top_mb and C.cmode[mby - 1, mbx] else 0
+        )
+        for k in range(cmode):
+            enc.encode(st, mps, (64 + cinc) if k == 0 else 67, 1)
+        if cmode < 3:
+            enc.encode(st, mps, (64 + cinc) if cmode == 0 else 67, 0)
+        enc.encode(st, mps, 60, 0)  # mb_qp_delta (always coded for I16)
+        inc = _cbf_inc_dc(C.dc_y, mbx, mby, left_mb, top_mb, 1)
+        C.dc_y[mby, mbx] = _encode_residual(enc, st, mps, 0, ldc.tolist(), inc)
+        if cbp_l:
+            for bx, by in BLK_SCAN:
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 1
+                )
+                C.nnz_y[gby, gbx] = _encode_residual(
+                    enc, st, mps, 1, lac[4 * by + bx][1:].tolist(), inc
+                )
+        else:
+            C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+        _enc_chroma_res(enc, st, mps, C, mbx, mby, left_mb, top_mb,
+                        cbp_c, cdc, cac, 1)
+        C.amvd[mby, mbx] = 0
+        C.not_i4[mby, mbx] = 1
+        C.cmode[mby, mbx] = cmode
+        C.cbp_l[mby, mbx] = 15 if cbp_l else 0
+        C.cbp_c[mby, mbx] = cbp_c
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+        return
+
+    # P_L0_16x16: mb_type bins '0' (14), '0' (15), '0' (16)
+    _, _, _, cbp_l, cbp_c, mvdx, mvdy, _ = (int(x) for x in info)
+    enc.encode(st, mps, 14, 0)
+    enc.encode(st, mps, 15, 0)
+    enc.encode(st, mps, 16, 0)
+    # mvd_l0 (no ref_idx: one reference active)
+    amvx = (int(C.amvd[mby, mbx - 1, 0]) if left_mb else 0) + (
+        int(C.amvd[mby - 1, mbx, 0]) if top_mb else 0
+    )
+    amvy = (int(C.amvd[mby, mbx - 1, 1]) if left_mb else 0) + (
+        int(C.amvd[mby - 1, mbx, 1]) if top_mb else 0
+    )
+    _enc_mvd(enc, st, mps, 40, amvx, mvdx)
+    _enc_mvd(enc, st, mps, 47, amvy, mvdy)
+    C.amvd[mby, mbx] = (abs(mvdx), abs(mvdy))
+    # coded_block_pattern
+    bits = 0
+    for i in range(4):
+        inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
+        b = (cbp_l >> i) & 1
+        enc.encode(st, mps, 73 + inc_i, b)
+        bits |= b << i
+    a0 = 1 if left_mb and C.cbp_c[mby, mbx - 1] else 0
+    b0 = 1 if top_mb and C.cbp_c[mby - 1, mbx] else 0
+    enc.encode(st, mps, 77 + a0 + 2 * b0, 1 if cbp_c else 0)
+    if cbp_c:
+        a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
+        b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
+        enc.encode(st, mps, 81 + a1 + 2 * b1, 1 if cbp_c == 2 else 0)
+    if cbp_l or cbp_c:
+        enc.encode(st, mps, 60, 0)  # mb_qp_delta
+    # luma residual: cat 2, 16 coeffs, gated per 8x8
+    for i8 in range(4):
+        for b in range(4 * i8, 4 * i8 + 4):
+            bx, by = BLK_SCAN[b]
+            gbx, gby = 4 * mbx + bx, 4 * mby + by
+            if (cbp_l >> i8) & 1:
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 0
+                )
+                C.nnz_y[gby, gbx] = _encode_residual(
+                    enc, st, mps, 2, lac[4 * by + bx].tolist(), inc
+                )
+            else:
+                C.nnz_y[gby, gbx] = 0
+    C.dc_y[mby, mbx] = 0
+    _enc_chroma_res(enc, st, mps, C, mbx, mby, left_mb, top_mb,
+                    cbp_c, cdc, cac, 0)
+    C.not_i4[mby, mbx] = 1
+    C.cmode[mby, mbx] = 0
+    C.cbp_l[mby, mbx] = cbp_l
+    C.cbp_c[mby, mbx] = cbp_c
+    C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+
+
+def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
+              mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac) -> None:
+    mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
+    info = mb_info[addr]
+    info[:] = 0
+
+    sinc = (1 if left_mb and not C.skip[mby, mbx - 1] else 0) + (
+        1 if top_mb and not C.skip[mby - 1, mbx] else 0
+    )
+    if dec.decode(st, mps, 11 + sinc):
+        info[0] = KIND_SKIP
+        _mb_zero_p(C, mbx, mby)
+        C.skip[mby, mbx] = 1
+        C.amvd[mby, mbx] = 0
+        C.not_i4[mby, mbx] = 0
+        C.cmode[mby, mbx] = 0
+        C.cbp_l[mby, mbx] = 0
+        C.cbp_c[mby, mbx] = 0
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+        return
+    C.skip[mby, mbx] = 0
+
+    if dec.decode(st, mps, 14):  # intra in P
+        if dec.decode(st, mps, 17) == 0:
+            raise NotImplementedError("I_NxN in P slice")
+        if dec.terminate():
+            raise NotImplementedError("I_PCM")
+        cbp_l = dec.decode(st, mps, 18)
+        if dec.decode(st, mps, 19):
+            cbp_c = 1 + dec.decode(st, mps, 19)
+        else:
+            cbp_c = 0
+        mode = (dec.decode(st, mps, 20) << 1) | dec.decode(st, mps, 20)
+        cinc = (1 if left_mb and C.cmode[mby, mbx - 1] else 0) + (
+            1 if top_mb and C.cmode[mby - 1, mbx] else 0
+        )
+        cmode = 0
+        while cmode < 3 and dec.decode(
+            st, mps, (64 + cinc) if cmode == 0 else 67
+        ):
+            cmode += 1
+        if dec.decode(st, mps, 60):
+            raise NotImplementedError("nonzero mb_qp_delta")
+        info[0], info[1], info[2], info[3], info[4] = (
+            KIND_INTRA, mode, cmode, cbp_l, cbp_c
+        )
+        inc = _cbf_inc_dc(C.dc_y, mbx, mby, left_mb, top_mb, 1)
+        coeffs, cbf = _decode_residual(dec, st, mps, 0, 16, inc)
+        luma_dc[addr] = coeffs
+        C.dc_y[mby, mbx] = cbf
+        if cbp_l:
+            for bx, by in BLK_SCAN:
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 1
+                )
+                coeffs, cbf = _decode_residual(dec, st, mps, 1, 15, inc)
+                luma_ac[addr, 4 * by + bx, 1:] = coeffs
+                C.nnz_y[gby, gbx] = cbf
+        else:
+            C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+        _dec_chroma_res(dec, st, mps, C, mbx, mby, left_mb, top_mb,
+                        cbp_c, chroma_dc, chroma_ac, addr, 1)
+        C.amvd[mby, mbx] = 0
+        C.not_i4[mby, mbx] = 1
+        C.cmode[mby, mbx] = cmode
+        C.cbp_l[mby, mbx] = 15 if cbp_l else 0
+        C.cbp_c[mby, mbx] = cbp_c
+        C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+        return
+
+    if dec.decode(st, mps, 15):
+        raise NotImplementedError("P 16x8/8x16 partitions")
+    if dec.decode(st, mps, 16):
+        raise NotImplementedError("P_8x8")
+    amvx = (int(C.amvd[mby, mbx - 1, 0]) if left_mb else 0) + (
+        int(C.amvd[mby - 1, mbx, 0]) if top_mb else 0
+    )
+    amvy = (int(C.amvd[mby, mbx - 1, 1]) if left_mb else 0) + (
+        int(C.amvd[mby - 1, mbx, 1]) if top_mb else 0
+    )
+    mvdx = _dec_mvd(dec, st, mps, 40, amvx)
+    mvdy = _dec_mvd(dec, st, mps, 47, amvy)
+    C.amvd[mby, mbx] = (abs(mvdx), abs(mvdy))
+    bits = 0
+    for i in range(4):
+        inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
+        bits |= dec.decode(st, mps, 73 + inc_i) << i
+    cbp_l = bits
+    a0 = 1 if left_mb and C.cbp_c[mby, mbx - 1] else 0
+    b0 = 1 if top_mb and C.cbp_c[mby - 1, mbx] else 0
+    if dec.decode(st, mps, 77 + a0 + 2 * b0):
+        a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
+        b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
+        cbp_c = 1 + dec.decode(st, mps, 81 + a1 + 2 * b1)
+    else:
+        cbp_c = 0
+    if cbp_l or cbp_c:
+        if dec.decode(st, mps, 60):
+            raise NotImplementedError("nonzero mb_qp_delta")
+    info[0], info[3], info[4], info[5], info[6] = (
+        KIND_INTER, cbp_l, cbp_c, mvdx, mvdy
+    )
+    for i8 in range(4):
+        for b in range(4 * i8, 4 * i8 + 4):
+            bx, by = BLK_SCAN[b]
+            gbx, gby = 4 * mbx + bx, 4 * mby + by
+            if (cbp_l >> i8) & 1:
+                inc = _cbf_inc_4x4(
+                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 0
+                )
+                coeffs, cbf = _decode_residual(dec, st, mps, 2, 16, inc)
+                luma_ac[addr, 4 * by + bx] = coeffs
+                C.nnz_y[gby, gbx] = cbf
+            else:
+                C.nnz_y[gby, gbx] = 0
+    C.dc_y[mby, mbx] = 0
+    _dec_chroma_res(dec, st, mps, C, mbx, mby, left_mb, top_mb,
+                    cbp_c, chroma_dc, chroma_ac, addr, 0)
+    C.not_i4[mby, mbx] = 1
+    C.cmode[mby, mbx] = 0
+    C.cbp_l[mby, mbx] = cbp_l
+    C.cbp_c[mby, mbx] = cbp_c
+    C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+
+
+def pack_pframe(
+    mb_info: np.ndarray,
+    luma_dc: np.ndarray,
+    luma_ac: np.ndarray,
+    chroma_dc: np.ndarray,
+    chroma_ac: np.ndarray,
+    sps: SPS,
+    pps: PPS,
+    qp: int,
+    slice_mode: str = "rows",
+    frame_num: int = 1,
+    deblock_idc: int = 1,
+    ref: bool = True,
+) -> bytes:
+    """Pack one P-frame's symbol arrays into CABAC annex-B slice NALs
+    (cabac_init_idc 0; same contract as packp.pack_pframe)."""
+    assert pps.entropy_coding_mode_flag == 1
+    mbw, mbh = sps.mb_width, sps.mb_height
+    if slice_mode == "rows":
+        slices = [(r * mbw, mbw) for r in range(mbh)]
+    elif slice_mode == "single":
+        slices = [(0, mbw * mbh)]
+    else:
+        raise ValueError(slice_mode)
+    C = _Ctx(mbw, mbh)
+    out = bytearray()
+    for start, count in slices:
+        w = BitWriter()
+        SliceHeader(
+            first_mb_in_slice=start,
+            slice_type=SLICE_P,
+            frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
+            slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+            disable_deblocking_filter_idc=deblock_idc,
+        ).write(w, sps, pps, idr=False, ref=ref)
+        while w.bit_length % 8:
+            w.u(1, 1)  # cabac_alignment_one_bit
+        st, mps = init_contexts(CTX_INIT_PB[0], qp)
+        enc = CabacEncoder()
+        for k in range(count):
+            addr = start + k
+            _enc_mb_p(
+                enc, st, mps, C, addr, start, mbw,
+                mb_info[addr], luma_dc[addr], luma_ac[addr],
+                chroma_dc[addr], chroma_ac[addr],
+            )
+            enc.terminate(1 if k == count - 1 else 0)
+        rbsp = w.get_bytes() + enc.get_bytes()
+        out += nal.wrap_nal(
+            nal.NAL_SLICE_NON_IDR, rbsp, nal_ref_idc=2 if ref else 0
+        )
+    return bytes(out)
+
+
+def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None):
+    """Parse CABAC P slices (list of (rbsp, header_bit_pos, first_mb)) ->
+    symbol arrays (same contract as packp.parse_pframe_slices, plus the
+    slice QP, which CABAC context initialization needs)."""
+    assert pps.entropy_coding_mode_flag == 1
+    assert qp is not None, "CABAC P parse needs the slice QP"
+    mbw, mbh = sps.mb_width, sps.mb_height
+    n = mbw * mbh
+    mb_info = np.zeros((n, 8), np.int32)
+    luma_dc = np.zeros((n, 16), np.int16)
+    luma_ac = np.zeros((n, 16, 16), np.int16)
+    chroma_dc = np.zeros((n, 2, 4), np.int16)
+    chroma_ac = np.zeros((n, 2, 4, 15), np.int16)
+    C = _Ctx(mbw, mbh)
+    for rbsp, start_bit, first_mb in slices:
+        byte0 = (start_bit + 7) // 8  # skip cabac alignment ones
+        st, mps = init_contexts(CTX_INIT_PB[0], qp)
+        dec = CabacDecoder(rbsp, byte0)
+        addr = first_mb
+        while True:
+            _dec_mb_p(dec, st, mps, C, addr, first_mb, mbw,
+                      mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)
+            addr += 1
+            if dec.terminate():
+                break
+            if addr >= n:
+                raise ValueError("slice overruns frame")
+    return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac
