@@ -49,3 +49,28 @@ def test_deblock_improves_quality_at_high_qp():
     _, (ry0, _, _) = codec.encode_iframe(y, u, v, qp=40, deblock=False)
     _, (ry1, _, _) = codec.encode_iframe(y, u, v, qp=40, deblock=True)
     assert not np.array_equal(ry0, ry1)  # the filter actually ran
+
+
+def test_tc0_high_qp_ippp_libav():
+    """Regression: Table 8-18 tc0 rows for qp>=42 (bS 1/2 columns) were
+    mistranscribed; only P-frame inter edges at high QP exercise them."""
+    import numpy as np
+    from tpuh264.conformance import decode_with_libav, libav_available
+    from tpuh264.engine import CodecConfig, EncoderSession
+    from tpuh264.engine.sources import yuv_frame
+
+    if not libav_available():
+        import pytest
+        pytest.skip("libavcodec not available")
+    frames = [yuv_frame(320, 192, t, seed=0) for t in range(3)]
+    for qp in (42, 48, 51):
+        enc = EncoderSession(CodecConfig(width=320, height=192, qp=qp,
+                                         gop_size=30, deblock=True))
+        stream = bytearray()
+        recs = []
+        for y, u, v in frames:
+            stream += enc.encode_frame_yuv(y[None], u[None], v[None])[0].data
+            recs.append(np.asarray(enc.recon[0][0])[:192, :320])
+        lv = decode_with_libav(bytes(stream))
+        for d, r in zip(lv, recs):
+            np.testing.assert_array_equal(d[0], r)

@@ -63,6 +63,15 @@ class EncoderSession:
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
+        if config.slice_mode == "single" and config.deblock:
+            # the TPU scan kernels reconstruct with row-slice semantics;
+            # a single-slice stream with idc=2 requires cross-row
+            # filtering (wavefront mode, ROADMAP) -- refuse rather than
+            # emit a stream whose decode diverges from our recon
+            raise NotImplementedError(
+                "slice_mode='single' with deblock=True needs the "
+                "wavefront kernel; use slice_mode='rows'"
+            )
         if config.cabac:
             self.sps = SPS.for_size(
                 config.width, config.height, profile_idc=PROFILE_MAIN

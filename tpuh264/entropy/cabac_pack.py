@@ -745,6 +745,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         _, mode, cmode, cbp_l, cbp_c, _, _, _ = (int(x) for x in info)
         # P mb_type prefix '1' (intra), then I16 suffix at ctx base 17
         enc.encode(st, mps, 14, 1)
+        enc.encode(st, mps, 17, 1)  # not I_NxN
         enc.terminate(0)  # not I_PCM
         enc.encode(st, mps, 18, 1 if cbp_l else 0)
         if cbp_c == 0:

@@ -42,9 +42,9 @@ TC0 = np.array(
         [0, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2],
         [1, 1, 2], [1, 1, 2], [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3],
         [2, 2, 4], [2, 3, 4], [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6],
-        [4, 5, 7], [4, 5, 8], [5, 6, 9], [6, 7, 10], [6, 8, 11], [7, 9, 13],
-        [8, 10, 14], [9, 12, 16], [10, 13, 18], [11, 15, 20], [13, 17, 23],
-        [14, 19, 25],
+        [4, 5, 7], [4, 5, 8], [4, 6, 9], [5, 7, 10], [6, 8, 11], [6, 8, 13],
+        [7, 10, 14], [8, 11, 16], [9, 12, 18], [10, 13, 20], [11, 15, 23],
+        [13, 17, 25],
     ],
     dtype=np.int32,
 )
