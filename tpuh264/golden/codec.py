@@ -211,11 +211,18 @@ def _encode_mb(
     pred = best_pred
 
     if getattr(ctx, "intra44", False):
-        sad44, _, _, _, _ = _code_i44_luma(ctx, y, mbx, mby, sid, False)
-        # Lagrangian mode bias: I_4x4 spends ~4 extra signaling bits per
-        # 4x4 block; lambda_SAD ~ 0.92 * 2^((QP-12)/6) (JM convention)
-        lam = 0.92 * 2.0 ** ((qp - 12) / 6.0)
-        if sad44 + int(lam * 64) < best_cost:
+        _, _, coeffs44, _, rec44 = _code_i44_luma(ctx, y, mbx, mby, sid, False)
+        # RD mode decision on reconstruction SSD + estimated rate
+        # (JM-style lambda_mode = 0.85 * 2^((QP-12)/3), fixed-point x64).
+        # The SAD+bias heuristic lost to I16's DC-Hadamard on smooth
+        # content; comparing actual reconstructions fixes that.
+        rec16, dcq16, acz16 = _trial_intra16(src, pred, qp)
+        ssd16 = int(((rec16 - src).astype(np.int64) ** 2).sum())
+        ssd44 = int(((rec44 - src).astype(np.int64) ** 2).sum())
+        r16 = 8 + _coeff_bits(dcq16) + _coeff_bits(acz16)
+        r44 = 96 + _coeff_bits(coeffs44)
+        lam8 = LAMBDA8_MODE[min(max(qp, 0), 51)]
+        if 8 * ssd44 + lam8 * r44 < 8 * ssd16 + lam8 * r16:
             _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid)
             return
 
@@ -1081,6 +1088,35 @@ def encode_sequence(
 from ..entropy.cavlc_tables import CBP_INTRA, CBP_INTRA_INV  # noqa: E402
 from . import intra44 as i44  # noqa: E402
 
+# JM-style mode-decision lambda (SSD domain), fixed point x8 (the scale
+# keeps J = 8*SSD + lam8*R inside int32 for the TPU kernel's mirror)
+LAMBDA8_MODE = [
+    int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 8) for qp in range(52)
+]
+_POW2_16 = 1 << np.arange(16, dtype=np.int64)
+
+
+def _coeff_bits(arr) -> int:
+    """Cheap rate proxy: sum over nonzero levels of 2*bit_length(|c|)+1
+    (~Exp-Golomb length).  Integer-exact; mirrored by kernels/iframe."""
+    a = np.abs(np.asarray(arr, np.int64)).ravel()
+    a = a[a > 0]
+    if a.size == 0:
+        return 0
+    bl = (a[:, None] >= _POW2_16[None, :]).sum(1)
+    return int((2 * bl + 1).sum())
+
+
+def _trial_intra16(src, pred, qp):
+    """Luma-only I16 transform/quant/recon (no state change)."""
+    resid = src - pred
+    wblocks = forward4x4(plane_to_blocks4(resid))
+    dcq_zz = zigzag(quant_luma_dc(hadamard4x4(wblocks[..., 0, 0]), qp))
+    ac_zz = zigzag(quant4x4(wblocks, qp, intra=True))[..., 1:]
+    cbp = bool(np.any(ac_zz))
+    rec = reconstruct_luma_mb(pred, dcq_zz, ac_zz, qp, cbp)
+    return rec, dcq_zz, ac_zz
+
 
 def _i44_neighbors(ctx, gbx, gby, sid):
     """Neighbor samples for the 4x4 block at global block coords."""
@@ -1167,13 +1203,10 @@ def _code_i44_luma(ctx, y, mbx, mby, sid, commit: bool):
     for i8 in range(4):
         if any(np.any(coeffs[b]) for b in range(4 * i8, 4 * i8 + 4)):
             cbp |= 1 << i8
+    rec_mb = ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16].copy()
     if not commit:
         ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = save
-    else:
-        # re-run reconstruction honoring cbp gating (dropped 8x8s are all
-        # zero by construction, so recon is already correct)
-        pass
-    rec_mb = ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16].copy() if commit else None
+    # (committed recon already honors cbp gating: dropped 8x8s are zero)
     return sad, modes, coeffs, cbp, rec_mb
 
 

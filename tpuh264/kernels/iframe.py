@@ -56,6 +56,23 @@ class MBSymbols(NamedTuple):
     i4modes: Optional[jnp.ndarray] = None  # [S, R, C, 16] int16 z-scan, -1=n/a
 
 
+# mode-decision lambda table + rate proxy (mirrors golden/codec.py
+# LAMBDA8_MODE / _coeff_bits exactly; integer only)
+_LAMBDA8 = jnp.asarray(
+    [int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 8) for qp in range(52)],
+    jnp.int32,
+)
+_POW2_16 = jnp.asarray([1 << k for k in range(16)], jnp.int32)
+
+
+def _rate_bits(coeffs: jnp.ndarray, axes) -> jnp.ndarray:
+    """Sum of 2*bit_length(|c|)+1 over nonzero levels along `axes`."""
+    a = jnp.abs(coeffs.astype(jnp.int32))
+    bl = (a[..., None] >= _POW2_16).sum(-1)
+    bits = jnp.where(a > 0, 2 * bl + 1, 0)
+    return bits.sum(axes)
+
+
 def _mb_view(plane: jnp.ndarray, mb: int) -> jnp.ndarray:
     """[S, H, W] -> [C, S, R, mb, mb] (scan axis first)."""
     s, h, w = plane.shape
@@ -214,11 +231,21 @@ def encode_iframe_scan(
         dc_zz, ac_zz, cbp_luma, rec_y = _encode_luma(ymb, pred, qp)
 
         if intra44:
-            best16 = jnp.minimum(cost_dc, cost_h)
             sad44, m44, coef44, cbp44, rec44 = I44.encode_mb(
                 ymb, left_y, ~first, qp
             )
-            use_i4 = sad44 + I44.bias_for_qp(qp) < best16
+            # RD decision mirroring golden/codec.py exactly:
+            # J = 8*SSD(recon, src) + lam8[qp] * rate_proxy
+            d16 = rec_y - ymb
+            d44 = rec44 - ymb
+            ssd16 = jnp.sum(d16 * d16, axis=(-1, -2))
+            ssd44 = jnp.sum(d44 * d44, axis=(-1, -2))
+            r16 = 8 + _rate_bits(dc_zz, (-1,)) + _rate_bits(
+                ac_zz, (-1, -2, -3)
+            )
+            r44 = 96 + _rate_bits(coef44.astype(jnp.int32), (-1, -2))
+            lam8 = _LAMBDA8[jnp.clip(qp, 0, 51)]
+            use_i4 = 8 * ssd44 + lam8 * r44 < 8 * ssd16 + lam8 * r16
             mode = jnp.where(use_i4, 4, mode)
             cbp_luma = jnp.where(use_i4, cbp44, cbp_luma.astype(jnp.int32))
             dc_zz = jnp.where(use_i4[..., None], 0, dc_zz)
