@@ -31,7 +31,15 @@ from ..entropy import cabac_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
-from ..kernels import color, deblock as kdeblock, iframe, pframe
+from ..kernels import color, deblock as kdeblock, iframe, pframe, wavefront
+
+
+def _count_slices(data: bytes) -> int:
+    n = 0
+    for _, ntype, _ in nal.split_annexb(data):
+        if ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+            n += 1
+    return n
 
 
 class DecoderSession:
@@ -114,8 +122,17 @@ class DecoderSession:
             chroma_ac=jnp.asarray(cac.reshape(1, r, c, 2, 4, 15)),
             i4modes=jnp.asarray(i4m.reshape(1, r, c, 16)),
         )
-        y, u, v = iframe.decode_iframe_scan(symbols, jnp.int32(qp),
-                                            intra44=has_i4)
+        n_slices = _count_slices(data)
+        if n_slices == 1 and r > 1:
+            # single-slice stream: cross-row prediction -> wavefront
+            if has_i4:
+                raise NotImplementedError("I_NxN in single-slice streams")
+            y, u, v = wavefront.decode_iframe_single(symbols, jnp.int32(qp))
+        elif n_slices in (r, 1):
+            y, u, v = iframe.decode_iframe_scan(symbols, jnp.int32(qp),
+                                                intra44=has_i4)
+        else:
+            raise NotImplementedError(f"{n_slices} slices for {r} MB rows")
         if self._idc != 1:
             sh = symbols.mode.shape
             y, u, v = kdeblock.deblock_frame_rows(
@@ -237,8 +254,16 @@ class DecoderPool:
             sess = self._slots[idx]
             try:
                 parsed.append((idx, sess, entropy.parse_iframe(data)))
+                sps = parsed[-1][2][0]
+                if (_count_slices(data) != sps.mb_height
+                        and sps.mb_height > 1):
+                    # single-slice (wavefront) or exotic slicing: the
+                    # batched path assumes row-slice reconstruction
+                    raise ValueError("non-row slicing")
             except Exception:
-                # not a pure I frame (e.g. P slices): per-session decode
+                # not a batchable row-sliced I frame: per-session decode
+                if parsed and parsed[-1][0] == idx and parsed[-1][2] is not None:
+                    parsed.pop()
                 out = sess.decode(data)
                 results_direct[idx] = out
                 parsed.append((idx, sess, None))

@@ -26,7 +26,7 @@ from ..entropy import cabac_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
 from ..entropy import packp as entropy_packp
-from ..kernels import color, deblock as kdeblock, iframe, pframe
+from ..kernels import color, deblock as kdeblock, iframe, pframe, wavefront
 from .config import CodecConfig
 from .ratecontrol import RateController
 
@@ -64,13 +64,26 @@ class EncoderSession:
             config = CodecConfig(**kw)
         self.config = config
         if config.slice_mode == "single" and config.deblock:
-            # the TPU scan kernels reconstruct with row-slice semantics;
-            # a single-slice stream with idc=2 requires cross-row
-            # filtering (wavefront mode, ROADMAP) -- refuse rather than
-            # emit a stream whose decode diverges from our recon
+            # the wavefront kernel covers single-slice I prediction, but
+            # the deblocking kernel still filters with row-slice
+            # semantics; refuse rather than emit a stream whose decode
+            # diverges from our recon
             raise NotImplementedError(
-                "slice_mode='single' with deblock=True needs the "
-                "wavefront kernel; use slice_mode='rows'"
+                "slice_mode='single' with deblock=True needs cross-row "
+                "deblocking; use slice_mode='rows'"
+            )
+        if config.slice_mode == "single" and config.gop_size != 1:
+            # P-frame kernels (MV prediction, skip derivation) are
+            # row-slice; a single-slice P stream implies cross-row MV
+            # predictors the scan does not model
+            raise NotImplementedError(
+                "slice_mode='single' currently supports I-only GOPs "
+                "(gop_size=1)"
+            )
+        if config.slice_mode == "single" and config.intra44:
+            raise NotImplementedError(
+                "intra44 on the wavefront (single-slice) kernel lands "
+                "later; use slice_mode='rows'"
             )
         if config.cabac:
             self.sps = SPS.for_size(
@@ -140,9 +153,14 @@ class EncoderSession:
 
         t0 = time.perf_counter()
         if idr:
-            symbols, recon = iframe.encode_iframe_scan(
-                y, u, v, jnp.int32(qp), intra44=cfg.intra44
-            )
+            if cfg.slice_mode == "single":
+                symbols, recon = wavefront.encode_iframe_single(
+                    y, u, v, jnp.int32(qp)
+                )
+            else:
+                symbols, recon = iframe.encode_iframe_scan(
+                    y, u, v, jnp.int32(qp), intra44=cfg.intra44
+                )
             if cfg.deblock:
                 sh = symbols.mode.shape
                 recon = kdeblock.deblock_frame_rows(
