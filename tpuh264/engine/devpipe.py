@@ -53,19 +53,26 @@ class DevicePipeline:
         self._step = self._build_step()
         self._hdr = None
 
-    # fixed per-slice wire budget (halfwords).  Slices above this fall
-    # back to the full-slab download; at the bench operating point
+    # fixed per-slice wire budget (32-bit words).  Slices above this
+    # fall back to the full-slab download; at the bench operating point
     # (1080p qp32, ~1.6 KB/slice) the budget holds with 2.5x headroom.
-    BUCKET_HW = 2048
+    BUCKET_W = 1024
+    # frames encoded per device dispatch: the tunneled host link charges
+    # per round trip, so dispatch/retire latency is amortized over a
+    # small GOP batch (the TPU analog of the reference's triple-buffered
+    # readback pipeline, app.js:65,528-588 -- deeper, because the link
+    # here is an RPC tunnel rather than PCIe)
+    FRAMES_PER_DISPATCH = 4
 
     def _build_step(self):
         streams = self.config.streams
-        source = sources._device_source(self.w16, self.h16, 1)
-        bucket = self.BUCKET_HW
+        k = self.FRAMES_PER_DISPATCH
+        source = sources._device_source_frames(self.w16, self.h16, k)
+        bucket = self.BUCKET_W
 
         @jax.jit
         def step(t, qp, hdr_hw, hdr_len):
-            y, u, v = source(t)
+            y, u, v = source(t)  # [K, H, W]: K consecutive frames
             symbols, recon = iframe.encode_iframe_rows(y, u, v, qp)
             slice_hw, slice_bytes, ovf = (
                 entropy_tpu.encode_bits_iframe(symbols, qp, hdr_hw, hdr_len)
@@ -77,13 +84,12 @@ class DevicePipeline:
             d = dy.astype(jnp.float32) - jnp.repeat(
                 y.astype(jnp.float32), streams, axis=0
             )
-            sse = jnp.sum(d * d, axis=(-1, -2))  # [streams, rows]? -> [streams]
-            sse = sse.reshape(streams, -1).sum(-1)
-            # ---- single wire buffer: ONE host transfer per frame ----
-            # [ovf | slice_bytes (S*R) | sse bits (streams) | packed slabs]
-            ovf = ovf | jnp.any(slice_bytes > 2 * bucket)
-            slab = slice_hw[..., :bucket].astype(jnp.int32)
-            packed = (slab[..., 0::2] << 16) | slab[..., 1::2]
+            sse = d.reshape(k * streams, -1)
+            sse = jnp.sum(sse * sse, axis=-1)  # [K*streams]
+            # ---- single wire buffer: ONE host transfer per dispatch ----
+            # [ovf | slice_bytes (K*R) | sse bits (K*streams) | slabs]
+            ovf = ovf | jnp.any(slice_bytes > 4 * bucket)
+            slab = slice_hw[..., :bucket]
             wire = jnp.concatenate(
                 [
                     ovf.astype(jnp.int32).reshape(1),
@@ -91,7 +97,7 @@ class DevicePipeline:
                     jax.lax.bitcast_convert_type(
                         sse.astype(jnp.float32), jnp.int32
                     ).reshape(-1),
-                    packed.reshape(-1),
+                    slab.reshape(-1),
                 ]
             )
             return slice_hw, wire
@@ -99,10 +105,13 @@ class DevicePipeline:
         return step
 
     def pump_frame(self, emit_bitstream: bool = True) -> None:
+        """Encode/decode one dispatch (FRAMES_PER_DISPATCH frames)."""
         cfg = self.config
         qp = cfg.qp if cfg.qp is not None else 32
+        k = self.FRAMES_PER_DISPATCH
         t_in = time.perf_counter()
-        self.stats.on_input()
+        for _ in range(k):
+            self.stats.on_input()
         handles = self._dispatch(qp, count_input=False)
         t_tpu = time.perf_counter()
         nbytes = 0
@@ -111,51 +120,58 @@ class DevicePipeline:
             nbytes = len(self.last_stream)
         else:
             wire = np.asarray(handles[1])
-            sse = wire[1 + self.h16 // 16 :][: cfg.streams].view(np.float32)
+            sse = wire[1 + k * (self.h16 // 16) :][: k * cfg.streams].view(
+                np.float32
+            )
         t_done = time.perf_counter()
 
         mse = float(sse[0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
         self.stats.on_encode(
-            1, (t_tpu - t_in) * 1e3, 0.0, (t_done - t_tpu) * 1e3, nbytes
+            k, (t_tpu - t_in) * 1e3, 0.0, (t_done - t_tpu) * 1e3, nbytes
         )
-        self.stats.on_decode(cfg.streams, (t_tpu - t_in) * 1e3)
+        self.stats.on_decode(k * cfg.streams, (t_tpu - t_in) * 1e3)
 
     def _consume(self, handles) -> np.ndarray:
-        """Retire one dispatched frame: ONE wire-buffer download, then
+        """Retire one dispatch (K frames): ONE wire-buffer download, then
         NAL framing; falls back to the full payload slab on overflow.
-        Returns the per-stream SSE vector."""
+        Returns the [K*streams] SSE vector."""
         slice_hw, wire_dev = handles
         wire = np.asarray(wire_dev)  # the single host transfer
         r = self.h16 // 16
+        k = self.FRAMES_PER_DISPATCH
         streams = self.config.streams
-        sbytes = wire[1 : 1 + r]
-        sse = wire[1 + r : 1 + r + streams].view(np.float32)
+        sbytes = wire[1 : 1 + k * r].reshape(k, r)
+        sse = wire[1 + k * r : 1 + k * r + k * streams].view(np.float32)
         if wire[0]:
-            if int(sbytes.max()) > 2 * 16384 - 4:
+            if int(sbytes.max()) > 4 * entropy_tpu.SLICE_W - 8:
                 raise RuntimeError("device entropy overflow (slice cap)")
             self._assemble(slice_hw, sbytes)  # bucket overflow: full slab
             return sse
-        slab = wire[1 + r + streams :].reshape(r, self.BUCKET_HW // 2)
-        self._frame_nals(
-            [slab[i].astype(">u4").tobytes()[: int(sbytes[i])]
-             for i in range(r)]
-        )
+        slab = wire[1 + k * r + k * streams :].reshape(k, r, self.BUCKET_W)
+        self.frame_streams = []
+        for f in range(k):
+            self._frame_nals(
+                [slab[f, i].view(np.uint32).astype(">u4")
+                 .tobytes()[: int(sbytes[f, i])] for i in range(r)]
+            )
+            self.frame_streams.append(self.last_stream)
         return sse
 
     def _dispatch(self, qp: int, count_input: bool = True):
         """Issue one frame's device program without synchronizing."""
         if self._hdr is None:
             self._hdr = device_pack.slice_headers_device(
-                self.sps, self.pps, qp, 0, True, 1
+                self.sps, self.pps, qp, 0, True, self.FRAMES_PER_DISPATCH
             )
         hdr_hw, hdr_len = self._hdr
         out = self._step(
             jnp.int32(self.frame_index), jnp.int32(qp), hdr_hw, hdr_len
         )
-        self.frame_index += 1
+        self.frame_index += self.FRAMES_PER_DISPATCH
         if count_input:
-            self.stats.on_input()
+            for _ in range(self.FRAMES_PER_DISPATCH):
+                self.stats.on_input()
         return out
 
     def _frame_nals(self, rbsps) -> None:
@@ -182,20 +198,27 @@ class DevicePipeline:
         r = self.h16 // 16
         n_cols = min(
             slice_hw.shape[-1],
-            -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024,
+            -(-((int(sbytes.max()) + 3) // 4) // 512) * 512,
         )
-        slab = np.asarray(slice_hw[0, :, :n_cols]).astype(">u2")
-        self._frame_nals(
-            [slab[i].tobytes()[: int(sbytes[i])] for i in range(r)]
-        )
+        slab = np.asarray(
+            slice_hw[:, :, :n_cols]
+        ).view(np.uint32).astype(">u4")
+        sb = sbytes.reshape(slab.shape[0], r)
+        self.frame_streams = []
+        for f in range(slab.shape[0]):
+            self._frame_nals(
+                [slab[f, i].tobytes()[: int(sb[f, i])] for i in range(r)]
+            )
+            self.frame_streams.append(self.last_stream)
 
     def _retire(self, handles, qp: int) -> None:
-        """Consume a dispatched frame and update stats."""
+        """Consume one dispatch (K frames) and update stats."""
+        k = self.FRAMES_PER_DISPATCH
         sse = self._consume(handles)
         mse = float(sse[0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
-        self.stats.on_encode(1, 0.0, 0.0, 0.0, len(self.last_stream))
-        self.stats.on_decode(self.config.streams, 0.0)
+        self.stats.on_encode(k, 0.0, 0.0, 0.0, len(self.last_stream))
+        self.stats.on_decode(k * self.config.streams, 0.0)
 
     def run(self, duration_s: float = 5.0, warmup: int = 3) -> Dict[str, float]:
         """Measurement loop with one-frame-deep software pipelining: the
@@ -215,11 +238,11 @@ class DevicePipeline:
             handles = self._dispatch(qp)
             if pending is not None:
                 self._retire(pending, qp)
-                n += 1
+                n += self.FRAMES_PER_DISPATCH
             pending = handles
         if pending is not None:
             self._retire(pending, qp)
-            n += 1
+            n += self.FRAMES_PER_DISPATCH
         wall = time.perf_counter() - t0
         snap = self.stats.snapshot(self.config.streams)
         snap["frames"] = n

@@ -78,6 +78,31 @@ def _device_source(width: int, height: int, streams: int):
     return gen
 
 
+@functools.lru_cache(maxsize=None)
+def _device_source_frames(width: int, height: int, k: int):
+    """Like _device_source, but the batch axis is TIME: element i is the
+    content of frame t+i (for multi-frame-per-dispatch pipelines)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(t):
+        s = t + jnp.arange(k, dtype=jnp.int32)[:, None, None]
+        yy = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+        xx = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+        y = ((xx * 2 + yy + s * 7) % 256).astype(jnp.uint8)
+        yy2 = yy[:, ::2, :]
+        xx2 = xx[:, :, ::2]
+        u = (128 + 47 * jnp.sin((xx2 + s * 3) / 37.0)).astype(jnp.uint8)
+        v = (128 + 47 * jnp.cos((yy2 - s * 5) / 29.0)).astype(jnp.uint8)
+        u = jnp.broadcast_to(u, (k, height // 2, width // 2))
+        v = jnp.broadcast_to(v, (k, height // 2, width // 2))
+        y = jnp.broadcast_to(y, (k, height, width))
+        return y, u, v
+
+    return gen
+
+
 def device_yuv_frame(width: int, height: int, t, streams: int = 1):
     """Deterministic synthetic frames generated ON DEVICE (uint8 planes).
 

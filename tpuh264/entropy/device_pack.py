@@ -45,7 +45,7 @@ def slice_headers_device(
     if hit is not None:
         return hit
     mbw, mbh = sps.mb_width, sps.mb_height
-    hw = np.zeros((s, mbh, 8), np.int32)
+    hw = np.zeros((s, mbh, 4), np.int32)
     ln = np.zeros((s, mbh), np.int32)
     for r in range(mbh):
         w = BitWriter()
@@ -57,10 +57,13 @@ def slice_headers_device(
             disable_deblocking_filter_idc=deblock_idc,
         ).write(w, sps, pps, idr, ref=ref)
         bits = w.bit_length
-        w.u((16 - bits % 16) % 16, 0)
-        data = np.frombuffer(w.get_bytes(), np.uint8).astype(np.int32)
-        halfwords = (data[0::2] << 8) | data[1::2]
-        hw[:, r, : len(halfwords)] = halfwords
+        w.u((32 - bits % 32) % 32, 0)
+        data = np.frombuffer(w.get_bytes(), np.uint8).astype(np.int64)
+        words = (
+            (data[0::4] << 24) | (data[1::4] << 16)
+            | (data[2::4] << 8) | data[3::4]
+        ).astype(np.uint32).view(np.int32)
+        hw[:, r, : len(words)] = words
         ln[:, r] = bits
     out = (jnp.asarray(hw), jnp.asarray(ln))
     _HDR_CACHE[key] = out
@@ -121,9 +124,9 @@ def assemble_iframe(
     # bucketed column slice: covers the fattest slice, fixed granularity
     # so the download shape (and its compiled slice) stays stable
     n_cols = min(
-        entropy_tpu.SLICE_HW, -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024
+        entropy_tpu.SLICE_W, -(-((int(sbytes.max()) + 3) // 4) // 512) * 512
     )
-    slab = np.asarray(slice_hw[:, :, :n_cols]).astype(">u2")  # [S, R, n_cols]
+    slab = np.asarray(slice_hw[:, :, :n_cols]).view(np.uint32).astype(">u4")
     streams = []
     for i in range(s):
         out = bytearray(prefix)
@@ -176,9 +179,9 @@ def assemble_pframe(
     )
     header_byte = bytes([((2 if ref else 0) << 5) | nal.NAL_SLICE_NON_IDR])
     n_cols = min(
-        entropy_tpu.SLICE_HW, -(-((int(sbytes.max()) + 1) // 2) // 1024) * 1024
+        entropy_tpu.SLICE_W, -(-((int(sbytes.max()) + 3) // 4) // 512) * 512
     )
-    slab = np.asarray(slice_hw[:, :, :n_cols]).astype(">u2")
+    slab = np.asarray(slice_hw[:, :, :n_cols]).view(np.uint32).astype(">u4")
     streams = []
     for i in range(s):
         out = bytearray()

@@ -7,7 +7,7 @@ the whole entropy stage parallelizes (SURVEY.md section 7, hard part 1):
   1. nC grids from per-block total_coeff counts (shifted-array gathers);
   2. per-block VLC slot streams (coeff_token / signs / levels /
      total_zeros / run_before), every slot <= 16 bits;
-  3. per-block bit packing into halfword strings (fori + one-hot flush);
+  3. per-block bit packing into 32-bit-word strings (parallel OR);
   4. hierarchical tree merge of variable-length bit strings
      (blocks -> MBs -> slices -> frame), shifts + gathers only;
   5. host: one small download of the actual payload bytes, then
@@ -34,14 +34,15 @@ import numpy as np
 from ..entropy import cavlc_tables as tbl
 from . import transform as T
 
-# slot budget: 1 token + 16 x (zeros_hi, stop/sign, suffix) + tz + 15 runs
-NSLOT = 1 + 48 + 1 + 15
+# slot budget: 1 token + 16 x (zeros_hi, merged tail+suffix) + tz + 15 runs
+NSLOT = 1 + 32 + 1 + 15
 
-# capacity caps (halfwords = 16-bit units)
-BLOCK_HW = 40          # 640 bits per residual block (incl. MB header slots)
-MB_HW = 256            # 4096 bits per MB
-SLICE_HW = 16384       # 32 KB per slice
-FRAME_HW = 1 << 20     # 2 MB per frame
+# capacity caps (32-bit words; same bit capacities as the earlier
+# halfword layout, half the elements -- the pack/merge stages are
+# compare/shift-bound in the number of units)
+BLOCK_W = 20           # 640 bits per residual block (incl. MB header slots)
+MB_W = 128             # 4096 bits per MB
+SLICE_W = 8192         # 32 KB per slice
 
 _CT = jnp.asarray(tbl.coeff_token_dense())        # [5,17,4] (len<<16)|bits
 _TZ = jnp.asarray(tbl.total_zeros_dense())        # [15,16]
@@ -203,13 +204,18 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     zhi16, tlen16, slen16, tval16, sval16 = (
         jnp.stack(acc, axis=-1) for acc in cols
     )  # [lanes, 16] each, descending j
-    # emission order is (zhi, tail, suffix) per position -> [lanes, 16, 3]
-    lev_len = jnp.stack([zhi16, tlen16, slen16], axis=-1).reshape(
-        *lv.shape[:-1], 48
+    # merge (tail, suffix) into one slot: tail_len <= 16, suffix <= 6, so
+    # the merged slot (<= 22 bits) still spans at most two 32-bit words;
+    # one slot fewer per position is ~30% off the pack stage's compares
+    mlen16 = tlen16 + slen16
+    mval16 = (tval16 << slen16) | sval16
+    # emission order is (zhi, merged) per position -> [lanes, 16, 2]
+    lev_len = jnp.stack([zhi16, mlen16], axis=-1).reshape(
+        *lv.shape[:-1], 32
     )
     lev_val = jnp.stack(
-        [jnp.zeros_like(zhi16), tval16, sval16], axis=-1
-    ).reshape(*lv.shape[:-1], 48)
+        [jnp.zeros_like(zhi16), mval16], axis=-1
+    ).reshape(*lv.shape[:-1], 32)
 
     # --- total_zeros ---
     idx_hi = jnp.max(jnp.where(nz, pos, -1), axis=-1)
@@ -265,11 +271,11 @@ def block_slots(levels: jnp.ndarray, nc: jnp.ndarray, maxc):
     )
 
 
-def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
-    """Pack slot streams into halfword strings.
+def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_w: int):
+    """Pack slot streams into 32-bit-word strings.
 
-    [..., NS] slots -> (halfwords [..., n_hw] int32 of 16-bit units,
-    bitlen [...]).  Overflow (bitlen > 16*n_hw) leaves garbage words; the
+    [..., NS] slots -> (words [..., n_w] int32 of MSB-first 32-bit units,
+    bitlen [...]).  Overflow (bitlen > 32*n_w) leaves garbage words; the
     caller checks the flag.
     """
     ns = slot_len.shape[-1]
@@ -279,11 +285,10 @@ def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
 
     # Fully parallel packing -- no scan.  The bit offset of slot k is the
     # exclusive prefix sum of slot lengths (log-shift scan over ns).  A
-    # slot of <= 17 bits starting at bit b (= offset % 16, <= 15) ends at
-    # b + len <= 32, i.e. every slot touches at most TWO halfwords; its
-    # 32-bit window left-aligned at b is val << (32 - b - len).  Slots
-    # sharing a halfword are disjoint bit ranges, so an OR-reduction over
-    # the 2*ns emissions assembles the string exactly.  (The earlier
+    # slot of <= 32 bits starting at bit b (= offset % 32) ends at
+    # b + len <= 63, i.e. every slot touches at most TWO words.  Slots
+    # sharing a word are disjoint bit ranges, so an OR-reduction over the
+    # 2*ns emissions assembles the string exactly.  (The earlier
     # sequential accumulator scan was the dominant term of the entropy
     # stage: its carry and stacked emissions cost ~10x the HBM traffic.)
     # inclusive prefix sum via log-shift adds (cumsum lowers to a
@@ -297,50 +302,56 @@ def pack_slots(slot_len: jnp.ndarray, slot_val: jnp.ndarray, n_hw: int):
         shift *= 2
     bitlen = off[..., -1]
     off = off - slot_len  # exclusive prefix
-    b = off & 15
-    sh = jnp.clip(32 - b - slot_len, 0, 31)
-    w = slot_val << sh
+    b = off & 31
+    end = b + slot_len  # <= 63
+    c_hi = jnp.where(
+        end <= 32,
+        slot_val << jnp.clip(32 - end, 0, 31),
+        jax.lax.shift_right_logical(slot_val, jnp.clip(end - 32, 0, 31)),
+    )
+    c_lo = jnp.where(
+        end > 32, slot_val << jnp.clip(64 - end, 1, 31), 0
+    )
     live = slot_len > 0
-    c_hi = jax.lax.shift_right_logical(w, 16)
-    c_lo = w & 0xFFFF
-    h0 = off >> 4
-    # out-of-range sentinel (n_hw) drops dead or overflowing emissions
-    ix_hi = jnp.where(live, h0, n_hw)
-    ix_lo = jnp.where(live & (c_lo > 0), h0 + 1, n_hw)
-    hw_all = jnp.concatenate([c_hi, c_lo], axis=-1)  # [lanes, 2*ns]
+    h0 = off >> 5
+    # out-of-range sentinel (n_w) drops dead or overflowing emissions
+    ix_hi = jnp.where(live, h0, n_w)
+    ix_lo = jnp.where(live & (c_lo != 0), h0 + 1, n_w)
+    w_all = jnp.concatenate([c_hi, c_lo], axis=-1)  # [lanes, 2*ns]
     ix_all = jnp.concatenate([ix_hi, ix_lo], axis=-1)
-    j = jnp.arange(n_hw)
+    j = jnp.arange(n_w)
     out = jax.lax.reduce(
-        jnp.where(ix_all[..., :, None] == j, hw_all[..., :, None], 0),
+        jnp.where(ix_all[..., :, None] == j, w_all[..., :, None], 0),
         np.int32(0),
         jax.lax.bitwise_or,
         (1,),
     )
-    return out.reshape(*lead, n_hw), bitlen.reshape(lead)
+    return out.reshape(*lead, n_w), bitlen.reshape(lead)
 
 
 def merge_strings(a, la, b, lb, n_out: int):
-    """Concatenate bit strings: a [..., Wa], b [..., Wb] halfword arrays
+    """Concatenate bit strings: a [..., Wa], b [..., Wb] word arrays
     with bit lengths la, lb -> ([..., n_out], la+lb).
 
-    Halfwords are MSB-first 16-bit units; b is shifted right by la bits.
-    The halfword-granular placement is a barrel shifter (log2 static
-    shifts selected by offset bits) -- per-lane gathers along the lane
-    axis are the slow path on TPU.
+    Words are MSB-first 32-bit units; b is shifted right by la bits.
+    The word-granular placement is a barrel shifter (log2 static shifts
+    selected by offset bits) -- per-lane gathers along the lane axis are
+    the slow path on TPU.
     """
     wa = a.shape[-1]
-    sh = (la % 16)[..., None]
-    b_lo = (b >> sh) & 0xFFFF
+    sh = (la % 32)[..., None]
+    inv = jnp.clip(32 - sh, 0, 31)  # valid only where sh > 0
+    b_lo = jax.lax.shift_right_logical(b, sh)
     b_hi = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(1, 0)])[..., :-1]
-    b_sh = (b_lo | ((b_hi << (16 - sh)) & 0xFFFF)) & 0xFFFF
-    # one extra halfword can spill past b's width
-    spill = jnp.where(sh > 0, (b[..., -1:] << (16 - sh)) & 0xFFFF, 0)
+    b_sh = jnp.where(sh > 0, b_lo | (b_hi << inv), b)
+    # one extra word can spill past b's width
+    spill = jnp.where(sh > 0, b[..., -1:] << inv, 0)
     b_ext = jnp.concatenate([b_sh, spill], axis=-1)
 
     x = jnp.pad(
         b_ext, [(0, 0)] * (b_ext.ndim - 1) + [(0, max(0, n_out - b_ext.shape[-1]))]
     )[..., :n_out]
-    off = la // 16  # [...] word offset, < n_out
+    off = la // 32  # [...] word offset, < n_out
     k = 0
     while (1 << k) < n_out:
         stepped = jnp.pad(
@@ -429,18 +440,19 @@ def _shift_ac(levels15: jnp.ndarray) -> jnp.ndarray:
 def _finish_slices(slice_chunks, slice_bits_in, s, r):
     """Merge per-slice chunk lists and append rbsp trailing bits.
 
-    slice_chunks [S, R, K, MB_HW], slice_bits_in [S, R, K] ->
-    (slice_hw uint16 [S, R, SLICE_HW], slice_bytes [S, R], overflow).
+    slice_chunks [S, R, K, MB_W], slice_bits_in [S, R, K] ->
+    (slice words int32 [S, R, SLICE_W] MSB-first, slice_bytes [S, R],
+    overflow).
     """
-    body_hw, body_bits = tree_merge(slice_chunks, slice_bits_in, SLICE_HW)
-    overflow = jnp.any(body_bits > 16 * SLICE_HW - 32)
+    body_w, body_bits = tree_merge(slice_chunks, slice_bits_in, SLICE_W)
+    overflow = jnp.any(body_bits > 32 * SLICE_W - 64)
     # rbsp trailing: stop bit + zero pad to byte
     tl = 1 + ((8 - ((body_bits + 1) % 8)) % 8)
     tv = jnp.left_shift(1, tl - 1)
-    t_hw = jnp.zeros((s, r, 1), jnp.int32).at[..., 0].set(tv << (16 - tl))
-    slice_hw, slice_bits = merge_strings(body_hw, body_bits, t_hw, tl, SLICE_HW)
+    t_w = jnp.zeros((s, r, 1), jnp.int32).at[..., 0].set(tv << (32 - tl))
+    slice_w, slice_bits = merge_strings(body_w, body_bits, t_w, tl, SLICE_W)
     slice_bytes = slice_bits // 8  # [S, R]
-    return (slice_hw & 0xFFFF).astype(jnp.uint16), slice_bytes, overflow
+    return slice_w, slice_bytes, overflow
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -449,7 +461,7 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
 
     symbols: iframe.MBSymbols; hdr_hw [S, R, 8] int32 halfwords of each
     slice header (host-computed, MSB-aligned); hdr_len [S, R] bit counts.
-    Returns (slice_hw [S, R, SLICE_HW] uint16 big-endian-halfword payload
+    Returns (slice_hw [S, R, SLICE_W] int32 MSB-first-word payload
     per slice, slice_bytes [S, R], overflow flag).  Slices stay separate:
     the host frames them into NALs anyway, and stopping the merge tree at
     slice level skips its two widest (frame-width) barrel-shift levels.
@@ -512,7 +524,7 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     chunks_hw, chunks_bits = pack_slots(
         jnp.concatenate([hdr_l, sl27], -1),
         jnp.concatenate([hdr_v, sv27], -1),
-        BLOCK_HW,
+        BLOCK_W,
     )  # [S,R,C,27,BW], [S,R,C,27]
 
     # presence gating: absent chunks become empty strings
@@ -527,11 +539,11 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     )
     chunks_bits = jnp.where(present, chunks_bits, 0)
     chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
-    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_HW)  # [S,R,C,MBW]
-    overflow = jnp.any(mb_bits > 16 * MB_HW)
+    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)  # [S,R,C,MBW]
+    overflow = jnp.any(mb_bits > 32 * MB_W)
 
     # ---- per-slice merge: header + C MBs, then trailing bits ----
-    hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_HW - hdr_hw.shape[-1])))
+    hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_W - hdr_hw.shape[-1])))
     slice_chunks = jnp.concatenate([hdr_pad[..., None, :], mb_hw], axis=-2)
     slice_bits_in = jnp.concatenate([hdr_len[..., None], mb_bits], axis=-1)
     slice_hw, slice_bytes, ovf2 = _finish_slices(slice_chunks, slice_bits_in, s, r)
@@ -690,7 +702,7 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
     chunks_hw, chunks_bits = pack_slots(
         jnp.concatenate([hdr_l, sl27], -1),
         jnp.concatenate([hdr_v, sv27], -1),
-        BLOCK_HW,
+        BLOCK_W,
     )
 
     grp = jnp.arange(16) // 4  # z-order chunk -> 8x8 group
@@ -710,27 +722,27 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
     )
     chunks_bits = jnp.where(present, chunks_bits, 0)
     chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
-    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_HW)
-    overflow = jnp.any(mb_bits > 16 * MB_HW)
+    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)
+    overflow = jnp.any(mb_bits > 32 * MB_W)
 
     # ---- trailing skip_run chunk per slice ----
     last_coded = jnp.max(marked, axis=-1)  # [S,R]
     trail = c - 1 - last_coded
     tll, tlv = _ue_slot(trail)
     tll = jnp.where(trail > 0, tll, 0)
-    # single-halfword emission caps rows at 254 MBs (ue(255+) > 16 bits);
+    # single-word emission caps rows at 65534 MBs (ue > 32 bits);
     # merged strings must be all-zero past their bit length, so gate the
     # content on trail > 0
-    overflow |= jnp.any(tll > 16)
-    t_hw = jnp.zeros((s, r, MB_HW), jnp.int32).at[..., 0].set(
+    overflow |= jnp.any(tll > 32)
+    t_hw = jnp.zeros((s, r, MB_W), jnp.int32).at[..., 0].set(
         jnp.where(
             trail > 0,
-            (tlv << jnp.clip(16 - tll, 0, 15)) & 0xFFFF,
+            tlv << jnp.clip(32 - tll, 0, 31),
             0,
         )
     )
 
-    hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_HW - hdr_hw.shape[-1])))
+    hdr_pad = jnp.pad(hdr_hw, ((0, 0), (0, 0), (0, MB_W - hdr_hw.shape[-1])))
     slice_chunks = jnp.concatenate(
         [hdr_pad[..., None, :], mb_hw, t_hw[..., None, :]], axis=-2
     )
