@@ -131,6 +131,9 @@ class _MBContext:
     kind: np.ndarray = None    # (mbh, mbw) inter.MB_SKIP/INTER/INTRA
     i4modes: np.ndarray = None  # (4*mbh, 4*mbw) I4x4 modes, -1 = n/a
     intra44: bool = False
+    refidx: np.ndarray = None  # (mbh, mbw) per-MB refIdxL0 (multi-ref DPB)
+    nra: int = 1               # num_ref_idx_l0_active
+    force_ref: int = -1        # encoder: restrict ME to one DPB entry
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
@@ -147,6 +150,7 @@ def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
         mv=np.zeros((mbh, mbw, 2), np.int32),
         kind=np.full((mbh, mbw), 2, np.int32),
         i4modes=np.full((4 * mbh, 4 * mbw), -1, np.int32),
+        refidx=np.zeros((mbh, mbw), np.int32),
     )
 
 
@@ -618,10 +622,12 @@ def _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
 
-def _apply_skip(ctx, refs, mbx, mby, sid):
-    """Reconstruct a P_Skip MB and update all state."""
-    refy, refu, refv, planes = refs
-    mvx, mvy = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+def _apply_skip(ctx, dpb, mbx, mby, sid):
+    """Reconstruct a P_Skip MB and update all state (references DPB[0])."""
+    refy, refu, refv, planes = dpb[0]
+    mvx, mvy = inter_mod.skip_mv(
+        ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx
+    )
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = inter_mod.mc_luma_qpel(
@@ -638,22 +644,40 @@ def _apply_skip(ctx, refs, mbx, mby, sid):
     ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
     ctx.mv[mby, mbx] = (mvx, mvy)
     ctx.kind[mby, mbx] = inter_mod.MB_SKIP
+    ctx.refidx[mby, mbx] = 0
     ctx.slice_id[mby, mbx] = sid
 
 
-def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
-    """Encode one MB of a P slice (may defer to the skip-run counter)."""
+def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
+    """Encode one MB of a P slice (may defer to the skip-run counter).
+
+    dpb: list of (refy, refu, refv, halfpel planes), newest first.  With
+    ctx.force_ref >= 0 the search is restricted to that DPB entry
+    (temporal-layer referencing); otherwise every active reference is
+    searched and the lowest SAD wins (ties to the smaller index)."""
     qp, qpc = ctx.qp, ctx.qpc
-    refy, refu, refv, planes = refs
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     src = y[y0 : y0 + 16, x0 : x0 + 16]
 
-    pmv = inter_mod.predict_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
-    mv_skip = inter_mod.skip_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
-    mvx, mvy, inter_sad = inter_mod.motion_search_qpel(
-        src, refy, planes, mbx, mby, pmv
+    mv_skip = inter_mod.skip_mv(
+        ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx
     )
+    cand_refs = (
+        [ctx.force_ref] if ctx.force_ref >= 0 else list(range(len(dpb)))
+    )
+    best = None  # (sad, ref, mvx, mvy, pmv)
+    for ri in cand_refs:
+        pmv_r = inter_mod.predict_mv(
+            ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx, ri
+        )
+        mvx_r, mvy_r, sad_r = inter_mod.motion_search_qpel(
+            src, dpb[ri][0], dpb[ri][3], mbx, mby, pmv_r
+        )
+        if best is None or sad_r < best[0]:
+            best = (sad_r, ri, mvx_r, mvy_r, pmv_r)
+    inter_sad, ref_i, mvx, mvy, pmv = best
+    refy, refu, refv, planes = dpb[ref_i]
     _, _, intra_sad = _intra16_decide(ctx, src, mbx, mby, sid)
 
     if intra_sad < inter_sad:
@@ -689,9 +713,10 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
     any_dc = bool(np.any(dcu)) or bool(np.any(dcv))
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
 
-    if cbp_luma == 0 and cbp_chroma == 0 and (mvx, mvy) == mv_skip:
+    if (cbp_luma == 0 and cbp_chroma == 0 and ref_i == 0
+            and (mvx, mvy) == mv_skip):
         skiprun[0] += 1
-        _apply_skip(ctx, refs, mbx, mby, sid)
+        _apply_skip(ctx, dpb, mbx, mby, sid)
         return
 
     # reconstruction (zero out 4x4 blocks of uncoded 8x8s -- no-op by
@@ -716,6 +741,11 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
     w.ue(skiprun[0])
     skiprun[0] = 0
     w.ue(0)  # mb_type P_L0_16x16
+    if ctx.nra > 1:  # ref_idx_l0, te(v) with cMax = nra-1
+        if ctx.nra == 2:
+            w.u(1, 1 - ref_i)
+        else:
+            w.ue(ref_i)
     w.se(mvx - pmv[0])
     w.se(mvy - pmv[1])
     w.ue(CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
@@ -737,14 +767,28 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, refs, mbx, mby, sid):
                            dcu, dcv, acu, acv)
     ctx.mv[mby, mbx] = (mvx, mvy)
     ctx.kind[mby, mbx] = inter_mod.MB_INTER
+    ctx.refidx[mby, mbx] = ref_i
     ctx.slice_id[mby, mbx] = sid
+
+
+def as_dpb(refs):
+    """Normalize reference input to a DPB list of 4-tuples with half-pel
+    planes (newest first)."""
+    if isinstance(refs, tuple) and len(refs) in (3, 4):
+        refs = [refs]
+    out = []
+    for entry in refs:
+        if len(entry) == 3:
+            entry = (*entry, inter_mod.build_halfpel_planes(entry[0]))
+        out.append(entry)
+    return out
 
 
 def encode_pframe(
     y: np.ndarray,
     u: np.ndarray,
     v: np.ndarray,
-    refs: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    refs,
     qp: int = 28,
     slice_mode: str = "rows",
     frame_num: int = 1,
@@ -752,10 +796,16 @@ def encode_pframe(
     pps: Optional[PPS] = None,
     deblock: bool = False,
     ref: bool = True,
+    force_ref: int = -1,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Encode one P-frame against reference planes (padded recon of the
-    previous frame).  `ref` False marks a non-reference (temporal
-    enhancement layer) picture.  Returns (annexb bytes, recon planes)."""
+    """Encode one P-frame against a reference DPB.
+
+    `refs` is a single (y, u, v[, planes]) tuple or a list of them
+    (newest first); with more than one entry, ref_idx_l0 is signaled and
+    num_ref_idx_l0_active is overridden in the slice headers.  `ref`
+    False marks a non-reference (temporal enhancement layer) picture;
+    `force_ref` restricts motion search to one DPB entry (temporal-layer
+    prediction structure).  Returns (annexb bytes, recon planes)."""
     height, width = y.shape
     if sps is None:
         sps = SPS.for_size(width, height)
@@ -764,8 +814,9 @@ def encode_pframe(
     mbw, mbh = sps.mb_width, sps.mb_height
     yp, up, vp = pad_to_mb(y, 16), pad_to_mb(u, 8), pad_to_mb(v, 8)
     ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
-    if len(refs) == 3:
-        refs = (*refs, inter_mod.build_halfpel_planes(refs[0]))
+    dpb = as_dpb(refs)
+    ctx.nra = len(dpb)
+    ctx.force_ref = force_ref
 
     if slice_mode == "rows":
         slices = [(r, [(r, c) for c in range(mbw)]) for r in range(mbh)]
@@ -785,10 +836,11 @@ def encode_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=slice_qp_delta,
             disable_deblocking_filter_idc=idc,
+            num_ref_idx_l0_active_minus1=ctx.nra - 1,
         ).write(w, sps, pps, idr=False, ref=ref)
         skiprun = [0]
         for mby, mbx in mbs:
-            _encode_mb_p(w, skiprun, ctx, yp, up, vp, refs, mbx, mby, sid)
+            _encode_mb_p(w, skiprun, ctx, yp, up, vp, dpb, mbx, mby, sid)
         if skiprun[0]:
             w.ue(skiprun[0])
         w.rbsp_trailing_bits()
@@ -806,9 +858,8 @@ def encode_pframe(
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
 
-def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
+def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
     qp, qpc = ctx.qp, ctx.qpc
-    refy, refu, refv, planes = refs
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     mb_type = r.ue()
@@ -817,7 +868,13 @@ def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
         return
     if mb_type != 0:
         raise NotImplementedError(f"P mb_type {mb_type}")
-    pmv = inter_mod.predict_mv(ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid)
+    ref_i = 0
+    if ctx.nra > 1:  # ref_idx_l0, te(v)
+        ref_i = (1 - r.u(1)) if ctx.nra == 2 else r.ue()
+    refy, refu, refv, planes = dpb[min(ref_i, len(dpb) - 1)]
+    pmv = inter_mod.predict_mv(
+        ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx, ref_i
+    )
     mvx = pmv[0] + r.se()
     mvy = pmv[1] + r.se()
     from ..entropy.cavlc_tables import CBP_INTER
@@ -880,6 +937,7 @@ def _decode_mb_p(r, ctx, refs, mbx, mby, sid):
     )
     ctx.mv[mby, mbx] = (mvx, mvy)
     ctx.kind[mby, mbx] = inter_mod.MB_INTER
+    ctx.refidx[mby, mbx] = ref_i
     ctx.slice_id[mby, mbx] = sid
 
 
@@ -958,14 +1016,15 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
     sps: Optional[SPS] = None
     pps: Optional[PPS] = None
     ctx: Optional[_MBContext] = None
-    refs = None
+    dpb: List = []
     sid = 0
     frame_idc = [1]
     frame_is_ref = [True]
+    frame_is_idr = [False]
     frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
     def finish_frame():
-        nonlocal ctx, refs
+        nonlocal ctx, dpb
         if ctx is not None:
             if frame_idc[0] != 1:
                 from .deblock import deblock_frame
@@ -984,11 +1043,14 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                 )
             )
             if frame_is_ref[0]:
+                if frame_is_idr[0]:
+                    dpb = []  # IDR clears the reference buffer
                 ry = ctx.recon_y.copy()
-                refs = (
+                dpb.insert(0, (
                     ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
                     inter_mod.build_halfpel_planes(ry),
-                )
+                ))
+                del dpb[max(1, sps.max_num_ref_frames):]  # sliding window
             ctx = None
 
     for ridc, ntype, rbsp in nal.split_annexb(data):
@@ -1006,6 +1068,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
             if header.first_mb_in_slice == 0:
                 finish_frame()
                 frame_is_ref[0] = ridc != 0
+                frame_is_idr[0] = ntype == nal.NAL_SLICE_IDR
             if ctx is None:
                 qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
                 ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
@@ -1013,17 +1076,18 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
             frame_idc[0] = header.disable_deblocking_filter_idc
             addr = header.first_mb_in_slice
             if header.slice_type == SLICE_P:
-                assert refs is not None, "P slice without reference"
+                assert dpb, "P slice without reference"
+                ctx.nra = header.num_ref_idx_l0_active_minus1 + 1
                 while r.more_rbsp_data():
                     run = r.ue()
                     for _ in range(run):
                         mby, mbx = divmod(addr, mbw)
-                        _apply_skip(ctx, refs, mbx, mby, sid)
+                        _apply_skip(ctx, dpb, mbx, mby, sid)
                         addr += 1
                     if not r.more_rbsp_data():
                         break
                     mby, mbx = divmod(addr, mbw)
-                    _decode_mb_p(r, ctx, refs, mbx, mby, sid)
+                    _decode_mb_p(r, ctx, dpb, mbx, mby, sid)
                     addr += 1
             else:
                 while r.more_rbsp_data():
@@ -1042,41 +1106,68 @@ def encode_sequence(
     slice_mode: str = "rows",
     deblock: bool = False,
     temporal_layers: int = 1,
+    num_ref: int = 1,
 ) -> Tuple[bytes, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Encode (y, u, v) frames as IPPP... with IDR every `gop`.
 
     temporal_layers=2: odd in-GOP frames are non-reference T1 pictures
     predicting from the T0 base layer -- dropping every second frame
-    still decodes (the temporal-SVC capability of BASELINE.json config 4,
-    expressed with a single-reference DPB)."""
-    assert temporal_layers in (1, 2)
+    still decodes.
+    temporal_layers=3: hierarchical-P period 4 [T0 T2 T1 T2]; T2 frames
+    are non-reference, T0 frames reference only the previous T0 through
+    the 2-entry DPB (ref_idx 1 past a T1) -- the stream decodes at 3
+    rates (BASELINE.json config 4).
+    num_ref>1: a sliding-window DPB of that depth with per-MB reference
+    search and ref_idx_l0 signaling (config 3's multi-reference)."""
+    assert temporal_layers in (1, 2, 3)
+    if temporal_layers == 3:
+        num_ref = max(num_ref, 2)
     out = bytearray()
     recons = []
-    refs = None
+    dpb: List = []
     sps = pps = None
+    h, w0 = frames[0][0].shape
+    if num_ref > 1:
+        sps = SPS.for_size(w0, h, max_num_ref_frames=num_ref)
+        pps = PPS()
     for t, (y, u, v) in enumerate(frames):
         k = t % gop
-        if k == 0 or refs is None:
+        if k == 0 or not dpb:
             data, recon = encode_iframe(
                 y, u, v, qp=qp, slice_mode=slice_mode, frame_num=0,
                 idr=True, include_ps=True, sps=sps, pps=pps, deblock=deblock,
             )
             is_ref = True
+            dpb = []
         else:
             if sps is None:
                 sps = SPS.for_size(y.shape[1], y.shape[0])
                 pps = PPS()
-            is_ref = temporal_layers == 1 or (k % 2 == 0)
-            fnum = k if temporal_layers == 1 else (k + 1) // 2
+            force = -1
+            if temporal_layers == 2:
+                is_ref = k % 2 == 0
+                fnum = (k + 1) // 2
+            elif temporal_layers == 3:
+                is_ref = k % 2 == 0  # T0/T1 are references, T2 is not
+                fnum = (k + 1) // 2
+                if k % 4 == 0:  # T0: reference the previous T0
+                    force = min(1, len(dpb) - 1)
+                else:  # T1/T2: nearest reference
+                    force = 0
+            else:
+                is_ref = True
+                fnum = k
             data, recon = encode_pframe(
-                y, u, v, refs, qp=qp, slice_mode=slice_mode,
+                y, u, v, dpb[:num_ref] if num_ref > 1 else dpb[0],
+                qp=qp, slice_mode=slice_mode,
                 frame_num=fnum, sps=sps, pps=pps, deblock=deblock,
-                ref=is_ref,
+                ref=is_ref, force_ref=force,
             )
         out += data
         recons.append(recon)
         if is_ref:
-            refs = recon
+            dpb.insert(0, as_dpb([recon])[0])
+            del dpb[num_ref:]
     return bytes(out), recons
 
 

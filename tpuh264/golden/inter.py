@@ -35,8 +35,13 @@ def predict_mv(
     mbx: int,
     mby: int,
     sid: int,
+    refidx: Optional[np.ndarray] = None,  # [mbh, mbw] per-MB refIdxL0
+    cur_ref: int = 0,
 ) -> Tuple[int, int]:
-    """Median MV prediction (H.264 8.4.1.3) for 16x16 partitions, 1 ref."""
+    """Median MV prediction (H.264 8.4.1.3) for 16x16 partitions.
+
+    With `refidx` absent every inter neighbor counts as refIdxL0 == 0
+    (the single-reference behavior)."""
     mbw = mv.shape[1]
 
     def navail(x: int, y: int) -> bool:
@@ -55,7 +60,8 @@ def predict_mv(
             return (0, 0), -1
         if kind[y, x] == MB_INTRA:
             return (0, 0), -1
-        return (int(mv[y, x, 0]), int(mv[y, x, 1])), 0
+        r = 0 if refidx is None else int(refidx[y, x])
+        return (int(mv[y, x, 0]), int(mv[y, x, 1])), r
 
     mva, refa = mv_ref(a_ok, mbx - 1, mby)
     mvb, refb = mv_ref(b_ok, mbx, mby - 1)
@@ -63,7 +69,9 @@ def predict_mv(
 
     if not b_ok and not c_ok and a_ok:
         return mva
-    matches = [m for m, r in ((mva, refa), (mvb, refb), (mvc, refc)) if r == 0]
+    matches = [
+        m for m, r in ((mva, refa), (mvb, refb), (mvc, refc)) if r == cur_ref
+    ]
     if len(matches) == 1:
         return matches[0]
     return (
@@ -75,8 +83,9 @@ def predict_mv(
 def skip_mv(
     mv: np.ndarray, kind: np.ndarray, slice_id: np.ndarray,
     mbx: int, mby: int, sid: int,
+    refidx: Optional[np.ndarray] = None,
 ) -> Tuple[int, int]:
-    """P_Skip motion vector (H.264 8.4.1.1)."""
+    """P_Skip motion vector (H.264 8.4.1.1); P_Skip references index 0."""
     mbw = mv.shape[1]
 
     def navail(x: int, y: int) -> bool:
@@ -87,9 +96,13 @@ def skip_mv(
     if not a_ok or not b_ok:
         return (0, 0)
     for x, y, ok in ((mbx - 1, mby, a_ok), (mbx, mby - 1, b_ok)):
-        if kind[y, x] != MB_INTRA and mv[y, x, 0] == 0 and mv[y, x, 1] == 0:
+        r = (
+            -1 if kind[y, x] == MB_INTRA
+            else (0 if refidx is None else int(refidx[y, x]))
+        )
+        if r == 0 and mv[y, x, 0] == 0 and mv[y, x, 1] == 0:
             return (0, 0)
-    return predict_mv(mv, kind, slice_id, mbx, mby, sid)
+    return predict_mv(mv, kind, slice_id, mbx, mby, sid, refidx, 0)
 
 
 def mc_luma(ref: np.ndarray, mbx: int, mby: int, mvx_q: int, mvy_q: int) -> np.ndarray:
