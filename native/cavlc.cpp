@@ -917,7 +917,7 @@ int64_t th264_pack_slice_p(
     const int32_t* mb_info, const int16_t* luma_dc, const int16_t* luma_ac,
     const int16_t* chroma_dc, const int16_t* chroma_ac,
     int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
-    uint8_t* out, int64_t out_cap) {
+    int32_t nra, uint8_t* out, int64_t out_cap) {
   BitWriter w{out, out_cap};
   for (int32_t i = 0; i + 8 <= header_bits; i += 8) w.put(8, header_bytes[i / 8]);
   int rem = header_bits & 7;
@@ -978,6 +978,10 @@ int64_t th264_pack_slice_p(
     // inter 16x16
     int cbp_l = info[3], cbp_c = info[4];
     w.ue(0);
+    if (nra > 1) {  // ref_idx_l0, te(v) with cMax = nra-1
+      if (nra == 2) w.put(1, 1 - info[7]);
+      else w.ue((uint32_t)info[7]);
+    }
     w.se(info[5]);
     w.se(info[6]);
     w.ue(CBP_INTER_INV[(cbp_l | (cbp_c << 4)) & 63]);
@@ -1014,7 +1018,7 @@ int64_t th264_parse_slice_p(
     int32_t slice_start, int32_t mbw, int32_t max_mbs,
     int32_t* mb_info, int16_t* luma_dc, int16_t* luma_ac,
     int16_t* chroma_dc, int16_t* chroma_ac,
-    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v) {
+    int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v, int32_t nra) {
   build_luts();
   BitReader r{rbsp, nbytes, start_bit};
   const int ys = 4 * mbw, cs = 2 * mbw;
@@ -1105,6 +1109,7 @@ int64_t th264_parse_slice_p(
       parse_chroma(mbx, mby, left_mb, top_mb, info[4], addr);
     } else if (mb_type == 0) {
       info[0] = 1;
+      if (nra > 1) info[7] = (nra == 2) ? (1 - (int32_t)r.u(1)) : (int32_t)r.ue();
       info[5] = r.se();
       info[6] = r.se();
       uint32_t code = r.ue();

@@ -152,7 +152,7 @@ def test_gop_ippp_roundtrip():
         out = pool.decode(0, f.data)
         assert out is not None and not pool[0].needs_keyframe
         # decoder tracks encoder recon exactly (drift-free loop)
-        np.testing.assert_array_equal(out[0], np.asarray(enc._ref[0][0]))
+        np.testing.assert_array_equal(out[0], np.asarray(enc._dpb[0][0][0]))
         assert psnr(out[0], y) > 28
     # IDR at t=0 and t=4 (gop_size=4), P frames elsewhere
     assert kinds == [True, False, False, False, True, False]
@@ -173,7 +173,7 @@ def test_gop_deblock_roundtrip_libav():
         stream += f.data
         out = pool.decode(0, f.data)
         assert out is not None and not pool[0].needs_keyframe
-        np.testing.assert_array_equal(out[0], np.asarray(enc._ref[0][0]))
+        np.testing.assert_array_equal(out[0], np.asarray(enc._dpb[0][0][0]))
         outs.append(out)
     if libav_available():
         libav = decode_with_libav(bytes(stream))

@@ -87,3 +87,47 @@ def test_multiref_with_deblock():
     lv = decode_with_libav(stream)
     for d, r in zip(lv, recons):
         np.testing.assert_array_equal(d[0], r[0][:48, :64])
+
+
+def _engine_drive(**kw):
+    import jax
+    from tpuh264.engine import CodecConfig, EncoderSession
+    from tpuh264.engine.decoder import DecoderSession
+
+    frames = moving_sequence(48, 64, 9, seed=11)
+    enc = EncoderSession(CodecConfig(width=64, height=48, qp=30,
+                                     gop_size=30, **kw))
+    dec = DecoderSession()
+    full = bytearray()
+    recs = []
+    for (y, u, v) in frames:
+        f = enc.encode_frame_yuv(y[None], u[None], v[None])
+        recs.append(np.asarray(enc.recon[0][0])[:48, :64])
+        out = dec.decode(f[0].data)
+        assert out is not None and not dec.needs_keyframe
+        np.testing.assert_array_equal(out[0], recs[-1])
+        full += f[0].data
+    lv = decode_with_libav(bytes(full))
+    assert len(lv) == len(frames)
+    for d, r in zip(lv, recs):
+        np.testing.assert_array_equal(d[0], r)
+
+
+def test_engine_multiref_search():
+    _engine_drive(num_ref_frames=2)
+
+
+def test_engine_multiref_deblock():
+    _engine_drive(num_ref_frames=3, deblock=True)
+
+
+def test_engine_temporal_3layer():
+    _engine_drive(temporal_layers=3)
+
+
+def test_engine_temporal_3layer_cabac_deblock():
+    _engine_drive(temporal_layers=3, cabac=True, deblock=True)
+
+
+def test_engine_multiref_cabac():
+    _engine_drive(num_ref_frames=2, cabac=True)

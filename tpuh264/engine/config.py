@@ -34,7 +34,8 @@ class CodecConfig:
     threads: int = 0  # 0 = default policy (hardwareConcurrency-2, clamped)
     slice_mode: str = "rows"  # "rows" (parallel) | "single"
     deblock: bool = False  # in-loop deblocking (idc=2: within-slice)
-    temporal_layers: int = 1  # 2 = non-ref T1 frames (droppable layer)
+    temporal_layers: int = 1  # 2 or 3 hierarchical-P layers (droppable)
+    num_ref_frames: int = 1  # DPB depth; >1 = per-MB reference search
     intra44: bool = False  # enable Intra_4x4 trial on I frames (quality)
     cabac: bool = False  # CABAC entropy coding (Main profile; I frames)
     gop_size: int = 30  # IDR interval

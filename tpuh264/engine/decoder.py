@@ -53,9 +53,10 @@ class DecoderSession:
         self.frames_concealed = 0
         self._sps = None
         self._pps = None
-        self._ref = None  # device-resident reference planes
+        self._dpb = []  # device-resident reference planes, newest first
         self._idc = 1
         self._is_ref_frame = True
+        self._nra = 1
 
     def decode(
         self, data: bytes
@@ -94,6 +95,7 @@ class DecoderSession:
                                       ref=ridc != 0)
                 self._idc = h.disable_deblocking_filter_idc
                 self._is_ref_frame = ridc != 0
+                self._nra = h.num_ref_idx_l0_active_minus1 + 1
                 if h.slice_type == SLICE_P:
                     is_p = True
             elif ntype == nal.NAL_SLICE_IDR and self._sps is not None:
@@ -140,7 +142,7 @@ class DecoderSession:
                 jnp.zeros(sh, jnp.int32), jnp.zeros(sh, jnp.int32),
                 jnp.zeros((*sh, 4, 4), jnp.int32), jnp.int32(qp),
             )
-        self._ref = (y, u, v)
+        self._dpb = [(y, u, v)]
         return (
             np.asarray(y[0])[: sps.height, : sps.width],
             np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
@@ -148,7 +150,7 @@ class DecoderSession:
         )
 
     def _decode_p(self, data: bytes):
-        assert self._ref is not None, "P frame before any reference"
+        assert self._dpb, "P frame before any reference"
         sps, pps = self._sps, self._pps
         qp = 26 + pps.pic_init_qp_minus26
         slices = []
@@ -158,14 +160,15 @@ class DecoderSession:
                 h = SliceHeader.parse(r, sps, pps, False, ref=ridc != 0)
                 qp = 26 + pps.pic_init_qp_minus26 + h.slice_qp_delta
                 slices.append((rbsp, r.bit_position, h.first_mb_in_slice))
+        nra = self._nra
         if pps.entropy_coding_mode_flag:
             mb_info, ldc, lac, cdc, cac = cabac_pack.parse_pframe_slices(
-                slices, sps, pps, qp=qp
+                slices, sps, pps, qp=qp, nra=nra
             )
         else:
             parse_p = getattr(self._entropy, "parse_pframe_slices",
                               entropy_packp.parse_pframe_slices)
-            mb_info, ldc, lac, cdc, cac = parse_p(slices, sps, pps)
+            mb_info, ldc, lac, cdc, cac = parse_p(slices, sps, pps, nra)
         rr, cc = sps.mb_height, sps.mb_width
         symbols = pframe.MBSymbolsP(
             kind=mb_info[:, 0].reshape(1, rr, cc),
@@ -179,9 +182,15 @@ class DecoderSession:
             luma_ac=lac.reshape(1, rr, cc, 16, 16),
             chroma_dc=cdc.reshape(1, rr, cc, 2, 4),
             chroma_ac=cac.reshape(1, rr, cc, 2, 4, 15),
+            refidx=mb_info[:, 7].reshape(1, rr, cc),
         )
-        (y, u, v), motion = pframe.decode_pframe_rows(
-            symbols, self._ref[0], self._ref[1], self._ref[2], jnp.int32(qp)
+        dpb = self._dpb[:max(nra, 1)]
+        (y, u, v), motion = pframe.decode_pframe_rows_multi(
+            symbols,
+            jnp.stack([d[0][0] for d in dpb])[:, None],
+            jnp.stack([d[1][0] for d in dpb])[:, None],
+            jnp.stack([d[2][0] for d in dpb])[:, None],
+            jnp.int32(qp),
         )
         if self._idc != 1:
             sh = symbols.kind.shape
@@ -191,9 +200,12 @@ class DecoderSession:
             y, u, v = kdeblock.deblock_frame_rows(
                 y, u, v, jnp.asarray(symbols.kind), motion[0], motion[1],
                 nnz, jnp.int32(qp),
+                refidx=jnp.asarray(symbols.refidx),
             )
         if self._is_ref_frame:
-            self._ref = (y, u, v)
+            self._dpb.insert(0, (y, u, v))
+            max_ref = max(1, self._sps.max_num_ref_frames)
+            del self._dpb[max_ref:]
         return (
             np.asarray(y[0])[: sps.height, : sps.width],
             np.asarray(u[0])[: sps.height // 2, : sps.width // 2],
@@ -311,7 +323,7 @@ class DecoderPool:
                 # keep per-session state current so a following P frame
                 # can reference this reconstruction
                 sess._sps, sess._pps = p[0], p[1]
-                sess._ref = (dy[i : i + 1], du[i : i + 1], dv[i : i + 1])
+                sess._dpb = [(dy[i : i + 1], du[i : i + 1], dv[i : i + 1])]
                 results[idx] = out
         for idx, sess, p in parsed:
             if p is None:

@@ -85,18 +85,25 @@ class EncoderSession:
                 "intra44 on the wavefront (single-slice) kernel lands "
                 "later; use slice_mode='rows'"
             )
+        self._num_ref = max(
+            config.num_ref_frames, 2 if config.temporal_layers == 3 else 1
+        )
         if config.cabac:
             self.sps = SPS.for_size(
-                config.width, config.height, profile_idc=PROFILE_MAIN
+                config.width, config.height, profile_idc=PROFILE_MAIN,
+                max_num_ref_frames=self._num_ref,
             )
             self.pps = PPS(entropy_coding_mode_flag=1)
         else:
-            self.sps = SPS.for_size(config.width, config.height)
+            self.sps = SPS.for_size(
+                config.width, config.height,
+                max_num_ref_frames=self._num_ref,
+            )
             self.pps = PPS()
         self.frame_num = 0
         self.idr_pic_id = 0
         self._force_idr = True
-        self._ref = None  # device-resident DPB: recon planes of last frame
+        self._dpb: List = []  # device-resident DPB (recon tuples, newest 1st)
         self._frame_in_gop = 0
         self.rc = RateController(config)
         self._entropy = (
@@ -147,7 +154,7 @@ class EncoderSession:
         qp = self.rc.current_qp()
         idr = (
             self._force_idr
-            or self._ref is None
+            or not self._dpb
             or (cfg.gop_size > 0 and self._frame_in_gop >= cfg.gop_size)
         )
 
@@ -170,9 +177,26 @@ class EncoderSession:
                     jnp.zeros((*sh, 4, 4), jnp.int32), jnp.int32(qp),
                 )
         else:
-            symbols, recon, motion = pframe.encode_pframe_rows(
-                y, u, v, *self._ref, jnp.int32(qp)
-            )
+            k = self._frame_in_gop
+            tl = cfg.temporal_layers
+            nra = len(self._dpb)
+            if tl == 3 and k % 4 == 0:
+                force = min(1, nra - 1)  # T0 references the previous T0
+            elif tl >= 2 or nra == 1:
+                force = 0
+            else:
+                force = -1  # free per-MB reference search
+            if force >= 0:
+                ref = self._dpb[force]
+                symbols, recon, motion = pframe.encode_pframe_rows_multi(
+                    y, u, v, ref[0][None], ref[1][None], ref[2][None],
+                    jnp.int32(qp), ref_base=force,
+                )
+            else:
+                stack = lambda i: jnp.stack([d[i] for d in self._dpb])
+                symbols, recon, motion = pframe.encode_pframe_rows_multi(
+                    y, u, v, stack(0), stack(1), stack(2), jnp.int32(qp)
+                )
             if cfg.deblock:
                 sh = symbols.kind.shape
                 nnz = jnp.count_nonzero(
@@ -181,6 +205,7 @@ class EncoderSession:
                 recon = kdeblock.deblock_frame_rows(
                     recon[0], recon[1], recon[2],
                     symbols.kind, motion[0], motion[1], nnz, jnp.int32(qp),
+                    refidx=symbols.refidx,
                 )
         jax.block_until_ready(recon[0])
         t1 = time.perf_counter()
@@ -231,6 +256,7 @@ class EncoderSession:
             cbp_c = np.asarray(sy.cbp_chroma).reshape(s, n)
             mvdx = np.asarray(sy.mvdx).reshape(s, n)
             mvdy = np.asarray(sy.mvdy).reshape(s, n)
+            refid = np.asarray(sy.refidx).reshape(s, n)
             luma_dc = np.asarray(sy.luma_dc).reshape(s, n, 16)
             luma_ac = np.asarray(sy.luma_ac).reshape(s, n, 16, 16)
             chroma_dc = np.asarray(sy.chroma_dc).reshape(s, n, 2, 4)
@@ -248,6 +274,7 @@ class EncoderSession:
                 mb_info[:, 4] = cbp_c[i]
                 mb_info[:, 5] = mvdx[i]
                 mb_info[:, 6] = mvdy[i]
+                mb_info[:, 7] = refid[i]
                 pack_p = (
                     cabac_pack.pack_pframe if cfg.cabac
                     else getattr(self._entropy, "pack_pframe",
@@ -258,15 +285,15 @@ class EncoderSession:
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=fnum,
                     deblock_idc=2 if cfg.deblock else 1,
-                    ref=is_ref,
+                    ref=is_ref, num_ref_active=nra,
                 )
                 frames.append(EncodedFrame(stream, False, self.frame_num, qp, {}))
             self._frame_in_gop += 1
         if idr:
-            self._ref = recon
-        else:
-            if is_ref:
-                self._ref = recon
+            self._dpb = [recon]
+        elif is_ref:
+            self._dpb.insert(0, recon)
+            del self._dpb[self._num_ref:]
         t3 = time.perf_counter()
 
         self.rc.update(sum(len(f.data) for f in frames) / max(s, 1))

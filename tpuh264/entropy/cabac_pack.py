@@ -60,9 +60,12 @@ class _Ctx:
         self.not_i4 = np.zeros((mbh, mbw), np.int32)
         self.cmode = np.zeros((mbh, mbw), np.int32)
         self.i4 = np.full((4 * mbh, 4 * mbw), -1, np.int32)
-        # P-slice state: skip flags and per-MB |mvd| (zero for skip/intra)
+        # P-slice state: skip flags, per-MB |mvd| (zero for skip/intra),
+        # and refIdxL0 (zero for skip/intra -- matching the ref_idx
+        # neighbor-context convention)
         self.skip = np.zeros((mbh, mbw), np.int32)
         self.amvd = np.zeros((mbh, mbw, 2), np.int32)
+        self.refidx = np.zeros((mbh, mbw), np.int32)
 
 
 # -- residual block (7.3.5.3.3) ---------------------------------------------
@@ -719,8 +722,33 @@ def _mb_zero_p(C, mbx, mby):
     C.dc_v[mby, mbx] = 0
 
 
+def _enc_ref_idx(enc, st, mps, C, mbx, mby, left_mb, top_mb, ref_i):
+    """ref_idx_l0: unary bins, bin0 ctx 54 + (refA>0) + 2*(refB>0),
+    later bins at 58 then 59 (ffmpeg-verified ctx schedule)."""
+    a = 1 if left_mb and C.refidx[mby, mbx - 1] > 0 else 0
+    b = 1 if top_mb and C.refidx[mby - 1, mbx] > 0 else 0
+    ctx = 54 + a + 2 * b
+    for k in range(ref_i):
+        enc.encode(st, mps, ctx, 1)
+        ctx = 58 if k == 0 else 59
+    enc.encode(st, mps, ctx, 0)
+
+
+def _dec_ref_idx(dec, st, mps, C, mbx, mby, left_mb, top_mb) -> int:
+    a = 1 if left_mb and C.refidx[mby, mbx - 1] > 0 else 0
+    b = 1 if top_mb and C.refidx[mby - 1, mbx] > 0 else 0
+    ctx = 54 + a + 2 * b
+    ref = 0
+    while dec.decode(st, mps, ctx):
+        ctx = 58 if ref == 0 else 59
+        ref += 1
+        if ref > 32:
+            raise ValueError("ref_idx overflow")
+    return ref
+
+
 def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
-              info, ldc, lac, cdc, cac) -> None:
+              info, ldc, lac, cdc, cac, nra: int = 1) -> None:
     kind = int(info[0])
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
 
@@ -733,6 +761,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         _mb_zero_p(C, mbx, mby)
         C.skip[mby, mbx] = 1
         C.amvd[mby, mbx] = 0
+        C.refidx[mby, mbx] = 0
         C.not_i4[mby, mbx] = 0
         C.cmode[mby, mbx] = 0
         C.cbp_l[mby, mbx] = 0
@@ -779,6 +808,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         _enc_chroma_res(enc, st, mps, C, mbx, mby, left_mb, top_mb,
                         cbp_c, cdc, cac, 1)
         C.amvd[mby, mbx] = 0
+        C.refidx[mby, mbx] = 0
         C.not_i4[mby, mbx] = 1
         C.cmode[mby, mbx] = cmode
         C.cbp_l[mby, mbx] = 15 if cbp_l else 0
@@ -787,11 +817,12 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         return
 
     # P_L0_16x16: mb_type bins '0' (14), '0' (15), '0' (16)
-    _, _, _, cbp_l, cbp_c, mvdx, mvdy, _ = (int(x) for x in info)
+    _, _, _, cbp_l, cbp_c, mvdx, mvdy, ref_i = (int(x) for x in info)
     enc.encode(st, mps, 14, 0)
     enc.encode(st, mps, 15, 0)
     enc.encode(st, mps, 16, 0)
-    # mvd_l0 (no ref_idx: one reference active)
+    if nra > 1:
+        _enc_ref_idx(enc, st, mps, C, mbx, mby, left_mb, top_mb, ref_i)
     amvx = (int(C.amvd[mby, mbx - 1, 0]) if left_mb else 0) + (
         int(C.amvd[mby - 1, mbx, 0]) if top_mb else 0
     )
@@ -801,6 +832,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
     _enc_mvd(enc, st, mps, 40, amvx, mvdx)
     _enc_mvd(enc, st, mps, 47, amvy, mvdy)
     C.amvd[mby, mbx] = (abs(mvdx), abs(mvdy))
+    C.refidx[mby, mbx] = ref_i if nra > 1 else 0
     # coded_block_pattern
     bits = 0
     for i in range(4):
@@ -842,7 +874,8 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
 
 
 def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
-              mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac) -> None:
+              mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+              nra: int = 1) -> None:
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
     info = mb_info[addr]
     info[:] = 0
@@ -855,6 +888,8 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         _mb_zero_p(C, mbx, mby)
         C.skip[mby, mbx] = 1
         C.amvd[mby, mbx] = 0
+        C.refidx[mby, mbx] = 0
+        C.refidx[mby, mbx] = 0
         C.not_i4[mby, mbx] = 0
         C.cmode[mby, mbx] = 0
         C.cbp_l[mby, mbx] = 0
@@ -905,6 +940,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         _dec_chroma_res(dec, st, mps, C, mbx, mby, left_mb, top_mb,
                         cbp_c, chroma_dc, chroma_ac, addr, 1)
         C.amvd[mby, mbx] = 0
+        C.refidx[mby, mbx] = 0
         C.not_i4[mby, mbx] = 1
         C.cmode[mby, mbx] = cmode
         C.cbp_l[mby, mbx] = 15 if cbp_l else 0
@@ -916,6 +952,9 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         raise NotImplementedError("P 16x8/8x16 partitions")
     if dec.decode(st, mps, 16):
         raise NotImplementedError("P_8x8")
+    ref_i = 0
+    if nra > 1:
+        ref_i = _dec_ref_idx(dec, st, mps, C, mbx, mby, left_mb, top_mb)
     amvx = (int(C.amvd[mby, mbx - 1, 0]) if left_mb else 0) + (
         int(C.amvd[mby - 1, mbx, 0]) if top_mb else 0
     )
@@ -925,6 +964,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
     mvdx = _dec_mvd(dec, st, mps, 40, amvx)
     mvdy = _dec_mvd(dec, st, mps, 47, amvy)
     C.amvd[mby, mbx] = (abs(mvdx), abs(mvdy))
+    C.refidx[mby, mbx] = ref_i
     bits = 0
     for i in range(4):
         inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
@@ -944,6 +984,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
     info[0], info[3], info[4], info[5], info[6] = (
         KIND_INTER, cbp_l, cbp_c, mvdx, mvdy
     )
+    info[7] = ref_i
     for i8 in range(4):
         for b in range(4 * i8, 4 * i8 + 4):
             bx, by = BLK_SCAN[b]
@@ -980,6 +1021,7 @@ def pack_pframe(
     frame_num: int = 1,
     deblock_idc: int = 1,
     ref: bool = True,
+    num_ref_active: int = 1,
 ) -> bytes:
     """Pack one P-frame's symbol arrays into CABAC annex-B slice NALs
     (cabac_init_idc 0; same contract as packp.pack_pframe)."""
@@ -1001,6 +1043,7 @@ def pack_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
+            num_ref_idx_l0_active_minus1=num_ref_active - 1,
         ).write(w, sps, pps, idr=False, ref=ref)
         while w.bit_length % 8:
             w.u(1, 1)  # cabac_alignment_one_bit
@@ -1011,7 +1054,7 @@ def pack_pframe(
             _enc_mb_p(
                 enc, st, mps, C, addr, start, mbw,
                 mb_info[addr], luma_dc[addr], luma_ac[addr],
-                chroma_dc[addr], chroma_ac[addr],
+                chroma_dc[addr], chroma_ac[addr], nra=num_ref_active,
             )
             enc.terminate(1 if k == count - 1 else 0)
         rbsp = w.get_bytes() + enc.get_bytes()
@@ -1021,7 +1064,8 @@ def pack_pframe(
     return bytes(out)
 
 
-def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None):
+def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None,
+                        nra: int = 1):
     """Parse CABAC P slices (list of (rbsp, header_bit_pos, first_mb)) ->
     symbol arrays (same contract as packp.parse_pframe_slices, plus the
     slice QP, which CABAC context initialization needs)."""
@@ -1042,7 +1086,8 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None):
         addr = first_mb
         while True:
             _dec_mb_p(dec, st, mps, C, addr, first_mb, mbw,
-                      mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)
+                      mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+                      nra=nra)
             addr += 1
             if dec.terminate():
                 break

@@ -91,7 +91,7 @@ def load() -> ctypes.CDLL:
             _U8P, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
-            _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P, ctypes.c_int32,
             _U8P, ctypes.c_int64,
         ]
         lib.th264_parse_slice_p.restype = ctypes.c_int64
@@ -99,7 +99,7 @@ def load() -> ctypes.CDLL:
             _U8P, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I16P, _I16P, _I16P, _I16P,
-            _I32P, _I32P, _I32P,
+            _I32P, _I32P, _I32P, ctypes.c_int32,
         ]
         _lib = lib
         return lib
@@ -292,6 +292,7 @@ def pack_pframe(
     frame_num: int = 1,
     deblock_idc: int = 1,
     ref: bool = True,
+    num_ref_active: int = 1,
 ) -> bytes:
     """Native-path equivalent of entropy.packp.pack_pframe (byte-identical)."""
     from ..core.sliceheader import SLICE_P
@@ -323,6 +324,7 @@ def pack_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
+            num_ref_idx_l0_active_minus1=num_ref_active - 1,
         ).write(w, sps, pps, idr=False, ref=ref)
         header_bits = w.bit_length
         w.u((8 - header_bits % 8) % 8, 0)
@@ -330,7 +332,7 @@ def pack_pframe(
         n = lib.th264_pack_slice_p(
             header, header_bits, start, count, mbw,
             mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-            nnz_y, nnz_u, nnz_v, buf, cap,
+            nnz_y, nnz_u, nnz_v, num_ref_active, buf, cap,
         )
         if n < 0:
             raise RuntimeError("th264_pack_slice_p failed")
@@ -344,7 +346,7 @@ def pack_pframe(
     return bytes(out)
 
 
-def parse_pframe_slices(slices, sps: SPS, pps: PPS):
+def parse_pframe_slices(slices, sps: SPS, pps: PPS, nra: int = 1):
     """Native-path equivalent of entropy.packp.parse_pframe_slices."""
     lib = load()
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -362,7 +364,7 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS):
         got = lib.th264_parse_slice_p(
             rb, len(rb), start_bit, first_mb, mbw, n - first_mb,
             mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-            nnz_y, nnz_u, nnz_v,
+            nnz_y, nnz_u, nnz_v, nra,
         )
         if got < 0:
             raise RuntimeError("th264_parse_slice_p failed")

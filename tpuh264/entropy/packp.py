@@ -6,7 +6,7 @@ The C++ fast path mirrors this bit-for-bit.
 Layouts (one stream; N MBs raster):
   mb_info  int32 [N, 8]: kind (0 skip / 1 inter / 2 intra), mode, cmode,
            cbp_luma (intra: 0/1 meaning 0/15; inter: 4-bit pattern),
-           cbp_chroma, mvd_x, mvd_y, reserved
+           cbp_chroma, mvd_x, mvd_y, ref_idx_l0
   luma_dc  int16 [N, 16]     (intra MBs only)
   luma_ac  int16 [N, 16, 16] (intra: slots 1..15; inter: all 16)
   chroma_dc int16 [N, 2, 4]
@@ -74,8 +74,10 @@ def _pack_chroma_residual(w, nnz, mbx, mby, left_mb, top_mb, cbp_c,
 
 
 def pack_pslice(w, nnz, slice_start, slice_count, mbw,
-                mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac):
-    """Pack `slice_count` MBs of a P slice (after the header bits)."""
+                mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+                nra: int = 1):
+    """Pack `slice_count` MBs of a P slice (after the header bits).
+    nra = num_ref_idx_l0_active; > 1 emits ref_idx_l0 as te(v)."""
     skiprun = 0
     for k in range(slice_count):
         addr = slice_start + k
@@ -96,9 +98,14 @@ def pack_pslice(w, nnz, slice_start, slice_count, mbw,
                                chroma_dc[addr], chroma_ac[addr])
             continue
         # inter 16x16
-        _, _, _, cbp_l, cbp_c, mvdx, mvdy, _ = (int(x) for x in info)
+        _, _, _, cbp_l, cbp_c, mvdx, mvdy, ref_i = (int(x) for x in info)
         left_mb, top_mb = _mb_avail(addr, slice_start, mbw)
         w.ue(0)  # P_L0_16x16
+        if nra > 1:  # ref_idx_l0, te(v) with cMax = nra-1
+            if nra == 2:
+                w.u(1, 1 - ref_i)
+            else:
+                w.ue(ref_i)
         w.se(mvdx)
         w.se(mvdy)
         w.ue(CBP_INTER_INV[cbp_l | (cbp_c << 4)])
@@ -135,6 +142,7 @@ def pack_pframe(
     frame_num: int = 1,
     deblock_idc: int = 1,
     ref: bool = True,
+    num_ref_active: int = 1,
 ) -> bytes:
     """Pack one P-frame's symbol arrays into annex-B slice NALs."""
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -154,9 +162,11 @@ def pack_pframe(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
+            num_ref_idx_l0_active_minus1=num_ref_active - 1,
         ).write(w, sps, pps, idr=False, ref=ref)
         pack_pslice(w, nnz, start, count, mbw,
-                    mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)
+                    mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+                    nra=num_ref_active)
         w.rbsp_trailing_bits()
         out += nal.wrap_nal(
             nal.NAL_SLICE_NON_IDR, w.get_bytes(), nal_ref_idc=2 if ref else 0
@@ -165,7 +175,8 @@ def pack_pframe(
 
 
 def parse_pslice(r, nnz, slice_start, mbw, max_mbs,
-                 mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac) -> int:
+                 mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+                 nra: int = 1) -> int:
     """Parse P-slice MBs; returns count.  Fills mb_info[...,0] kinds."""
     addr = slice_start
     count = 0
@@ -214,6 +225,8 @@ def parse_pslice(r, nnz, slice_start, mbw, max_mbs,
                                    int(info[4]), chroma_dc[addr], chroma_ac[addr])
         elif mb_type == 0:
             info[0] = KIND_INTER
+            if nra > 1:
+                info[7] = (1 - r.u(1)) if nra == 2 else r.ue()
             info[5] = r.se()
             info[6] = r.se()
             cbp = CBP_INTER[r.ue()]
@@ -263,7 +276,7 @@ def _parse_chroma_residual(r, nnz, mbx, mby, left_mb, top_mb, cbp_c,
         nnz.v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
 
-def parse_pframe_slices(slices, sps: SPS, pps: PPS):
+def parse_pframe_slices(slices, sps: SPS, pps: PPS, nra: int = 1):
     """Parse P slices (list of (rbsp, start_bit, first_mb)) -> arrays + qp."""
     mbw, mbh = sps.mb_width, sps.mb_height
     n = mbw * mbh
@@ -277,5 +290,6 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS):
         r = BitReader(rbsp)
         r._pos = start_bit
         parse_pslice(r, nnz, first_mb, mbw, n - first_mb,
-                     mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac)
+                     mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
+                     nra=nra)
     return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac

@@ -380,6 +380,7 @@ def encode_iframe(
             ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
             ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
             chroma_qp_offset=pps.chroma_qp_index_offset,
+            refidx=ctx.refidx,
         )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
@@ -854,6 +855,7 @@ def encode_pframe(
             ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
             ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
             chroma_qp_offset=pps.chroma_qp_index_offset,
+            refidx=ctx.refidx,
         )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
@@ -1034,6 +1036,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                     ctx.kind, ctx.mv, ctx.slice_id, ctx.qp,
                     idc=frame_idc[0],
                     chroma_qp_offset=pps.chroma_qp_index_offset,
+                    refidx=ctx.refidx,
                 )
             frames.append(
                 (

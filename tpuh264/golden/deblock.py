@@ -146,11 +146,14 @@ def deblock_frame(
     qp: int,
     idc: int = 0,
     chroma_qp_offset: int = 0,
+    refidx: np.ndarray = None,  # [mbh, mbw] refIdxL0 (multi-ref DPB)
 ) -> None:
     """Filter the picture in place (MB raster order per 8.7)."""
     if idc == 1:
         return
     mbh, mbw = kind.shape
+    if refidx is None:
+        refidx = np.zeros((mbh, mbw), np.int32)
     qpc = chroma_qp(qp, chroma_qp_offset)
     intra = kind == 2
 
@@ -167,7 +170,8 @@ def deblock_frame(
                 bs[k] = 2
             else:
                 dmv = np.abs(mv[mby, mbx] - mv[nby, nbx])
-                bs[k] = 1 if (dmv >= 4).any() else 0
+                diff_ref = refidx[mby, mbx] != refidx[nby, nbx]
+                bs[k] = 1 if (diff_ref or (dmv >= 4).any()) else 0
         return bs
 
     def bs_internal(mby, mbx, blocks_a, blocks_b):

@@ -127,12 +127,15 @@ def deblock_frame_rows(
     mvy: jnp.ndarray,
     nnz: jnp.ndarray,    # [S, R, C, 4, 4] per-4x4 luma coded-coeff counts
     qp,
+    refidx: jnp.ndarray = None,  # [S, R, C] refIdxL0 (multi-ref DPB)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Filter frames in row-slice (idc=2) mode; returns uint8 planes."""
     qp = jnp.asarray(qp, jnp.int32)
     qpc = T.chroma_qp_from_luma(qp)
     s, h, w = y.shape
     r, c = h // 16, w // 16
+    if refidx is None:
+        refidx = jnp.zeros((s, r, c), jnp.int32)
 
     y_mbs = _mb_view(y.astype(jnp.int32), 16)  # [C, S, R, 16, 16]
     u_mbs = _mb_view(u.astype(jnp.int32), 8)
@@ -147,6 +150,7 @@ def deblock_frame_rows(
         to_scan(mvx.astype(jnp.int32)),
         to_scan(mvy.astype(jnp.int32)),
         to_scan(nnz.astype(jnp.int32)),
+        to_scan(refidx.astype(jnp.int32)),
         jnp.arange(c),
     )
 
@@ -170,14 +174,18 @@ def deblock_frame_rows(
         return lc, rc
 
     def step(carry, x):
-        prev_y, prev_u, prev_v, pkind, pmvx, pmvy, pnnz, pvalid = carry
-        ymb, umb, vmb, k, mx, my, nz, col = x
+        (prev_y, prev_u, prev_v, pkind, pmvx, pmvy, pnnz, pref,
+         pvalid) = carry
+        ymb, umb, vmb, k, mx, my, nz, ri, col = x
         intra = k == 2
 
         # ---- vertical MB-boundary edge (prev | cur) ----
         both_intra = intra | (pkind == 2)
         coded = (pnnz[..., 3] > 0) | (nz[..., 0] > 0)  # [S,R,4] block rows
-        mvdiff = (jnp.abs(mx - pmvx) >= 4) | (jnp.abs(my - pmvy) >= 4)
+        mvdiff = (
+            (jnp.abs(mx - pmvx) >= 4) | (jnp.abs(my - pmvy) >= 4)
+            | (ri != pref)
+        )
         bs_edge = jnp.where(
             both_intra[..., None], 4,
             jnp.where(coded, 2, jnp.where(mvdiff[..., None], 1, 0)),
@@ -237,7 +245,7 @@ def deblock_frame_rows(
         umb = umb_t.swapaxes(-1, -2)
         vmb = vmb_t.swapaxes(-1, -2)
 
-        new_carry = (ymb, umb, vmb, k, mx, my, nz,
+        new_carry = (ymb, umb, vmb, k, mx, my, nz, ri,
                      jnp.ones_like(pvalid))
         return new_carry, (prev_y, prev_u, prev_v)
 
@@ -249,6 +257,7 @@ def deblock_frame_rows(
         jnp.zeros((s, r), jnp.int32),
         jnp.zeros((s, r), jnp.int32),
         jnp.zeros((s, r, 4, 4), jnp.int32),
+        jnp.zeros((s, r), jnp.int32),
         jnp.zeros((s, r), dtype=bool),
     )
     carry, (oy, ou, ov) = jax.lax.scan(step, carry0, xs)

@@ -15,7 +15,8 @@ P path (tests enforce stream equality via the shared entropy packers).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,7 @@ class MBSymbolsP(NamedTuple):
     luma_ac: jnp.ndarray     # [S, R, C, 16, 16] int16
     chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16
     chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16
+    refidx: Optional[jnp.ndarray] = None  # [S, R, C] int32 (multi-ref DPB)
 
 
 def _tap6(a, b, c, d, e, f):
@@ -307,20 +309,36 @@ def _recon_chroma(pred, dcq, q_flat, cbp_chroma, qpc):
     return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
 
 
-@jax.jit
-def encode_pframe_rows(
-    y, u, v, ref_y, ref_u, ref_v, qp
+def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
+    """Single-reference P encode (the common fast path)."""
+    return encode_pframe_rows_multi(
+        y, u, v, ref_y[None], ref_u[None], ref_v[None], qp
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ref_base",))
+def encode_pframe_rows_multi(
+    y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0
 ) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """Encode P-frames [S, H, W] against device-resident references."""
+    """Encode P-frames [S, H, W] against a device-resident DPB.
+
+    refs_*: [N, S, H, W], newest first (N static).  Per MB, every
+    reference is searched; lowest SAD wins with ties to the smaller
+    index (mirrors golden _encode_mb_p).  ref_idx travels in
+    symbols.refidx.  `ref_base` offsets the signaled indices when the
+    caller passes a slice of the DPB (forced temporal-layer reference);
+    P_Skip requires the TRUE index 0 (the decoder's skip MC always reads
+    DPB[0], 8.4.1.1)."""
     qpc = T.chroma_qp_from_luma(qp)
+    n_refs = refs_y.shape[0]
     s, h, w = y.shape
     r, c = h // 16, w // 16
     p = SEARCH_PAD
     cp = p // 2 + 2  # chroma pad: |dx/2|+1 <= p/2+1
 
-    planes = build_halfpel_planes(ref_y, p)  # 4x [S, H+2(p+1), W+2(p+1)]
-    ref_up = _pad_ref(ref_u, cp)
-    ref_vp = _pad_ref(ref_v, cp)
+    planes_n = [build_halfpel_planes(refs_y[n], p) for n in range(n_refs)]
+    ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
+    ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
     y_mbs = _mb_view(y.astype(jnp.int32), 16)
     u_mbs = _mb_view(u.astype(jnp.int32), 8)
@@ -332,30 +350,58 @@ def encode_pframe_rows(
         ymb, umb, vmb, col = xs
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        # reference windows for this MB column (4 half-pel planes)
-        qbands = _qpel_bands(planes, col, r)  # 4x [S,R,41,41]
-        band4 = qbands[0]  # integer samples; offset 12 = SEARCH_PAD
-        cband_u = _row_windows(
-            jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
-            r, 8, 8 + 2 * cp,
-        )
-        cband_v = _row_windows(
-            jax.lax.dynamic_slice_in_dim(ref_vp, col * 8, 8 + 2 * cp, axis=2),
-            r, 8, 8 + 2 * cp,
-        )
+        # per-reference windows for this MB column (4 half-pel planes)
+        qbands_n = [_qpel_bands(pl, col, r) for pl in planes_n]
+        cband_u_n = [
+            _row_windows(
+                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
+                r, 8, 8 + 2 * cp,
+            )
+            for rp in ref_up_n
+        ]
+        cband_v_n = [
+            _row_windows(
+                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
+                r, 8, 8 + 2 * cp,
+            )
+            for rp in ref_vp_n
+        ]
 
-        # MV prediction (row slices: B/C unavailable)
+        # MV prediction (row slices: B/C unavailable; ref-independent --
+        # the 8.4.1.3 early rule applies when B and C are missing)
         left_ok = ~first
         pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
         pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
 
-        dx, dy, inter_sad = _me_16x16(band4, ymb, pmvx, pmvy)
-        mvx, mvy, inter_sad = _me_subpel(qbands, ymb, dx, dy, inter_sad)
+        # per-reference ME; lowest SAD wins, ties to the smaller index
+        mvx = mvy = inter_sad = refsel = None
+        for n in range(n_refs):
+            dx_n, dy_n, sad_n = _me_16x16(qbands_n[n][0], ymb, pmvx, pmvy)
+            mvx_n, mvy_n, sad_n = _me_subpel(
+                qbands_n[n], ymb, dx_n, dy_n, sad_n
+            )
+            if n == 0:
+                mvx, mvy, inter_sad = mvx_n, mvy_n, sad_n
+                refsel = jnp.zeros_like(sad_n)
+            else:
+                better = sad_n < inter_sad
+                mvx = jnp.where(better, mvx_n, mvx)
+                mvy = jnp.where(better, mvy_n, mvy)
+                inter_sad = jnp.where(better, sad_n, inter_sad)
+                refsel = jnp.where(better, n, refsel)
         imode, ipred, intra_sad = _intra16_costs(left_y, first, ymb)
         use_intra = intra_sad < inter_sad
 
-        # --- inter path ---
-        predl = _mc_qpel(qbands, mvx, mvy)
+        # --- inter path (MC from the selected reference) ---
+        def sel_ref(parts):  # list of [S,R,...] per ref -> selected
+            out = parts[0]
+            for n in range(1, n_refs):
+                out = jnp.where(
+                    (refsel == n)[..., None, None], parts[n], out
+                )
+            return out
+
+        predl = sel_ref([_mc_qpel(qb, mvx, mvy) for qb in qbands_n])
         l_zz, ql_flat, cbp4 = _transform_inter_luma(ymb, predl, qp)
         nzmask8 = jnp.repeat(
             jnp.repeat(
@@ -365,15 +411,18 @@ def encode_pframe_rows(
             2, axis=-2,
         )  # [S,R,4,4] per-block coded flag (wrong order guard: see below)
 
-        predcu = _mc_chroma(cband_u, mvx, mvy, cp)
-        predcv = _mc_chroma(cband_v, mvx, mvy, cp)
+        predcu = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_u_n])
+        predcv = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_v_n])
         dcu_i, acu_i, qu_i = _chroma_fwd(umb, predcu, qpc, intra=False)
         dcv_i, acv_i, qv_i = _chroma_fwd(vmb, predcv, qpc, intra=False)
         any_ac_i = jnp.any(acu_i != 0, (-1, -2, -3)) | jnp.any(acv_i != 0, (-1, -2, -3))
         any_dc_i = jnp.any(dcu_i != 0, (-1, -2)) | jnp.any(dcv_i != 0, (-1, -2))
         cbp_c_i = jnp.where(any_ac_i, 2, jnp.where(any_dc_i, 1, 0))
 
-        is_skip = (~use_intra) & (cbp4 == 0) & (cbp_c_i == 0) & (mvx == 0) & (mvy == 0)
+        is_skip = (
+            (~use_intra) & (cbp4 == 0) & (cbp_c_i == 0)
+            & (mvx == 0) & (mvy == 0) & (refsel + ref_base == 0)
+        )
 
         rec_y_inter = _recon_inter_luma(predl, ql_flat, nzmask8, qp)
         rec_u_inter = _recon_chroma(predcu, dcu_i, qu_i, cbp_c_i, qpc)
@@ -414,6 +463,9 @@ def encode_pframe_rows(
         mvdy = jnp.where(use_intra, 0, mvy - pmvy)
         out_mvx = jnp.where(use_intra, 0, mvx)
         out_mvy = jnp.where(use_intra, 0, mvy)
+        out_ref = jnp.where(
+            use_intra | is_skip, 0, refsel + ref_base
+        ).astype(jnp.int32)
 
         # symbol selection between paths
         sel1 = use_intra[..., None]
@@ -456,6 +508,7 @@ def encode_pframe_rows(
             rec_v.astype(jnp.uint8),
             out_mvx.astype(jnp.int32),
             out_mvy.astype(jnp.int32),
+            out_ref,
         )
         return new_carry, out
 
@@ -469,7 +522,7 @@ def encode_pframe_rows(
     )
     _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
     (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-     ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy) = outs
+     ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy, refi) = outs
 
     symbols = MBSymbolsP(
         kind=_unscan(kind), mode=_unscan(mode), cmode=_unscan(cmode),
@@ -477,6 +530,7 @@ def encode_pframe_rows(
         mvdx=_unscan(mvdx), mvdy=_unscan(mvdy),
         luma_dc=_unscan(ldc), luma_ac=_unscan(lac),
         chroma_dc=_unscan(cdc), chroma_ac=_unscan(cac),
+        refidx=_unscan(refi),
     )
     recon = (
         _mbs_to_plane(_unscan(ry)),
@@ -487,40 +541,70 @@ def encode_pframe_rows(
     return symbols, recon, motion
 
 
+def decode_pframe_rows(symbols: MBSymbolsP, ref_y, ref_u, ref_v, qp):
+    """Single-reference P decode (the common fast path)."""
+    return decode_pframe_rows_multi(
+        symbols, ref_y[None], ref_u[None], ref_v[None], qp
+    )
+
+
 @jax.jit
-def decode_pframe_rows(
-    symbols: MBSymbolsP, ref_y, ref_u, ref_v, qp
+def decode_pframe_rows_multi(
+    symbols: MBSymbolsP, refs_y, refs_u, refs_v, qp
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Reconstruct P-frames from parsed symbols + device references."""
+    """Reconstruct P-frames from parsed symbols + a device DPB
+    (refs_* [N, S, H, W], newest first; per-MB symbols.refidx)."""
     qpc = T.chroma_qp_from_luma(qp)
+    n_refs = refs_y.shape[0]
     s, r, c = symbols.kind.shape
     p = SEARCH_PAD
     cp = p // 2 + 2
 
-    planes = build_halfpel_planes(ref_y, p)
-    ref_up = _pad_ref(ref_u, cp)
-    ref_vp = _pad_ref(ref_v, cp)
+    planes_n = [build_halfpel_planes(refs_y[n], p) for n in range(n_refs)]
+    ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
+    ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
     def to_scan(x):
         return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
 
-    xs = tuple(to_scan(x) for x in symbols) + (jnp.arange(c),)
+    refidx = (
+        symbols.refidx if symbols.refidx is not None
+        else jnp.zeros_like(symbols.kind)
+    )
+    fields = [
+        symbols.kind, symbols.mode, symbols.cmode, symbols.cbp_luma,
+        symbols.cbp_chroma, symbols.mvdx, symbols.mvdy, symbols.luma_dc,
+        symbols.luma_ac, symbols.chroma_dc, symbols.chroma_ac, refidx,
+    ]
+    xs = tuple(to_scan(x) for x in fields) + (jnp.arange(c),)
 
     def step(carry, xs):
         left_y, left_u, left_v, lmvx, lmvy, lkind = carry
         (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-         dc_zz, ac, cdc, cac, col) = xs
+         dc_zz, ac, cdc, cac, refi, col) = xs
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        qbands = _qpel_bands(planes, col, r)
-        cband_u = _row_windows(
-            jax.lax.dynamic_slice_in_dim(ref_up, col * 8, 8 + 2 * cp, axis=2),
-            r, 8, 8 + 2 * cp,
-        )
-        cband_v = _row_windows(
-            jax.lax.dynamic_slice_in_dim(ref_vp, col * 8, 8 + 2 * cp, axis=2),
-            r, 8, 8 + 2 * cp,
-        )
+        qbands_n = [_qpel_bands(pl, col, r) for pl in planes_n]
+        cband_u_n = [
+            _row_windows(
+                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
+                r, 8, 8 + 2 * cp,
+            )
+            for rp in ref_up_n
+        ]
+        cband_v_n = [
+            _row_windows(
+                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
+                r, 8, 8 + 2 * cp,
+            )
+            for rp in ref_vp_n
+        ]
+
+        def sel_ref(parts):
+            out = parts[0]
+            for n in range(1, n_refs):
+                out = jnp.where((refi == n)[..., None, None], parts[n], out)
+            return out
 
         left_ok = ~first
         pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
@@ -531,7 +615,7 @@ def decode_pframe_rows(
         mvy = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvy + mvdy))
 
         # inter recon
-        predl = _mc_qpel(qbands, mvx, mvy)
+        predl = sel_ref([_mc_qpel(qb, mvx, mvy) for qb in qbands_n])
         inter_cbp = jnp.where(is_skip, 0, cbp_l)
         nzmask8 = jnp.repeat(
             jnp.repeat(
@@ -544,8 +628,8 @@ def decode_pframe_rows(
         q_flat = T.inverse_zigzag(ac4).reshape(s, r, 4, 4, 16)
         rec_y_inter = _recon_inter_luma(predl, q_flat, nzmask8, qp)
 
-        predcu = _mc_chroma(cband_u, mvx, mvy, cp)
-        predcv = _mc_chroma(cband_v, mvx, mvy, cp)
+        predcu = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_u_n])
+        predcv = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_v_n])
         ccbp = jnp.where(is_skip, 0, cbp_c)
         dcu = cdc[..., 0, :].reshape(s, r, 2, 2)
         dcv = cdc[..., 1, :].reshape(s, r, 2, 2)
