@@ -111,3 +111,93 @@ def shard_inputs(mesh: Mesh, y, u, v):
         jax.device_put(u, spec),
         jax.device_put(v, spec),
     )
+
+
+def _halo_extend(plane, halo: int, axis_name: str):
+    """Vertically extend a row-sharded plane with neighbor rows over ICI.
+
+    plane [S, H_loc, W] per shard.  Each shard receives the bottom `halo`
+    rows of the shard above and the top `halo` rows of the shard below
+    (two `ppermute`s -- the DPB page exchange of the BASELINE north
+    star).  Edge shards get edge-replicated rows instead, matching the
+    normative Clip3 sample clamp, so the extended reference is exactly
+    what the unsharded kernel sees."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top_rows = plane[:, :halo]       # my top rows -> neighbor above's tail
+    bot_rows = plane[:, -halo:]      # my bottom rows -> neighbor below's head
+    if n > 1:
+        from_above = jax.lax.ppermute(
+            bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            top_rows, axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+    else:
+        from_above = jnp.zeros_like(bot_rows)
+        from_below = jnp.zeros_like(top_rows)
+    edge_top = jnp.repeat(plane[:, :1], halo, axis=1)
+    edge_bot = jnp.repeat(plane[:, -1:], halo, axis=1)
+    head = jnp.where(idx > 0, from_above, edge_top)
+    tail = jnp.where(idx < n - 1, from_below, edge_bot)
+    return jnp.concatenate([head, plane, tail], axis=1)
+
+
+def sharded_gop_step(mesh: Mesh):
+    """pjit-ed (I, P) encode steps over a (streams, rows) mesh with a
+    row-sharded device-resident DPB.
+
+    Returns (i_step, p_step):
+      i_step(y, u, v, qp) -> (symbols, recon)
+      p_step(y, u, v, ry, ru, rv, qp) -> (symbols, recon, motion)
+    where every plane (input, recon, reference) carries the
+    P('streams', 'rows', None) sharding.  The P step exchanges
+    HALO_Y/HALO_C reference rows with neighbor shards via `ppermute`
+    before motion search -- inter prediction crosses shard boundaries
+    exactly as in the unsharded kernel (tests enforce bit equality)."""
+    from ..kernels import pframe
+
+    plane = P("streams", "rows", None)
+    sym3 = P("streams", "rows", None)
+
+    def i_step(y, u, v, qp):
+        return iframe.encode_iframe_rows(y, u, v, qp)
+
+    def p_step(y, u, v, ry, ru, rv, qp):
+        ry_ext = _halo_extend(ry.astype(jnp.int32), pframe.HALO_Y, "rows")
+        ru_ext = _halo_extend(ru.astype(jnp.int32), pframe.HALO_C, "rows")
+        rv_ext = _halo_extend(rv.astype(jnp.int32), pframe.HALO_C, "rows")
+        return pframe.encode_pframe_rows_multi(
+            y, u, v, ry_ext[None], ru_ext[None], rv_ext[None], qp, halo=True
+        )
+
+    specs_i = iframe.MBSymbols(
+        mode=sym3, cmode=sym3, cbp_luma=sym3, cbp_chroma=sym3,
+        luma_dc=P("streams", "rows", None, None),
+        luma_ac=P("streams", "rows", None, None, None),
+        chroma_dc=P("streams", "rows", None, None, None),
+        chroma_ac=P("streams", "rows", None, None, None, None),
+        i4modes=P("streams", "rows", None, None),
+    )
+    specs_p = pframe.MBSymbolsP(
+        kind=sym3, mode=sym3, cmode=sym3, cbp_luma=sym3, cbp_chroma=sym3,
+        mvdx=sym3, mvdy=sym3,
+        luma_dc=P("streams", "rows", None, None),
+        luma_ac=P("streams", "rows", None, None, None),
+        chroma_dc=P("streams", "rows", None, None, None),
+        chroma_ac=P("streams", "rows", None, None, None, None),
+        refidx=sym3,
+    )
+    i_fn = jax.jit(shard_map(
+        i_step, mesh=mesh,
+        in_specs=(plane, plane, plane, P()),
+        out_specs=(specs_i, (plane, plane, plane)),
+        check_rep=False,
+    ))
+    p_fn = jax.jit(shard_map(
+        p_step, mesh=mesh,
+        in_specs=(plane,) * 6 + (P(),),
+        out_specs=(specs_p, (plane, plane, plane), (sym3, sym3)),
+        check_rep=False,
+    ))
+    return i_fn, p_fn

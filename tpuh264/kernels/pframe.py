@@ -173,6 +173,47 @@ def _pad_ref(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
                    mode="edge")
 
 
+# vertical reach of inter prediction into a reference, in rows: the halo
+# a row-sharded DPB must exchange with each neighbor shard (ICI ppermute)
+HALO_Y = SEARCH_PAD + 1   # 13: ME clamp + refine + 6-tap margin
+HALO_C = SEARCH_PAD // 2 + 2  # 8: chroma eighth-pel reach
+
+
+def build_halfpel_planes_ext(ref_ext: jnp.ndarray, pad: int = SEARCH_PAD):
+    """build_halfpel_planes for a vertically pre-extended reference.
+
+    ref_ext [S, H + 2*(pad+1), W] already carries pad+1 real (or
+    edge-replicated) rows above and below the frame -- the halo a
+    row-sharded DPB exchanges over ICI.  Only the 6-tap margin is added
+    vertically; horizontally the full edge pad is applied as usual.
+    Bit-identical to build_halfpel_planes(ref) when the halo rows equal
+    the edge-replicated/real continuation rows of the full frame."""
+    p_eff = pad + 1
+    p3 = p_eff + 3
+    r = jnp.pad(ref_ext.astype(jnp.int32), ((0, 0), (3, 3), (p3, p3)),
+                mode="edge")
+    b1 = _tap6(r[:, :, :-5], r[:, :, 1:-4], r[:, :, 2:-3], r[:, :, 3:-2],
+               r[:, :, 4:-1], r[:, :, 5:])
+    h1 = _tap6(r[:, :-5, :], r[:, 1:-4, :], r[:, 2:-3, :], r[:, 3:-2, :],
+               r[:, 4:-1, :], r[:, 5:, :])
+    j1 = _tap6(b1[:, :-5, :], b1[:, 1:-4, :], b1[:, 2:-3, :], b1[:, 3:-2, :],
+               b1[:, 4:-1, :], b1[:, 5:, :])
+    g_p = r[:, 3:-3, 3:-3]
+    b_p = jnp.clip((b1[:, 3:-3, 1:] + 16) >> 5, 0, 255)
+    h_p = jnp.clip((h1[:, 1:, 3:-3] + 16) >> 5, 0, 255)
+    j_p = jnp.clip((j1[:, 1:, 1:] + 512) >> 10, 0, 255)
+    h2 = ref_ext.shape[1]
+    w2 = ref_ext.shape[2] + 2 * p_eff
+    return tuple(pl[:, :h2, :w2] for pl in (g_p, b_p, h_p, j_p))
+
+
+def _pad_ref_ext(plane_ext: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Horizontal-only edge pad for a vertically pre-extended chroma
+    reference [S, H/2 + 2*pad, W/2]."""
+    return jnp.pad(plane_ext.astype(jnp.int32),
+                   ((0, 0), (0, 0), (pad, pad)), mode="edge")
+
+
 def _row_windows(band: jnp.ndarray, r: int, mb: int, win: int) -> jnp.ndarray:
     """[S, H+2p, win] -> [S, R, win, win] static per-row windows."""
     rows = [band[:, i * mb : i * mb + win, :] for i in range(r)]
@@ -316,9 +357,10 @@ def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ref_base",))
+@functools.partial(jax.jit, static_argnames=("ref_base", "halo"))
 def encode_pframe_rows_multi(
-    y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0
+    y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0,
+    halo: bool = False,
 ) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode P-frames [S, H, W] against a device-resident DPB.
 
@@ -328,7 +370,10 @@ def encode_pframe_rows_multi(
     symbols.refidx.  `ref_base` offsets the signaled indices when the
     caller passes a slice of the DPB (forced temporal-layer reference);
     P_Skip requires the TRUE index 0 (the decoder's skip MC always reads
-    DPB[0], 8.4.1.1)."""
+    DPB[0], 8.4.1.1).  With halo=True the references arrive vertically
+    pre-extended by (HALO_Y, HALO_C) rows per side -- real neighbor rows
+    exchanged over ICI by a row-sharded DPB (dist/mesh.py) -- and the
+    output is bit-identical to the unsharded full-frame encode."""
     qpc = T.chroma_qp_from_luma(qp)
     n_refs = refs_y.shape[0]
     s, h, w = y.shape
@@ -336,9 +381,18 @@ def encode_pframe_rows_multi(
     p = SEARCH_PAD
     cp = p // 2 + 2  # chroma pad: |dx/2|+1 <= p/2+1
 
-    planes_n = [build_halfpel_planes(refs_y[n], p) for n in range(n_refs)]
-    ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
-    ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
+    if halo:
+        planes_n = [
+            build_halfpel_planes_ext(refs_y[n], p) for n in range(n_refs)
+        ]
+        ref_up_n = [_pad_ref_ext(refs_u[n], cp) for n in range(n_refs)]
+        ref_vp_n = [_pad_ref_ext(refs_v[n], cp) for n in range(n_refs)]
+    else:
+        planes_n = [
+            build_halfpel_planes(refs_y[n], p) for n in range(n_refs)
+        ]
+        ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
+        ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
     y_mbs = _mb_view(y.astype(jnp.int32), 16)
     u_mbs = _mb_view(u.astype(jnp.int32), 8)
@@ -548,21 +602,31 @@ def decode_pframe_rows(symbols: MBSymbolsP, ref_y, ref_u, ref_v, qp):
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("halo",))
 def decode_pframe_rows_multi(
-    symbols: MBSymbolsP, refs_y, refs_u, refs_v, qp
+    symbols: MBSymbolsP, refs_y, refs_u, refs_v, qp, halo: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reconstruct P-frames from parsed symbols + a device DPB
-    (refs_* [N, S, H, W], newest first; per-MB symbols.refidx)."""
+    (refs_* [N, S, H, W], newest first; per-MB symbols.refidx).
+    halo=True: vertically pre-extended references (row-sharded DPB)."""
     qpc = T.chroma_qp_from_luma(qp)
     n_refs = refs_y.shape[0]
     s, r, c = symbols.kind.shape
     p = SEARCH_PAD
     cp = p // 2 + 2
 
-    planes_n = [build_halfpel_planes(refs_y[n], p) for n in range(n_refs)]
-    ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
-    ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
+    if halo:
+        planes_n = [
+            build_halfpel_planes_ext(refs_y[n], p) for n in range(n_refs)
+        ]
+        ref_up_n = [_pad_ref_ext(refs_u[n], cp) for n in range(n_refs)]
+        ref_vp_n = [_pad_ref_ext(refs_v[n], cp) for n in range(n_refs)]
+    else:
+        planes_n = [
+            build_halfpel_planes(refs_y[n], p) for n in range(n_refs)
+        ]
+        ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
+        ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
     def to_scan(x):
         return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
