@@ -176,6 +176,7 @@ class PPS:
     deblocking_filter_control_present_flag: int = 1
     constrained_intra_pred_flag: int = 0
     redundant_pic_cnt_present_flag: int = 0
+    transform_8x8_mode_flag: int = 0  # High profile: 8x8 transform
 
     def write(self, w: BitWriter) -> None:
         w.ue(self.pic_parameter_set_id)
@@ -193,6 +194,10 @@ class PPS:
         w.u(1, self.deblocking_filter_control_present_flag)
         w.u(1, self.constrained_intra_pred_flag)
         w.u(1, self.redundant_pic_cnt_present_flag)
+        if self.transform_8x8_mode_flag:  # PPS extension (7.3.2.2)
+            w.u(1, 1)  # transform_8x8_mode_flag
+            w.u(1, 0)  # pic_scaling_matrix_present_flag
+            w.se(self.chroma_qp_index_offset)  # second_chroma_qp_index_offset
         w.rbsp_trailing_bits()
 
     @classmethod
@@ -214,6 +219,9 @@ class PPS:
         pps.deblocking_filter_control_present_flag = r.u(1)
         pps.constrained_intra_pred_flag = r.u(1)
         pps.redundant_pic_cnt_present_flag = r.u(1)
-        # (more_rbsp_data extensions -- transform_8x8 etc. -- added with
-        # the high-profile round; absent in our baseline streams)
+        if r.more_rbsp_data():  # PPS extension (7.3.2.2): High profile
+            pps.transform_8x8_mode_flag = r.u(1)
+            if r.u(1):
+                raise NotImplementedError("pic_scaling_matrix")
+            r.se()  # second_chroma_qp_index_offset
         return pps

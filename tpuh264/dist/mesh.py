@@ -187,6 +187,7 @@ def sharded_gop_step(mesh: Mesh):
         chroma_dc=P("streams", "rows", None, None, None),
         chroma_ac=P("streams", "rows", None, None, None, None),
         refidx=sym3,
+        t8=sym3,
     )
     i_fn = jax.jit(shard_map(
         i_step, mesh=mesh,

@@ -38,6 +38,7 @@ class CodecConfig:
     num_ref_frames: int = 1  # DPB depth; >1 = per-MB reference search
     intra44: bool = False  # enable Intra_4x4 trial on I frames (quality)
     cabac: bool = False  # CABAC entropy coding (Main profile; I frames)
+    transform8x8: bool = False  # High profile 8x8 transform (needs cabac)
     gop_size: int = 30  # IDR interval
     profile: str = "baseline"
     # pool constants mirroring app.js:52-53 and openh264_wrapper.cpp:8

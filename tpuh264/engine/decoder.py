@@ -161,9 +161,12 @@ class DecoderSession:
                 qp = 26 + pps.pic_init_qp_minus26 + h.slice_qp_delta
                 slices.append((rbsp, r.bit_position, h.first_mb_in_slice))
         nra = self._nra
+        t8arr = None
         if pps.entropy_coding_mode_flag:
-            mb_info, ldc, lac, cdc, cac = cabac_pack.parse_pframe_slices(
-                slices, sps, pps, qp=qp, nra=nra
+            (mb_info, ldc, lac, cdc, cac, t8arr) = (
+                cabac_pack.parse_pframe_slices(
+                    slices, sps, pps, qp=qp, nra=nra
+                )
             )
         else:
             parse_p = getattr(self._entropy, "parse_pframe_slices",
@@ -183,24 +186,30 @@ class DecoderSession:
             chroma_dc=cdc.reshape(1, rr, cc, 2, 4),
             chroma_ac=cac.reshape(1, rr, cc, 2, 4, 15),
             refidx=mb_info[:, 7].reshape(1, rr, cc),
+            t8=(t8arr.reshape(1, rr, cc) if t8arr is not None
+                else np.zeros((1, rr, cc), np.int32)),
         )
+        has_t8 = pps.transform_8x8_mode_flag == 1
         dpb = self._dpb[:max(nra, 1)]
         (y, u, v), motion = pframe.decode_pframe_rows_multi(
             symbols,
             jnp.stack([d[0][0] for d in dpb])[:, None],
             jnp.stack([d[1][0] for d in dpb])[:, None],
             jnp.stack([d[2][0] for d in dpb])[:, None],
-            jnp.int32(qp),
+            jnp.int32(qp), t8=has_t8,
         )
         if self._idc != 1:
-            sh = symbols.kind.shape
-            nnz = jnp.count_nonzero(
-                jnp.asarray(symbols.luma_ac).astype(jnp.int32), axis=-1
-            ).reshape(*sh, 4, 4)
+            from .encoder import _deblock_nnz
+            sym_j = symbols._replace(
+                kind=jnp.asarray(symbols.kind),
+                luma_ac=jnp.asarray(symbols.luma_ac),
+                t8=jnp.asarray(symbols.t8),
+            )
+            nnz = _deblock_nnz(sym_j, has_t8)
             y, u, v = kdeblock.deblock_frame_rows(
-                y, u, v, jnp.asarray(symbols.kind), motion[0], motion[1],
+                y, u, v, sym_j.kind, motion[0], motion[1],
                 nnz, jnp.int32(qp),
-                refidx=jnp.asarray(symbols.refidx),
+                refidx=jnp.asarray(symbols.refidx), t8=sym_j.t8,
             )
         if self._is_ref_frame:
             self._dpb.insert(0, (y, u, v))

@@ -40,6 +40,22 @@ class EncodedFrame:
     timings: dict
 
 
+def _deblock_nnz(symbols, t8_enabled: bool):
+    """Per-4x4 coded-coefficient grid for the deblocking bS derivation.
+    For 8x8-transform MBs a 4x4 cell counts as coded iff its covering
+    8x8 block has any coefficients (8.7.2.1)."""
+    sh = symbols.kind.shape
+    lac = symbols.luma_ac.astype(jnp.int32)
+    nnz4 = jnp.count_nonzero(lac, axis=-1).reshape(*sh, 4, 4)
+    if not t8_enabled or symbols.t8 is None:
+        return nnz4
+    any8 = jnp.any(lac.reshape(*sh, 4, 64) != 0, -1)  # per 8x8 (raster)
+    cells8 = jnp.repeat(
+        jnp.repeat(any8.reshape(*sh, 2, 2), 2, -1), 2, -2
+    ).astype(jnp.int32)
+    return jnp.where((symbols.t8 == 1)[..., None, None], cells8, nnz4)
+
+
 def _pad_multiple(x: np.ndarray, mult: int, axes=(-2, -1)) -> np.ndarray:
     pads = [(0, 0)] * x.ndim
     for ax in axes:
@@ -85,10 +101,23 @@ class EncoderSession:
                 "intra44 on the wavefront (single-slice) kernel lands "
                 "later; use slice_mode='rows'"
             )
+        if config.transform8x8 and not config.cabac:
+            raise NotImplementedError(
+                "transform8x8 requires cabac=True (CAVLC 8x8 exists in "
+                "the golden codec; the engine packers are CABAC-first)"
+            )
         self._num_ref = max(
             config.num_ref_frames, 2 if config.temporal_layers == 3 else 1
         )
-        if config.cabac:
+        if config.transform8x8:
+            from ..core.params import PROFILE_HIGH
+            self.sps = SPS.for_size(
+                config.width, config.height, profile_idc=PROFILE_HIGH,
+                max_num_ref_frames=self._num_ref,
+            )
+            self.pps = PPS(entropy_coding_mode_flag=1,
+                           transform_8x8_mode_flag=1)
+        elif config.cabac:
             self.sps = SPS.for_size(
                 config.width, config.height, profile_idc=PROFILE_MAIN,
                 max_num_ref_frames=self._num_ref,
@@ -190,22 +219,21 @@ class EncoderSession:
                 ref = self._dpb[force]
                 symbols, recon, motion = pframe.encode_pframe_rows_multi(
                     y, u, v, ref[0][None], ref[1][None], ref[2][None],
-                    jnp.int32(qp), ref_base=force,
+                    jnp.int32(qp), ref_base=force, t8=cfg.transform8x8,
                 )
             else:
                 stack = lambda i: jnp.stack([d[i] for d in self._dpb])
                 symbols, recon, motion = pframe.encode_pframe_rows_multi(
-                    y, u, v, stack(0), stack(1), stack(2), jnp.int32(qp)
+                    y, u, v, stack(0), stack(1), stack(2), jnp.int32(qp),
+                    t8=cfg.transform8x8,
                 )
             if cfg.deblock:
                 sh = symbols.kind.shape
-                nnz = jnp.count_nonzero(
-                    symbols.luma_ac.astype(jnp.int32), axis=-1
-                ).reshape(*sh, 4, 4)
+                nnz = _deblock_nnz(symbols, cfg.transform8x8)
                 recon = kdeblock.deblock_frame_rows(
                     recon[0], recon[1], recon[2],
                     symbols.kind, motion[0], motion[1], nnz, jnp.int32(qp),
-                    refidx=symbols.refidx,
+                    refidx=symbols.refidx, t8=symbols.t8,
                 )
         jax.block_until_ready(recon[0])
         t1 = time.perf_counter()
@@ -257,6 +285,8 @@ class EncoderSession:
             mvdx = np.asarray(sy.mvdx).reshape(s, n)
             mvdy = np.asarray(sy.mvdy).reshape(s, n)
             refid = np.asarray(sy.refidx).reshape(s, n)
+            t8f = (np.asarray(sy.t8).reshape(s, n)
+                   if cfg.transform8x8 else None)
             luma_dc = np.asarray(sy.luma_dc).reshape(s, n, 16)
             luma_ac = np.asarray(sy.luma_ac).reshape(s, n, 16, 16)
             chroma_dc = np.asarray(sy.chroma_dc).reshape(s, n, 2, 4)
@@ -280,12 +310,15 @@ class EncoderSession:
                     else getattr(self._entropy, "pack_pframe",
                                  entropy_packp.pack_pframe)
                 )
+                extra = (
+                    {"t8flags": t8f[i]} if t8f is not None else {}
+                )
                 stream = pack_p(
                     mb_info, luma_dc[i], luma_ac[i], chroma_dc[i], chroma_ac[i],
                     self.sps, self.pps, qp,
                     slice_mode=cfg.slice_mode, frame_num=fnum,
                     deblock_idc=2 if cfg.deblock else 1,
-                    ref=is_ref, num_ref_active=nra,
+                    ref=is_ref, num_ref_active=nra, **extra,
                 )
                 frames.append(EncodedFrame(stream, False, self.frame_num, qp, {}))
             self._frame_in_gop += 1

@@ -43,6 +43,22 @@ _GT1_CTX_DC = (5, 5, 5, 5, 6, 7, 8, 8)
 _NODE_EQ1 = (1, 2, 3, 3, 4, 5, 6, 7)
 _NODE_GT1 = (4, 4, 4, 4, 5, 6, 7, 7)
 
+# 8x8 (ctxBlockCat 5) residuals: sig base 402, last base 417, abs base
+# 426; per-scan-position ctx maps (Tables 9-43, frame coding), verified
+# against the system libavcodec
+_SIG8_MAP = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12,
+)
+_LAST8_MAP = (
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8,
+)
+
 
 class _Ctx:
     """Per-frame neighbor-context state (grids persist across slices of a
@@ -66,6 +82,7 @@ class _Ctx:
         self.skip = np.zeros((mbh, mbw), np.int32)
         self.amvd = np.zeros((mbh, mbw, 2), np.int32)
         self.refidx = np.zeros((mbh, mbw), np.int32)
+        self.t8 = np.zeros((mbh, mbw), np.int32)
 
 
 # -- residual block (7.3.5.3.3) ---------------------------------------------
@@ -120,6 +137,87 @@ def _encode_residual(enc, st, mps, cat: int, coeffs, cbf_inc: int) -> int:
             node = _NODE_GT1[node]
         enc.bypass(1 if c < 0 else 0)
     return 1
+
+
+def _encode_residual8(enc, st, mps, coeffs) -> None:
+    """ctxBlockCat 5 (Luma8x8) residual: 64 zigzag coefficients, no
+    coded_block_flag (inferred from CBP); Table 9-43 ctx maps."""
+    last = -1
+    for i in range(64):
+        if coeffs[i]:
+            last = i
+    for i in range(min(last + 1, 63)):
+        sig = 1 if coeffs[i] else 0
+        enc.encode(st, mps, 402 + _SIG8_MAP[i], sig)
+        if sig:
+            enc.encode(st, mps, 417 + _LAST8_MAP[i], 1 if i == last else 0)
+    node = 0
+    for i in range(last, -1, -1):
+        c = int(coeffs[i])
+        if c == 0:
+            continue
+        absm1 = abs(c) - 1
+        enc.encode(st, mps, 426 + _LVL1_CTX[node], 1 if absm1 else 0)
+        if absm1 == 0:
+            node = _NODE_EQ1[node]
+        else:
+            gt1 = 426 + _GT1_CTX[node]
+            if absm1 < 14:
+                for _ in range(absm1 - 1):
+                    enc.encode(st, mps, gt1, 1)
+                enc.encode(st, mps, gt1, 0)
+            else:
+                for _ in range(13):
+                    enc.encode(st, mps, gt1, 1)
+                w = absm1 - 13
+                j = w.bit_length() - 1
+                for _ in range(j):
+                    enc.bypass(1)
+                enc.bypass(0)
+                for k in range(j - 1, -1, -1):
+                    enc.bypass((w >> k) & 1)
+            node = _NODE_GT1[node]
+        enc.bypass(1 if c < 0 else 0)
+
+
+def _decode_residual8(dec, st, mps):
+    coeffs = [0] * 64
+    sig = [False] * 64
+    last = -1
+    for i in range(63):
+        if dec.decode(st, mps, 402 + _SIG8_MAP[i]):
+            sig[i] = True
+            if dec.decode(st, mps, 417 + _LAST8_MAP[i]):
+                last = i
+                break
+    if last < 0:
+        sig[63] = True
+        last = 63
+    node = 0
+    for i in range(last, -1, -1):
+        if not sig[i]:
+            continue
+        if not dec.decode(st, mps, 426 + _LVL1_CTX[node]):
+            level = 1
+            node = _NODE_EQ1[node]
+        else:
+            gt1 = 426 + _GT1_CTX[node]
+            level = 2
+            while level < 15 and dec.decode(st, mps, gt1):
+                level += 1
+            if level == 15:
+                j = 0
+                while dec.bypass():
+                    j += 1
+                w = 1
+                for _ in range(j):
+                    w = (w << 1) | dec.bypass()
+                level = 14 + w
+            node = _NODE_GT1[node]
+        if dec.bypass():
+            level = -level
+        coeffs[i] = level
+    return coeffs
 
 
 def _decode_residual(dec, st, mps, cat: int, n: int, cbf_inc: int):
@@ -748,7 +846,8 @@ def _dec_ref_idx(dec, st, mps, C, mbx, mby, left_mb, top_mb) -> int:
 
 
 def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
-              info, ldc, lac, cdc, cac, nra: int = 1) -> None:
+              info, ldc, lac, cdc, cac, nra: int = 1,
+              t8en: bool = False, t8f: int = 0) -> None:
     kind = int(info[0])
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
 
@@ -762,6 +861,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         C.skip[mby, mbx] = 1
         C.amvd[mby, mbx] = 0
         C.refidx[mby, mbx] = 0
+        C.t8[mby, mbx] = 0
         C.not_i4[mby, mbx] = 0
         C.cmode[mby, mbx] = 0
         C.cbp_l[mby, mbx] = 0
@@ -809,6 +909,7 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
                         cbp_c, cdc, cac, 1)
         C.amvd[mby, mbx] = 0
         C.refidx[mby, mbx] = 0
+        C.t8[mby, mbx] = 0
         C.not_i4[mby, mbx] = 1
         C.cmode[mby, mbx] = cmode
         C.cbp_l[mby, mbx] = 15 if cbp_l else 0
@@ -847,22 +948,45 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
         a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
         b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
         enc.encode(st, mps, 81 + a1 + 2 * b1, 1 if cbp_c == 2 else 0)
+    if t8en and cbp_l > 0:  # transform_size_8x8_flag, ctx 399 + nbrs
+        fa = 1 if left_mb and C.t8[mby, mbx - 1] else 0
+        fb = 1 if top_mb and C.t8[mby - 1, mbx] else 0
+        enc.encode(st, mps, 399 + fa + fb, t8f)
+    else:
+        t8f = 0
     if cbp_l or cbp_c:
         enc.encode(st, mps, 60, 0)  # mb_qp_delta
-    # luma residual: cat 2, 16 coeffs, gated per 8x8
-    for i8 in range(4):
-        for b in range(4 * i8, 4 * i8 + 4):
-            bx, by = BLK_SCAN[b]
-            gbx, gby = 4 * mbx + bx, 4 * mby + by
+    if t8f:
+        # luma residual: cat 5 per coded 8x8 (coeffs: lac flat [256] =
+        # four zigzag8 blocks in raster 8x8 order)
+        flat = lac.reshape(256)
+        for i8 in range(4):
+            y8, x8 = i8 >> 1, i8 & 1
             if (cbp_l >> i8) & 1:
-                inc = _cbf_inc_4x4(
-                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 0
+                _encode_residual8(
+                    enc, st, mps, flat[64 * i8 : 64 * i8 + 64].tolist()
                 )
-                C.nnz_y[gby, gbx] = _encode_residual(
-                    enc, st, mps, 2, lac[4 * by + bx].tolist(), inc
-                )
+                C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                        4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 1
             else:
-                C.nnz_y[gby, gbx] = 0
+                C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                        4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 0
+    else:
+        # luma residual: cat 2, 16 coeffs, gated per 8x8
+        for i8 in range(4):
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                if (cbp_l >> i8) & 1:
+                    inc = _cbf_inc_4x4(
+                        C.nnz_y, gbx, gby, bx > 0 or left_mb,
+                        by > 0 or top_mb, 0
+                    )
+                    C.nnz_y[gby, gbx] = _encode_residual(
+                        enc, st, mps, 2, lac[4 * by + bx].tolist(), inc
+                    )
+                else:
+                    C.nnz_y[gby, gbx] = 0
     C.dc_y[mby, mbx] = 0
     _enc_chroma_res(enc, st, mps, C, mbx, mby, left_mb, top_mb,
                     cbp_c, cdc, cac, 0)
@@ -870,12 +994,13 @@ def _enc_mb_p(enc, st, mps, C, addr, slice_start, mbw,
     C.cmode[mby, mbx] = 0
     C.cbp_l[mby, mbx] = cbp_l
     C.cbp_c[mby, mbx] = cbp_c
+    C.t8[mby, mbx] = t8f
     C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
 
 
 def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
               mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-              nra: int = 1) -> None:
+              nra: int = 1, t8en: bool = False, t8out=None) -> None:
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
     info = mb_info[addr]
     info[:] = 0
@@ -889,6 +1014,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         C.skip[mby, mbx] = 1
         C.amvd[mby, mbx] = 0
         C.refidx[mby, mbx] = 0
+        C.t8[mby, mbx] = 0
         C.refidx[mby, mbx] = 0
         C.not_i4[mby, mbx] = 0
         C.cmode[mby, mbx] = 0
@@ -941,6 +1067,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
                         cbp_c, chroma_dc, chroma_ac, addr, 1)
         C.amvd[mby, mbx] = 0
         C.refidx[mby, mbx] = 0
+        C.t8[mby, mbx] = 0
         C.not_i4[mby, mbx] = 1
         C.cmode[mby, mbx] = cmode
         C.cbp_l[mby, mbx] = 15 if cbp_l else 0
@@ -978,6 +1105,11 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         cbp_c = 1 + dec.decode(st, mps, 81 + a1 + 2 * b1)
     else:
         cbp_c = 0
+    t8f = 0
+    if t8en and cbp_l > 0:
+        fa = 1 if left_mb and C.t8[mby, mbx - 1] else 0
+        fb = 1 if top_mb and C.t8[mby - 1, mbx] else 0
+        t8f = dec.decode(st, mps, 399 + fa + fb)
     if cbp_l or cbp_c:
         if dec.decode(st, mps, 60):
             raise NotImplementedError("nonzero mb_qp_delta")
@@ -985,19 +1117,34 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
         KIND_INTER, cbp_l, cbp_c, mvdx, mvdy
     )
     info[7] = ref_i
-    for i8 in range(4):
-        for b in range(4 * i8, 4 * i8 + 4):
-            bx, by = BLK_SCAN[b]
-            gbx, gby = 4 * mbx + bx, 4 * mby + by
+    if t8out is not None:
+        t8out[addr] = t8f
+    if t8f:
+        flat = luma_ac[addr].reshape(256)
+        for i8 in range(4):
+            y8, x8 = i8 >> 1, i8 & 1
             if (cbp_l >> i8) & 1:
-                inc = _cbf_inc_4x4(
-                    C.nnz_y, gbx, gby, bx > 0 or left_mb, by > 0 or top_mb, 0
-                )
-                coeffs, cbf = _decode_residual(dec, st, mps, 2, 16, inc)
-                luma_ac[addr, 4 * by + bx] = coeffs
-                C.nnz_y[gby, gbx] = cbf
+                flat[64 * i8 : 64 * i8 + 64] = _decode_residual8(dec, st, mps)
+                C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                        4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 1
             else:
-                C.nnz_y[gby, gbx] = 0
+                C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                        4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 0
+    else:
+        for i8 in range(4):
+            for b in range(4 * i8, 4 * i8 + 4):
+                bx, by = BLK_SCAN[b]
+                gbx, gby = 4 * mbx + bx, 4 * mby + by
+                if (cbp_l >> i8) & 1:
+                    inc = _cbf_inc_4x4(
+                        C.nnz_y, gbx, gby, bx > 0 or left_mb,
+                        by > 0 or top_mb, 0
+                    )
+                    coeffs, cbf = _decode_residual(dec, st, mps, 2, 16, inc)
+                    luma_ac[addr, 4 * by + bx] = coeffs
+                    C.nnz_y[gby, gbx] = cbf
+                else:
+                    C.nnz_y[gby, gbx] = 0
     C.dc_y[mby, mbx] = 0
     _dec_chroma_res(dec, st, mps, C, mbx, mby, left_mb, top_mb,
                     cbp_c, chroma_dc, chroma_ac, addr, 0)
@@ -1005,6 +1152,7 @@ def _dec_mb_p(dec, st, mps, C, addr, slice_start, mbw,
     C.cmode[mby, mbx] = 0
     C.cbp_l[mby, mbx] = cbp_l
     C.cbp_c[mby, mbx] = cbp_c
+    C.t8[mby, mbx] = t8f
     C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
 
 
@@ -1022,9 +1170,12 @@ def pack_pframe(
     deblock_idc: int = 1,
     ref: bool = True,
     num_ref_active: int = 1,
+    t8flags=None,
 ) -> bytes:
     """Pack one P-frame's symbol arrays into CABAC annex-B slice NALs
-    (cabac_init_idc 0; same contract as packp.pack_pframe)."""
+    (cabac_init_idc 0; same contract as packp.pack_pframe).  t8flags [N]
+    carries per-MB transform_size_8x8_flag when the PPS enables the 8x8
+    transform."""
     assert pps.entropy_coding_mode_flag == 1
     mbw, mbh = sps.mb_width, sps.mb_height
     if slice_mode == "rows":
@@ -1049,12 +1200,15 @@ def pack_pframe(
             w.u(1, 1)  # cabac_alignment_one_bit
         st, mps = init_contexts(CTX_INIT_PB[0], qp)
         enc = CabacEncoder()
+        t8en = pps.transform_8x8_mode_flag == 1
         for k in range(count):
             addr = start + k
             _enc_mb_p(
                 enc, st, mps, C, addr, start, mbw,
                 mb_info[addr], luma_dc[addr], luma_ac[addr],
                 chroma_dc[addr], chroma_ac[addr], nra=num_ref_active,
+                t8en=t8en,
+                t8f=int(t8flags[addr]) if t8flags is not None else 0,
             )
             enc.terminate(1 if k == count - 1 else 0)
         rbsp = w.get_bytes() + enc.get_bytes()
@@ -1067,8 +1221,8 @@ def pack_pframe(
 def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None,
                         nra: int = 1):
     """Parse CABAC P slices (list of (rbsp, header_bit_pos, first_mb)) ->
-    symbol arrays (same contract as packp.parse_pframe_slices, plus the
-    slice QP, which CABAC context initialization needs)."""
+    symbol arrays + per-MB transform_size_8x8_flags (packp contract plus
+    the slice QP, which CABAC context initialization needs)."""
     assert pps.entropy_coding_mode_flag == 1
     assert qp is not None, "CABAC P parse needs the slice QP"
     mbw, mbh = sps.mb_width, sps.mb_height
@@ -1078,7 +1232,9 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None,
     luma_ac = np.zeros((n, 16, 16), np.int16)
     chroma_dc = np.zeros((n, 2, 4), np.int16)
     chroma_ac = np.zeros((n, 2, 4, 15), np.int16)
+    t8arr = np.zeros(n, np.int32)
     C = _Ctx(mbw, mbh)
+    t8en = pps.transform_8x8_mode_flag == 1
     for rbsp, start_bit, first_mb in slices:
         byte0 = (start_bit + 7) // 8  # skip cabac alignment ones
         st, mps = init_contexts(CTX_INIT_PB[0], qp)
@@ -1087,10 +1243,10 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS, qp: Optional[int] = None,
         while True:
             _dec_mb_p(dec, st, mps, C, addr, first_mb, mbw,
                       mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac,
-                      nra=nra)
+                      nra=nra, t8en=t8en, t8out=t8arr)
             addr += 1
             if dec.terminate():
                 break
             if addr >= n:
                 raise ValueError("slice overruns frame")
-    return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac
+    return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac, t8arr

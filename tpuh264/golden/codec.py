@@ -134,6 +134,8 @@ class _MBContext:
     refidx: np.ndarray = None  # (mbh, mbw) per-MB refIdxL0 (multi-ref DPB)
     nra: int = 1               # num_ref_idx_l0_active
     force_ref: int = -1        # encoder: restrict ME to one DPB entry
+    t8: np.ndarray = None      # (mbh, mbw) transform_size_8x8_flag per MB
+    t8_enabled: bool = False   # PPS transform_8x8_mode_flag
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
@@ -151,6 +153,7 @@ def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
         kind=np.full((mbh, mbw), 2, np.int32),
         i4modes=np.full((4 * mbh, 4 * mbw), -1, np.int32),
         refidx=np.zeros((mbh, mbw), np.int32),
+        t8=np.zeros((mbh, mbw), np.int32),
     )
 
 
@@ -380,7 +383,7 @@ def encode_iframe(
             ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
             ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
             chroma_qp_offset=pps.chroma_qp_index_offset,
-            refidx=ctx.refidx,
+            refidx=ctx.refidx, t8=ctx.t8,
         )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
@@ -687,15 +690,44 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
         _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=True)
         return
 
-    # inter residual
+    # inter residual: 4x4 transform, plus the 8x8 trial when enabled
     predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
-    q = quant4x4(forward4x4(plane_to_blocks4(src - predl)), qp, intra=False)
+    resid = src - predl
+    q = quant4x4(forward4x4(plane_to_blocks4(resid)), qp, intra=False)
     l_zz = zigzag(q)  # (4,4,16) full 16-coefficient blocks
     cbp_luma = 0
     for i8 in range(4):
         blocks = [l_zz[by, bx] for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]]
         if any(np.any(b) for b in blocks):
             cbp_luma |= 1 << i8
+
+    use_t8 = False
+    zz8 = None
+    if ctx.t8_enabled:
+        blk8 = resid.reshape(2, 8, 2, 8).swapaxes(1, 2)  # (y8, x8, 8, 8)
+        z8 = t8mod.quant8x8(t8mod.forward8x8(blk8), qp, intra=False)
+        zz8 = t8mod.zigzag8(z8)  # (2, 2, 64)
+        cbp8 = 0
+        for y8 in range(2):
+            for x8 in range(2):
+                if np.any(zz8[y8, x8]):
+                    cbp8 |= 1 << (2 * y8 + x8)
+        if cbp_luma or cbp8:  # flag only coded when cbp_luma > 0
+            rec4 = blocks4_to_plane(
+                idct_add(plane_to_blocks4(predl), dequant4x4(q, qp))
+            )
+            pred8 = predl.reshape(2, 8, 2, 8).swapaxes(1, 2)
+            rec8 = t8mod.idct8_add(
+                pred8, t8mod.dequant8x8(z8, qp)
+            ).swapaxes(1, 2).reshape(16, 16)
+            lam8 = LAMBDA8_MODE[min(max(qp, 0), 51)]
+            j4 = 8 * int(((rec4 - src).astype(np.int64) ** 2).sum()) + \
+                lam8 * _coeff_bits(l_zz)
+            j8 = 8 * int(((rec8 - src).astype(np.int64) ** 2).sum()) + \
+                lam8 * (_coeff_bits(zz8) + 1)
+            use_t8 = j8 < j4 and cbp8 > 0
+            if use_t8:
+                cbp_luma = cbp8
 
     predu = inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy)
     predv = inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy)
@@ -718,19 +750,26 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
             and (mvx, mvy) == mv_skip):
         skiprun[0] += 1
         _apply_skip(ctx, dpb, mbx, mby, sid)
+        ctx.t8[mby, mbx] = 0
         return
 
     # reconstruction (zero out 4x4 blocks of uncoded 8x8s -- no-op by
     # construction, but mirror the decoder structure)
-    recon_q = np.zeros_like(l_zz)
-    for i8 in range(4):
-        if cbp_luma >> i8 & 1:
-            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
-                recon_q[by, bx] = l_zz[by, bx]
-    d = dequant4x4(inverse_zigzag(recon_q), qp)
-    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
-        idct_add(plane_to_blocks4(predl), d)
-    )
+    if use_t8:
+        d8 = t8mod.dequant8x8(t8mod.inverse_zigzag8(zz8), qp)
+        pred8 = predl.reshape(2, 8, 2, 8).swapaxes(1, 2)
+        rec8 = t8mod.idct8_add(pred8, d8).swapaxes(1, 2).reshape(16, 16)
+        ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = rec8
+    else:
+        recon_q = np.zeros_like(l_zz)
+        for i8 in range(4):
+            if cbp_luma >> i8 & 1:
+                for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                    recon_q[by, bx] = l_zz[by, bx]
+        d = dequant4x4(inverse_zigzag(recon_q), qp)
+        ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
+            idct_add(plane_to_blocks4(predl), d)
+        )
     ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
         predu, dcu.reshape(4), acu, qpc, cbp_chroma
     )
@@ -752,13 +791,19 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
     w.ue(CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
     left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
     top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+    if ctx.t8_enabled and cbp_luma > 0:
+        w.u(1, 1 if use_t8 else 0)  # transform_size_8x8_flag
     if cbp_luma or cbp_chroma:
         w.se(0)  # mb_qp_delta
     for i8 in range(4):
         if cbp_luma >> i8 & 1:
-            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+            for k4, (bx, by) in enumerate(BLK_SCAN[4 * i8 : 4 * i8 + 4]):
                 ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
-                block = l_zz[by, bx]
+                if use_t8:
+                    # CAVLC 8x8: 4x4 block k gets every 4th 8x8 coeff
+                    block = zz8[i8 >> 1, i8 & 1][k4::4]
+                else:
+                    block = l_zz[by, bx]
                 encode_residual_block(w, block.tolist(), ncb, 16)
                 ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(np.count_nonzero(block))
         else:
@@ -769,6 +814,7 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
     ctx.mv[mby, mbx] = (mvx, mvy)
     ctx.kind[mby, mbx] = inter_mod.MB_INTER
     ctx.refidx[mby, mbx] = ref_i
+    ctx.t8[mby, mbx] = 1 if use_t8 else 0
     ctx.slice_id[mby, mbx] = sid
 
 
@@ -818,6 +864,7 @@ def encode_pframe(
     dpb = as_dpb(refs)
     ctx.nra = len(dpb)
     ctx.force_ref = force_ref
+    ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
 
     if slice_mode == "rows":
         slices = [(r, [(r, c) for c in range(mbw)]) for r in range(mbh)]
@@ -855,7 +902,7 @@ def encode_pframe(
             ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
             ctx.kind, ctx.mv, ctx.slice_id, qp, idc=idc,
             chroma_qp_offset=pps.chroma_qp_index_offset,
-            refidx=ctx.refidx,
+            refidx=ctx.refidx, t8=ctx.t8,
         )
     return bytes(out), (ctx.recon_y, ctx.recon_u, ctx.recon_v)
 
@@ -884,18 +931,25 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
     cbp = CBP_INTER[r.ue()]
     cbp_luma = cbp & 15
     cbp_chroma = cbp >> 4
+    use_t8 = False
+    if ctx.t8_enabled and cbp_luma > 0:
+        use_t8 = bool(r.u(1))  # transform_size_8x8_flag
     if cbp:
         r.se()  # mb_qp_delta
     left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
     top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
 
     l_zz = np.zeros((4, 4, 16), np.int32)
+    zz8 = np.zeros((2, 2, 64), np.int32)
     for i8 in range(4):
         if cbp_luma >> i8 & 1:
-            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+            for k4, (bx, by) in enumerate(BLK_SCAN[4 * i8 : 4 * i8 + 4]):
                 ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
                 block = decode_residual_block(r, ncb, 16)
-                l_zz[by, bx] = block
+                if use_t8:
+                    zz8[i8 >> 1, i8 & 1][k4::4] = block
+                else:
+                    l_zz[by, bx] = block
                 ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
                     np.count_nonzero(np.asarray(block))
                 )
@@ -925,10 +979,17 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
     predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
-    d = dequant4x4(inverse_zigzag(l_zz), qp)
-    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
-        idct_add(plane_to_blocks4(predl), d)
-    )
+    if use_t8:
+        d8 = t8mod.dequant8x8(t8mod.inverse_zigzag8(zz8), qp)
+        pred8 = predl.reshape(2, 8, 2, 8).swapaxes(1, 2)
+        ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = t8mod.idct8_add(
+            pred8, d8
+        ).swapaxes(1, 2).reshape(16, 16)
+    else:
+        d = dequant4x4(inverse_zigzag(l_zz), qp)
+        ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
+            idct_add(plane_to_blocks4(predl), d)
+        )
     predu = inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy)
     predv = inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy)
     ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
@@ -940,6 +1001,7 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
     ctx.mv[mby, mbx] = (mvx, mvy)
     ctx.kind[mby, mbx] = inter_mod.MB_INTER
     ctx.refidx[mby, mbx] = ref_i
+    ctx.t8[mby, mbx] = 1 if use_t8 else 0
     ctx.slice_id[mby, mbx] = sid
 
 
@@ -1036,7 +1098,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
                     ctx.kind, ctx.mv, ctx.slice_id, ctx.qp,
                     idc=frame_idc[0],
                     chroma_qp_offset=pps.chroma_qp_index_offset,
-                    refidx=ctx.refidx,
+                    refidx=ctx.refidx, t8=ctx.t8,
                 )
             frames.append(
                 (
@@ -1075,6 +1137,7 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
             if ctx is None:
                 qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
                 ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
+                ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
                 sid = 0
             frame_idc[0] = header.disable_deblocking_filter_idc
             addr = header.first_mb_in_slice
@@ -1110,6 +1173,7 @@ def encode_sequence(
     deblock: bool = False,
     temporal_layers: int = 1,
     num_ref: int = 1,
+    transform8x8: bool = False,
 ) -> Tuple[bytes, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Encode (y, u, v) frames as IPPP... with IDR every `gop`.
 
@@ -1130,7 +1194,12 @@ def encode_sequence(
     dpb: List = []
     sps = pps = None
     h, w0 = frames[0][0].shape
-    if num_ref > 1:
+    if transform8x8:
+        from ..core.params import PROFILE_HIGH
+        sps = SPS.for_size(w0, h, profile_idc=PROFILE_HIGH,
+                           max_num_ref_frames=num_ref)
+        pps = PPS(transform_8x8_mode_flag=1)
+    elif num_ref > 1:
         sps = SPS.for_size(w0, h, max_num_ref_frames=num_ref)
         pps = PPS()
     for t, (y, u, v) in enumerate(frames):
@@ -1181,6 +1250,7 @@ def encode_sequence(
 
 from ..entropy.cavlc_tables import CBP_INTRA, CBP_INTRA_INV  # noqa: E402
 from . import intra44 as i44  # noqa: E402
+from . import transform8 as t8mod  # noqa: E402
 
 # JM-style mode-decision lambda (SSD domain), fixed point x8 (the scale
 # keeps J = 8*SSD + lam8*R inside int32 for the TPU kernel's mirror)

@@ -147,6 +147,7 @@ def deblock_frame(
     idc: int = 0,
     chroma_qp_offset: int = 0,
     refidx: np.ndarray = None,  # [mbh, mbw] refIdxL0 (multi-ref DPB)
+    t8: np.ndarray = None,      # [mbh, mbw] transform_size_8x8_flag
 ) -> None:
     """Filter the picture in place (MB raster order per 8.7)."""
     if idc == 1:
@@ -154,6 +155,20 @@ def deblock_frame(
     mbh, mbw = kind.shape
     if refidx is None:
         refidx = np.zeros((mbh, mbw), np.int32)
+    if t8 is None:
+        t8 = np.zeros((mbh, mbw), np.int32)
+    else:
+        # 8x8-transform MBs: a 4x4 cell counts as coded iff its covering
+        # 8x8 block has any coefficients (8.7.2.1)
+        nnz_y = nnz_y.copy()
+        for my in range(mbh):
+            for mx in range(mbw):
+                if t8[my, mx]:
+                    for y8 in range(2):
+                        for x8 in range(2):
+                            cells = nnz_y[4*my + 2*y8 : 4*my + 2*y8 + 2,
+                                          4*mx + 2*x8 : 4*mx + 2*x8 + 2]
+                            cells[:] = 1 if cells.any() else 0
     qpc = chroma_qp(qp, chroma_qp_offset)
     intra = kind == 2
 
@@ -194,6 +209,8 @@ def deblock_frame(
 
             # ---- vertical edges (left->right) ----
             for e, xe in enumerate((0, 4, 8, 12)):
+                if xe in (4, 12) and t8[mby, mbx]:
+                    continue  # 8x8 transform: no 4-aligned internal edges
                 if xe == 0:
                     if mbx == 0:
                         continue
@@ -226,6 +243,8 @@ def deblock_frame(
 
             # ---- horizontal edges (top->bottom) ----
             for e, ye in enumerate((0, 4, 8, 12)):
+                if ye in (4, 12) and t8[mby, mbx]:
+                    continue  # 8x8 transform: no 4-aligned internal edges
                 if ye == 0:
                     if mby == 0:
                         continue

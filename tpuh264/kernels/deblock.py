@@ -128,14 +128,21 @@ def deblock_frame_rows(
     nnz: jnp.ndarray,    # [S, R, C, 4, 4] per-4x4 luma coded-coeff counts
     qp,
     refidx: jnp.ndarray = None,  # [S, R, C] refIdxL0 (multi-ref DPB)
+    t8: jnp.ndarray = None,      # [S, R, C] transform_size_8x8_flag
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Filter frames in row-slice (idc=2) mode; returns uint8 planes."""
+    """Filter frames in row-slice (idc=2) mode; returns uint8 planes.
+
+    For t8 MBs the caller must pass `nnz` with 8x8-effective cells (each
+    4x4 counts as coded iff its covering 8x8 is); the 4-aligned internal
+    luma edges of t8 MBs are not filtered (8.7)."""
     qp = jnp.asarray(qp, jnp.int32)
     qpc = T.chroma_qp_from_luma(qp)
     s, h, w = y.shape
     r, c = h // 16, w // 16
     if refidx is None:
         refidx = jnp.zeros((s, r, c), jnp.int32)
+    if t8 is None:
+        t8 = jnp.zeros((s, r, c), jnp.int32)
 
     y_mbs = _mb_view(y.astype(jnp.int32), 16)  # [C, S, R, 16, 16]
     u_mbs = _mb_view(u.astype(jnp.int32), 8)
@@ -151,6 +158,7 @@ def deblock_frame_rows(
         to_scan(mvy.astype(jnp.int32)),
         to_scan(nnz.astype(jnp.int32)),
         to_scan(refidx.astype(jnp.int32)),
+        to_scan(t8.astype(jnp.int32)),
         jnp.arange(c),
     )
 
@@ -176,7 +184,7 @@ def deblock_frame_rows(
     def step(carry, x):
         (prev_y, prev_u, prev_v, pkind, pmvx, pmvy, pnnz, pref,
          pvalid) = carry
-        ymb, umb, vmb, k, mx, my, nz, ri, col = x
+        ymb, umb, vmb, k, mx, my, nz, ri, tf, col = x
         intra = k == 2
 
         # ---- vertical MB-boundary edge (prev | cur) ----
@@ -208,6 +216,8 @@ def deblock_frame_rows(
             # nnz is [S,R,4(by),4(bx)] -> per-edge block rows use column bx
             bs4 = jnp.where(intra[..., None], 3,
                             jnp.where((nz[..., :, bx - 1] > 0) | (nz[..., :, bx] > 0), 2, 0))
+            if bx in (1, 3):  # 8x8 transform: 4-aligned edges unfiltered
+                bs4 = jnp.where((tf == 1)[..., None], 0, bs4)
             xe = 4 * bx
             lcols, rcols = vertical_edge(
                 ymb[..., xe - 4 : xe], ymb[..., xe : xe + 4], bs4, False
@@ -228,6 +238,8 @@ def deblock_frame_rows(
         for by in (1, 2, 3):
             bs4 = jnp.where(intra[..., None], 3,
                             jnp.where((nz[..., by - 1, :] > 0) | (nz[..., by, :] > 0), 2, 0))
+            if by in (1, 3):  # 8x8 transform: 4-aligned edges unfiltered
+                bs4 = jnp.where((tf == 1)[..., None], 0, bs4)
             ye = 4 * by
             lrows, rrows = vertical_edge(
                 ymb_t[..., ye - 4 : ye], ymb_t[..., ye : ye + 4], bs4, False
@@ -247,6 +259,7 @@ def deblock_frame_rows(
 
         new_carry = (ymb, umb, vmb, k, mx, my, nz, ri,
                      jnp.ones_like(pvalid))
+        del tf
         return new_carry, (prev_y, prev_u, prev_v)
 
     zero_mb = jnp.zeros((s, r, 16, 16), jnp.int32)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import transform as T
+from . import transform8 as T8
+from .iframe import _LAMBDA8, _rate_bits
 from .iframe import (
     _blocks_to_mb,
     _cblocks_to_mb,
@@ -66,6 +68,7 @@ class MBSymbolsP(NamedTuple):
     chroma_dc: jnp.ndarray   # [S, R, C, 2, 4] int16
     chroma_ac: jnp.ndarray   # [S, R, C, 2, 4, 15] int16
     refidx: Optional[jnp.ndarray] = None  # [S, R, C] int32 (multi-ref DPB)
+    t8: Optional[jnp.ndarray] = None      # [S, R, C] transform_size_8x8
 
 
 def _tap6(a, b, c, d, e, f):
@@ -357,10 +360,10 @@ def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ref_base", "halo"))
+@functools.partial(jax.jit, static_argnames=("ref_base", "halo", "t8"))
 def encode_pframe_rows_multi(
     y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0,
-    halo: bool = False,
+    halo: bool = False, t8: bool = False,
 ) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode P-frames [S, H, W] against a device-resident DPB.
 
@@ -457,6 +460,22 @@ def encode_pframe_rows_multi(
 
         predl = sel_ref([_mc_qpel(qb, mvx, mvy) for qb in qbands_n])
         l_zz, ql_flat, cbp4 = _transform_inter_luma(ymb, predl, qp)
+
+        if t8:
+            # 8x8 transform trial (High profile, golden-mirrored RD pick)
+            resid8 = (ymb - predl).reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
+            z8 = T8.quant8x8(T8.forward8x8(resid8), qp, intra=False)
+            zz8 = T8.zigzag8(z8)  # [S,R,2,2,64]
+            nz8 = jnp.any(zz8 != 0, -1)
+            cbp8 = (
+                nz8[..., 0, 0].astype(jnp.int32)
+                | (nz8[..., 0, 1].astype(jnp.int32) << 1)
+                | (nz8[..., 1, 0].astype(jnp.int32) << 2)
+                | (nz8[..., 1, 1].astype(jnp.int32) << 3)
+            )
+            pred8 = predl.reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
+            rec8 = T8.idct8_add(pred8, T8.dequant8x8(z8, qp))
+            rec8 = rec8.swapaxes(-3, -2).reshape(s, r, 16, 16)
         nzmask8 = jnp.repeat(
             jnp.repeat(
                 (((cbp4[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
@@ -473,12 +492,35 @@ def encode_pframe_rows_multi(
         any_dc_i = jnp.any(dcu_i != 0, (-1, -2)) | jnp.any(dcv_i != 0, (-1, -2))
         cbp_c_i = jnp.where(any_ac_i, 2, jnp.where(any_dc_i, 1, 0))
 
+        rec_y_inter = _recon_inter_luma(predl, ql_flat, nzmask8, qp)
+
+        if t8:
+            lam8 = _LAMBDA8[jnp.clip(qp, 0, 51)]
+            d4 = rec_y_inter - ymb
+            d8 = rec8 - ymb
+            j4 = 8 * jnp.sum(d4 * d4, (-1, -2)) + lam8 * _rate_bits(
+                l_zz, (-1, -2, -3)
+            )
+            j8 = 8 * jnp.sum(d8 * d8, (-1, -2)) + lam8 * (
+                _rate_bits(zz8, (-1, -2, -3)) + 1
+            )
+            use_t8 = (j8 < j4) & (cbp8 > 0)
+            cbp_l_inter = jnp.where(use_t8, cbp8, cbp4)
+            rec_y_inter = jnp.where(use_t8[..., None, None], rec8, rec_y_inter)
+            lzz_sel = jnp.where(
+                use_t8[..., None, None, None],
+                zz8.reshape(s, r, 4, 64).reshape(s, r, 4, 4, 16),
+                l_zz,
+            )
+        else:
+            use_t8 = jnp.zeros(cbp4.shape, bool)
+            cbp_l_inter = cbp4
+            lzz_sel = l_zz
+
         is_skip = (
-            (~use_intra) & (cbp4 == 0) & (cbp_c_i == 0)
+            (~use_intra) & (cbp_l_inter == 0) & (cbp_c_i == 0)
             & (mvx == 0) & (mvy == 0) & (refsel + ref_base == 0)
         )
-
-        rec_y_inter = _recon_inter_luma(predl, ql_flat, nzmask8, qp)
         rec_u_inter = _recon_chroma(predcu, dcu_i, qu_i, cbp_c_i, qpc)
         rec_v_inter = _recon_chroma(predcv, dcv_i, qv_i, cbp_c_i, qpc)
 
@@ -520,14 +562,17 @@ def encode_pframe_rows_multi(
         out_ref = jnp.where(
             use_intra | is_skip, 0, refsel + ref_base
         ).astype(jnp.int32)
+        out_t8 = jnp.where(
+            use_intra | is_skip, 0, use_t8.astype(jnp.int32)
+        )
 
         # symbol selection between paths
         sel1 = use_intra[..., None]
         sel3 = use_intra[..., None, None, None]
         luma_dc = jnp.where(sel1, dc_zz, 0)
         # intra AC layout: slot0 zero (set by _encode_luma); inter: full 16
-        luma_ac = jnp.where(sel3, iac_zz, l_zz)
-        cbp_luma = jnp.where(use_intra, icbp.astype(jnp.int32), cbp4)
+        luma_ac = jnp.where(sel3, iac_zz, lzz_sel)
+        cbp_luma = jnp.where(use_intra, icbp.astype(jnp.int32), cbp_l_inter)
         cbp_chroma = jnp.where(use_intra, cbp_c_a, cbp_c_i)
         sel2 = use_intra[..., None, None]
         cdc = jnp.where(
@@ -563,6 +608,7 @@ def encode_pframe_rows_multi(
             out_mvx.astype(jnp.int32),
             out_mvy.astype(jnp.int32),
             out_ref,
+            out_t8,
         )
         return new_carry, out
 
@@ -576,7 +622,7 @@ def encode_pframe_rows_multi(
     )
     _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
     (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-     ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy, refi) = outs
+     ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy, refi, t8f) = outs
 
     symbols = MBSymbolsP(
         kind=_unscan(kind), mode=_unscan(mode), cmode=_unscan(cmode),
@@ -584,7 +630,7 @@ def encode_pframe_rows_multi(
         mvdx=_unscan(mvdx), mvdy=_unscan(mvdy),
         luma_dc=_unscan(ldc), luma_ac=_unscan(lac),
         chroma_dc=_unscan(cdc), chroma_ac=_unscan(cac),
-        refidx=_unscan(refi),
+        refidx=_unscan(refi), t8=_unscan(t8f),
     )
     recon = (
         _mbs_to_plane(_unscan(ry)),
@@ -602,9 +648,10 @@ def decode_pframe_rows(symbols: MBSymbolsP, ref_y, ref_u, ref_v, qp):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("halo",))
+@functools.partial(jax.jit, static_argnames=("halo", "t8"))
 def decode_pframe_rows_multi(
-    symbols: MBSymbolsP, refs_y, refs_u, refs_v, qp, halo: bool = False
+    symbols: MBSymbolsP, refs_y, refs_u, refs_v, qp, halo: bool = False,
+    t8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reconstruct P-frames from parsed symbols + a device DPB
     (refs_* [N, S, H, W], newest first; per-MB symbols.refidx).
@@ -635,17 +682,22 @@ def decode_pframe_rows_multi(
         symbols.refidx if symbols.refidx is not None
         else jnp.zeros_like(symbols.kind)
     )
+    t8flags = (
+        symbols.t8 if symbols.t8 is not None
+        else jnp.zeros_like(symbols.kind)
+    )
     fields = [
         symbols.kind, symbols.mode, symbols.cmode, symbols.cbp_luma,
         symbols.cbp_chroma, symbols.mvdx, symbols.mvdy, symbols.luma_dc,
         symbols.luma_ac, symbols.chroma_dc, symbols.chroma_ac, refidx,
+        t8flags,
     ]
     xs = tuple(to_scan(x) for x in fields) + (jnp.arange(c),)
 
     def step(carry, xs):
         left_y, left_u, left_v, lmvx, lmvy, lkind = carry
         (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-         dc_zz, ac, cdc, cac, refi, col) = xs
+         dc_zz, ac, cdc, cac, refi, t8f, col) = xs
         first = jnp.broadcast_to(col == 0, (s, r))
 
         qbands_n = [_qpel_bands(pl, col, r) for pl in planes_n]
@@ -691,6 +743,15 @@ def decode_pframe_rows_multi(
         ac4 = ac.reshape(s, r, 4, 4, 16)
         q_flat = T.inverse_zigzag(ac4).reshape(s, r, 4, 4, 16)
         rec_y_inter = _recon_inter_luma(predl, q_flat, nzmask8, qp)
+        if t8:
+            zz8 = ac.reshape(s, r, 4, 64).reshape(s, r, 2, 2, 64)
+            pred8 = predl.reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
+            rec8 = T8.idct8_add(
+                pred8, T8.dequant8x8(T8.inverse_zigzag8(zz8), qp)
+            ).swapaxes(-3, -2).reshape(s, r, 16, 16)
+            rec_y_inter = jnp.where(
+                (t8f == 1)[..., None, None], rec8, rec_y_inter
+            )
 
         predcu = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_u_n])
         predcv = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_v_n])
