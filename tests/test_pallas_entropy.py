@@ -5,6 +5,7 @@ natively (exercised by the devpipe/bench path).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -83,3 +84,120 @@ def test_pack_blocks_multidim_lead():
     np.testing.assert_array_equal(
         np.asarray(ref_w), np.asarray(got_w).reshape(-1, 20)
     )
+
+
+def test_merge_tree_matches_xla():
+    rng = np.random.default_rng(5)
+    n, k, w = 37, 7, 4
+    bits = rng.integers(0, 32 * w + 1, size=(n, k)).astype(np.int32)
+    words = np.zeros((n, k, w), np.int64)
+    for i in range(n):
+        for j in range(k):
+            nb = int(bits[i, j])
+            if nb == 0:
+                continue
+            raw = rng.integers(0, 1 << 32, size=w, dtype=np.uint64)
+            # zero past the bit length (merge invariant)
+            for t in range(w):
+                lo = max(0, min(32, nb - 32 * t))
+                mask = ((1 << 32) - (1 << (32 - lo))) if lo else 0
+                words[i, j, t] = int(raw[t]) & mask
+    words = words.astype(np.uint32).view(np.int32).reshape(n, k, w)
+    ref_w, ref_b = entropy_tpu.tree_merge(
+        jnp.asarray(words), jnp.asarray(bits), 16
+    )
+    got_w, got_b = cavlc_pallas.merge_tree(words, bits, 16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_b), np.asarray(got_b))
+    np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
+
+
+def test_pack_blocks_code_residual_gate():
+    """P-frame layout: inter MBs suppress ALL residual slots of chunk 0
+    (not even a coeff_token), keeping only the header slots."""
+    rng = np.random.default_rng(21)
+    n = 128
+    levels, nc, maxc, _, _ = _rand_case(rng, n)
+    hl = rng.integers(0, 20, size=(n, 6)).astype(np.int32)
+    hv = (rng.integers(0, 1 << 19, size=(n, 6)) & ((1 << hl) - 1)).astype(
+        np.int32
+    )
+    gate = (rng.random(n) < 0.5)
+    sl, sv, _ = entropy_tpu.block_slots(levels, nc, maxc)
+    sl = jnp.where(jnp.asarray(~gate)[:, None], 0, sl)
+    ref_w, ref_b = entropy_tpu.pack_slots(
+        jnp.concatenate([jnp.asarray(hl), sl], -1),
+        jnp.concatenate([jnp.asarray(hv), sv], -1),
+        20,
+    )
+    got_w, got_b = cavlc_pallas.pack_blocks(
+        levels, nc, maxc, hl, hv, 20, 6, hdr_max=32, interpret=True,
+        code_residual=jnp.asarray(gate),
+    )
+    np.testing.assert_array_equal(np.asarray(ref_b), np.asarray(got_b))
+    np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
+
+
+_on_tpu = jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(
+    not _on_tpu,
+    reason="full-path pallas==xla equality needs the hardware lowering; "
+    "on CPU the inlined kernel body costs minutes of XLA compile "
+    "(component equality is covered above)",
+)
+def test_encode_bits_iframe_pallas_backend():
+    """Full device entropy path: pallas backend == xla backend, I slices."""
+    from tests.test_golden_codec import synth_frame
+    from tpuh264.core.params import PPS, SPS
+    from tpuh264.entropy import device_pack
+    from tpuh264.kernels import iframe
+
+    y, u, v = synth_frame(48, 64, seed=3, kind="gradient")
+    yb = np.asarray(y, np.int32)[None]
+    ub = np.asarray(u, np.int32)[None]
+    vb = np.asarray(v, np.int32)[None]
+    symbols, _ = iframe.encode_iframe_rows(yb, ub, vb, 27)
+    sps = SPS.for_size(64, 48)
+    hdr_hw, hdr_len = device_pack.slice_headers_device(sps, PPS(), 27, 0, True, 1)
+    ref = entropy_tpu.encode_bits_iframe(symbols, 27, hdr_hw, hdr_len, backend="xla")
+    got = entropy_tpu.encode_bits_iframe(
+        symbols, 27, hdr_hw, hdr_len, backend="pallas"
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    not _on_tpu,
+    reason="see test_encode_bits_iframe_pallas_backend",
+)
+def test_encode_bits_pframe_pallas_backend():
+    """Full device entropy path: pallas backend == xla backend, P slices."""
+    from tests.test_golden_pframe import moving_sequence
+    from tpuh264.core.params import PPS, SPS
+    from tpuh264.entropy import device_pack
+    from tpuh264.kernels import iframe, pframe
+
+    frames = moving_sequence(48, 64, n=2, seed=11)
+    (y0, u0, v0), (y1, u1, v1) = frames
+    yb = np.asarray(y0, np.int32)[None]
+    ub = np.asarray(u0, np.int32)[None]
+    vb = np.asarray(v0, np.int32)[None]
+    _, recon = iframe.encode_iframe_rows(yb, ub, vb, 28)
+    ref_planes = tuple(np.asarray(r).astype(np.int32) for r in recon)
+    symbols, _, _ = pframe.encode_pframe_rows(
+        np.asarray(y1, np.int32)[None], np.asarray(u1, np.int32)[None],
+        np.asarray(v1, np.int32)[None], *ref_planes, 28
+    )
+    from tpuh264.entropy.device_pack import SLICE_P
+    sps = SPS.for_size(64, 48)
+    hdr_hw, hdr_len = device_pack.slice_headers_device(
+        sps, PPS(), 28, 1, False, 1, slice_type=SLICE_P
+    )
+    ref = entropy_tpu.encode_bits_pframe(symbols, 28, hdr_hw, hdr_len, backend="xla")
+    got = entropy_tpu.encode_bits_pframe(
+        symbols, 28, hdr_hw, hdr_len, backend="pallas"
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

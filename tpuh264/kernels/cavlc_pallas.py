@@ -76,14 +76,50 @@ def _i32(x):
     return x.astype(jnp.int32)
 
 
+class _OutRef:
+    """Write-only ref shim for CPU execution of kernel bodies.
+
+    Pallas interpret mode costs minutes per call here (it dispatches the
+    kernel's thousands of vector ops eagerly), so for CPU tests we run
+    the kernel body directly as traced XLA ops: input refs are the plain
+    arrays (the bodies only read `ref[i]` on the leading axis, which jnp
+    indexing provides), outputs collect through this shim.  The body is
+    compiled once per static kernel config on a canonical 1024-lane tile
+    (callers chunk to it), so every test shape shares one XLA module and
+    the persistent compile cache makes reruns cheap.  The TPU Pallas
+    lowering itself is exercised on hardware by bench/devpipe.
+    """
+
+    def __init__(self, n: int):
+        self.slots = [None] * n
+
+    def __setitem__(self, i, v):
+        self.slots[i] = v
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "n_w", "hdr_max"))
+def _pack_tile(lv, nc, maxc, cr, hl, hv, *, nh, n_w, hdr_max):
+    w, bl = _OutRef(n_w), _OutRef(1)
+    _cavlc_kernel(nh, n_w, hdr_max, lv, nc, maxc, cr, hl, hv, w, bl)
+    return jnp.stack(w.slots), bl.slots[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k_in", "w_in", "n_out"))
+def _merge_tile(w_t, b_t, *, k_in, w_in, n_out):
+    o, bl = _OutRef(n_out), _OutRef(1)
+    _merge_kernel(k_in, w_in, n_out, w_t, b_t, o, bl)
+    return jnp.stack(o.slots), bl.slots[0]
+
+
 def _cavlc_kernel(nh: int, n_w: int, hdr_max: int,
-                  lv_ref, nc_ref, maxc_ref, hl_ref, hv_ref,
+                  lv_ref, nc_ref, maxc_ref, cr_ref, hl_ref, hv_ref,
                   w_ref, bl_ref):
-    """One tile: 1024 blocks. lv_ref [16, 8, 128]; nc/maxc [1, 8, 128];
+    """One tile: 1024 blocks. lv_ref [16, 8, 128]; nc/maxc/cr [1, 8, 128];
     hl/hv [nh, 8, 128]; w_ref [n_w, 8, 128]; bl_ref [1, 8, 128]."""
     lv = [lv_ref[j] for j in range(16)]
     nc = nc_ref[0]
     maxc = maxc_ref[0]
+    code_res = cr_ref[0] != 0  # gate: residual slots coded at all?
 
     nz = [l != 0 for l in lv]
     nzi = [_i32(b) for b in nz]
@@ -228,22 +264,26 @@ def _cavlc_kernel(nh: int, n_w: int, hdr_max: int,
 
     # ---- pack: offsets over ALL slots; emissions skip zero-payload zhi --
     # slot order matches entropy_tpu: [hdr*nh, tok, (zhi, merged)*16 desc,
-    # tz, run*15 desc]
+    # tz, run*15 desc].  Residual slots are gated on code_res (the
+    # P-frame "inter MBs have no luma-DC chunk" rule, entropy_tpu kill0).
+    def gate(ln):
+        return jnp.where(code_res, ln, 0)
+
     slots_len = []   # (len, static_maxlen)
     emits = []       # (slot_index, val)
     for i in range(nh):
         slots_len.append((hl_ref[i], hdr_max))
         emits.append((len(slots_len) - 1, hv_ref[i]))
-    slots_len.append((tok_len, 16))
+    slots_len.append((gate(tok_len), 16))
     emits.append((len(slots_len) - 1, tok_val))
     for zhi, mlen, mval in lev:
-        slots_len.append((zhi, 16))                    # no payload
-        slots_len.append((mlen, 22))
+        slots_len.append((gate(zhi), 16))              # no payload
+        slots_len.append((gate(mlen), 22))
         emits.append((len(slots_len) - 1, mval))
-    slots_len.append((tz_len, 9))
+    slots_len.append((gate(tz_len), 9))
     emits.append((len(slots_len) - 1, tz_val))
     for rl, rv in runs:
-        slots_len.append((rl, 11))
+        slots_len.append((gate(rl), 11))
         emits.append((len(slots_len) - 1, rv))
 
     # exclusive prefix offsets + static max-cumulative bits per slot
@@ -286,19 +326,70 @@ def _cavlc_kernel(nh: int, n_w: int, hdr_max: int,
         w_ref[w] = acc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_w", "nh", "hdr_max", "interpret")
-)
 def pack_blocks(levels, nc, maxc, hdr_len, hdr_val, n_w: int,
-                nh: int, hdr_max: int = 16, interpret: bool = False):
+                nh: int, hdr_max: int = 16, interpret: bool = False,
+                code_residual=None):
     """Fused block_slots+pack_slots.
 
     levels [..., 16] int; nc [...]; maxc [...] (broadcastable);
     hdr_len/hdr_val [..., nh] leading header slots (<= hdr_max bits each,
-    zero-length where absent).  Returns (words [..., n_w] int32 MSB-first,
-    bitlen [...] int32) identical to
+    zero-length where absent); code_residual [...] bool (False = emit
+    header slots only, e.g. P-frame inter MBs' chunk 0).  Returns
+    (words [..., n_w] int32 MSB-first, bitlen [...] int32) identical to
     pack_slots(concat([hdr, block_slots(...)]), n_w).
+
+    interpret=True (CPU tests): the kernel body runs as plain XLA ops on
+    canonical 1024-lane tiles (see _OutRef) instead of pl.pallas_call.
     """
+    if code_residual is None:
+        code_residual = jnp.ones(levels.shape[:-1], jnp.int32)
+    if interpret:
+        return _pack_blocks_host(levels, nc, maxc, code_residual,
+                                 hdr_len, hdr_val, n_w, nh, hdr_max)
+    return _pack_blocks_dev(levels, nc, maxc, code_residual,
+                            hdr_len, hdr_val, n_w=n_w, nh=nh,
+                            hdr_max=hdr_max)
+
+
+def _prep_lanes(x, lead, n, nt, inner):
+    """[*lead, *inner] -> [prod(inner) or 1, nt//128, 128] lane layout."""
+    x = _i32(jnp.asarray(x))
+    x = jnp.broadcast_to(x, (*lead, *inner) if inner else lead)
+    flat = x.reshape(n, -1).T  # [inner?, n]
+    flat = jnp.pad(flat, ((0, 0), (0, nt - n)))
+    return flat.reshape(flat.shape[0], nt // 128, 128)
+
+
+def _pack_blocks_host(levels, nc, maxc, code_residual, hdr_len, hdr_val,
+                      n_w: int, nh: int, hdr_max: int):
+    lead = levels.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    nt = -(-n // LANES) * LANES
+    lv = _prep_lanes(levels, lead, n, nt, (16,))
+    nc_a = _prep_lanes(nc, lead, n, nt, ())
+    maxc_a = _prep_lanes(maxc, lead, n, nt, ())
+    cr_a = _prep_lanes(code_residual, lead, n, nt, ())
+    hl = _prep_lanes(hdr_len, lead, n, nt, (nh,))
+    hv = _prep_lanes(hdr_val, lead, n, nt, (nh,))
+    w_parts, b_parts = [], []
+    for i in range(nt // LANES):
+        s = slice(8 * i, 8 * (i + 1))
+        w, b = _pack_tile(
+            lv[:, s], nc_a[:, s], maxc_a[:, s], cr_a[:, s],
+            hl[:, s], hv[:, s], nh=nh, n_w=n_w, hdr_max=hdr_max,
+        )
+        w_parts.append(w)
+        b_parts.append(b)
+    words = jnp.concatenate(w_parts, axis=1)
+    bitlen = jnp.concatenate(b_parts, axis=1)
+    words = words.reshape(n_w, nt)[:, :n].T.reshape(*lead, n_w)
+    bitlen = bitlen.reshape(nt)[:n].reshape(lead)
+    return words, bitlen
+
+
+@functools.partial(jax.jit, static_argnames=("n_w", "nh", "hdr_max"))
+def _pack_blocks_dev(levels, nc, maxc, code_residual, hdr_len, hdr_val,
+                     n_w: int, nh: int, hdr_max: int = 16):
     lead = levels.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     nt = -(-n // LANES) * LANES
@@ -314,26 +405,169 @@ def pack_blocks(levels, nc, maxc, hdr_len, hdr_val, n_w: int,
     lv = prep(levels, (16,))
     nc_a = prep(nc, ())
     maxc_a = prep(maxc, ())
+    cr_a = prep(code_residual, ())
     hl = prep(hdr_len, (nh,))
     hv = prep(hdr_val, (nh,))
 
     body = functools.partial(_cavlc_kernel, nh, n_w, hdr_max)
-
     spec2 = lambda d0: pl.BlockSpec(
         (d0, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     words, bitlen = pl.pallas_call(
         body,
         grid=(g,),
-        in_specs=[spec2(16), spec2(1), spec2(1), spec2(nh), spec2(nh)],
+        in_specs=[spec2(16), spec2(1), spec2(1), spec2(1),
+                  spec2(nh), spec2(nh)],
         out_specs=(spec2(n_w), spec2(1)),
         out_shape=(
             jax.ShapeDtypeStruct((n_w, nt // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((1, nt // 128, 128), jnp.int32),
         ),
-        interpret=interpret,
-    )(lv, nc_a, maxc_a, hl, hv)
+    )(lv, nc_a, maxc_a, cr_a, hl, hv)
 
     words = words.reshape(n_w, nt)[:, :n].T.reshape(*lead, n_w)
     bitlen = bitlen.reshape(nt)[:n].reshape(lead)
     return words, bitlen
+
+
+# ---------------------------------------------------------------------------
+# Binary merge tree: K bit strings per lane -> one string, in VMEM.
+# Replaces entropy_tpu.tree_merge for the chunk->MB level (the XLA tree
+# bounces every level's word arrays through HBM; here the whole tree for
+# a tile of lanes lives in VMEM).
+# ---------------------------------------------------------------------------
+
+MERGE_LANES = 1024
+
+
+def _merge_two(a, la, b, lb, w_out):
+    """Merge python-list word strings a (len Wa) and b (len Wb): b is
+    appended at bit offset la.  Strings are MSB-first 32-bit words,
+    all-zero past their bit length.  Returns (list of w_out, la+lb)."""
+    wa, wb = len(a), len(b)
+    sh = la & 31
+    inv = jnp.clip(32 - sh, 0, 31)
+    pos = sh > 0
+    b_sh = []
+    for i in range(wb):
+        lo = jax.lax.shift_right_logical(b[i], sh)
+        hi = (b[i - 1] << inv) if i > 0 else jnp.zeros_like(b[0])
+        b_sh.append(jnp.where(pos, lo | hi, b[i]))
+    b_sh.append(jnp.where(pos, b[wb - 1] << inv, 0))  # spill word
+
+    x = [b_sh[i] if i < len(b_sh) else jnp.zeros_like(b[0])
+         for i in range(w_out)]
+    off = la >> 5  # word offset of b, <= wa
+    k = 0
+    while (1 << k) <= wa:
+        bit = ((off >> k) & 1) == 1
+        step = 1 << k
+        x = [jnp.where(bit, x[i - step] if i >= step else 0, x[i])
+             for i in range(w_out)]
+        k += 1
+    out = [(a[i] | x[i]) if i < wa else x[i] for i in range(w_out)]
+    return out, la + lb
+
+
+def _merge_kernel(k_in: int, w_in: int, n_out: int,
+                  w_ref, b_ref, out_ref, bl_ref):
+    """One tile: w_ref [K, W, 8, 128]; b_ref [K, 8, 128];
+    out_ref [n_out, 8, 128]; bl_ref [1, 8, 128]."""
+    zero = jnp.zeros_like(b_ref[0])
+    strings = [([w_ref[k, w] for w in range(w_in)], b_ref[k])
+               for k in range(k_in)]
+    kp = 1 << (k_in - 1).bit_length()
+    strings += [([zero] * w_in, zero)] * (kp - k_in)
+    while len(strings) > 1:
+        nxt = []
+        for i in range(0, len(strings), 2):
+            (aw, al), (bw, bl) = strings[i], strings[i + 1]
+            w_out = min(len(aw) + len(bw), n_out)
+            nxt.append(_merge_two(aw, al, bw, bl, w_out))
+        strings = nxt
+    words, bits = strings[0]
+    for i in range(n_out):
+        out_ref[i] = words[i] if i < len(words) else zero
+    bl_ref[0] = bits
+
+
+def merge_tree(words, bits, n_out: int, interpret: bool = False):
+    """words [..., K, W] int32 MSB-first strings (zero past bit length),
+    bits [..., K] -> ([..., n_out], [...]).  Bit-identical to
+    entropy_tpu.tree_merge.
+
+    interpret=True (CPU tests): kernel body as plain XLA ops on
+    canonical tiles (see _OutRef)."""
+    if interpret:
+        return _merge_tree_host(words, bits, n_out)
+    return _merge_tree_dev(words, bits, n_out=n_out)
+
+
+def _merge_prep(words, bits, k_in, w_in, n, nt):
+    w_t = _i32(words).reshape(n, k_in, w_in).transpose(1, 2, 0)
+    w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, nt - n)))
+    w_t = w_t.reshape(k_in, w_in, nt // 128, 128)
+    b_t = _i32(bits).reshape(n, k_in).T
+    b_t = jnp.pad(b_t, ((0, 0), (0, nt - n))).reshape(k_in, nt // 128, 128)
+    return w_t, b_t
+
+
+def _merge_tree_host(words, bits, n_out: int):
+    lead = words.shape[:-2]
+    k_in, w_in = words.shape[-2:]
+    n = int(np.prod(lead)) if lead else 1
+    nt = -(-n // MERGE_LANES) * MERGE_LANES
+    w_t, b_t = _merge_prep(words, bits, k_in, w_in, n, nt)
+    o_parts, b_parts = [], []
+    for i in range(nt // MERGE_LANES):
+        s = slice(8 * i, 8 * (i + 1))
+        o, b = _merge_tile(w_t[:, :, s], b_t[:, s],
+                           k_in=k_in, w_in=w_in, n_out=n_out)
+        o_parts.append(o)
+        b_parts.append(b)
+    out = jnp.concatenate(o_parts, axis=1)
+    bl = jnp.concatenate(b_parts, axis=1)
+    out = out.reshape(n_out, nt)[:, :n].T.reshape(*lead, n_out)
+    bl = bl.reshape(nt)[:n].reshape(lead)
+    return out, bl
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _merge_tree_dev(words, bits, n_out: int):
+    lead = words.shape[:-2]
+    k_in, w_in = words.shape[-2:]
+    n = int(np.prod(lead)) if lead else 1
+    nt = -(-n // MERGE_LANES) * MERGE_LANES
+    g = nt // MERGE_LANES
+
+    w_t = _i32(words).reshape(n, k_in, w_in).transpose(1, 2, 0)
+    w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, nt - n)))
+    w_t = w_t.reshape(k_in, w_in, nt // 128, 128)
+    b_t = _i32(bits).reshape(n, k_in).T
+    b_t = jnp.pad(b_t, ((0, 0), (0, nt - n))).reshape(k_in, nt // 128, 128)
+
+    body = functools.partial(_merge_kernel, k_in, w_in, n_out)
+    out, bl = pl.pallas_call(
+        body,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((k_in, w_in, 8, 128), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_in, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_out, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_out, nt // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, nt // 128, 128), jnp.int32),
+        ),
+    )(w_t, b_t)
+
+    out = out.reshape(n_out, nt)[:, :n].T.reshape(*lead, n_out)
+    bl = bl.reshape(nt)[:n].reshape(lead)
+    return out, bl

@@ -34,6 +34,19 @@ import numpy as np
 from ..entropy import cavlc_tables as tbl
 from . import transform as T
 
+
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> Pallas kernels on TPU, XLA elsewhere (tests run on CPU).
+    Override with TPUH264_ENTROPY_BACKEND=xla|pallas."""
+    if backend != "auto":
+        return backend
+    import os
+
+    env = os.environ.get("TPUH264_ENTROPY_BACKEND")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
 # slot budget: 1 token + 16 x (zeros_hi, merged tail+suffix) + tz + 15 runs
 NSLOT = 1 + 32 + 1 + 15
 
@@ -455,8 +468,8 @@ def _finish_slices(slice_chunks, slice_bits_in, s, r):
     return slice_w, slice_bytes, overflow
 
 
-@functools.partial(jax.jit, static_argnames=())
-def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
+@functools.partial(jax.jit, static_argnames=("backend",))
+def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto"):
     """Produce per-stream slice payload bits on device.
 
     symbols: iframe.MBSymbols; hdr_hw [S, R, 8] int32 halfwords of each
@@ -465,7 +478,11 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     per slice, slice_bytes [S, R], overflow flag).  Slices stay separate:
     the host frames them into NALs anyway, and stopping the merge tree at
     slice level skips its two widest (frame-width) barrel-shift levels.
+
+    backend: 'pallas' (fused VMEM kernels, kernels/cavlc_pallas.py),
+    'xla', or 'auto' (pallas on TPU).  Outputs are bit-identical.
     """
+    backend = _resolve_backend(backend)
     s, r, c = symbols.mode.shape
     lac = symbols.luma_ac.astype(jnp.int32).reshape(s, r, c, 4, 4, 16)
     cbp_l = symbols.cbp_luma.astype(jnp.int32)
@@ -516,16 +533,25 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     )  # [S,R,C,27]
     maxc27 = jnp.asarray([16] + [15] * 16 + [4, 4] + [15] * 8)
 
-    sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
     # prepend the 3 MB-header slots to chunk 0 (zero-len slots elsewhere)
     zeros3 = jnp.zeros((s, r, c, 27, 3), jnp.int32)
     hdr_l = zeros3.at[..., 0, 0].set(h1l).at[..., 0, 1].set(h2l)                   .at[..., 0, 2].set(1)
     hdr_v = zeros3.at[..., 0, 0].set(h1v).at[..., 0, 1].set(h2v)                   .at[..., 0, 2].set(1)
-    chunks_hw, chunks_bits = pack_slots(
-        jnp.concatenate([hdr_l, sl27], -1),
-        jnp.concatenate([hdr_v, sv27], -1),
-        BLOCK_W,
-    )  # [S,R,C,27,BW], [S,R,C,27]
+    if backend == "pallas":
+        from . import cavlc_pallas
+
+        chunks_hw, chunks_bits = cavlc_pallas.pack_blocks(
+            levels27, nc27, jnp.broadcast_to(maxc27, nc27.shape),
+            hdr_l, hdr_v, BLOCK_W, 3,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
+        chunks_hw, chunks_bits = pack_slots(
+            jnp.concatenate([hdr_l, sl27], -1),
+            jnp.concatenate([hdr_v, sv27], -1),
+            BLOCK_W,
+        )  # [S,R,C,27,BW], [S,R,C,27]
 
     # presence gating: absent chunks become empty strings
     present = jnp.concatenate(
@@ -539,7 +565,15 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len):
     )
     chunks_bits = jnp.where(present, chunks_bits, 0)
     chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
-    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)  # [S,R,C,MBW]
+    if backend == "pallas":
+        from . import cavlc_pallas
+
+        mb_hw, mb_bits = cavlc_pallas.merge_tree(
+            chunks_hw, chunks_bits, MB_W,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)
     overflow = jnp.any(mb_bits > 32 * MB_W)
 
     # ---- per-slice merge: header + C MBs, then trailing bits ----
@@ -560,8 +594,8 @@ def _se_val(v):
     return jnp.where(v > 0, 2 * v - 1, -2 * v)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
+@functools.partial(jax.jit, static_argnames=("backend",))
+def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto"):
     """P-slice payload bits on device (rows slice mode).
 
     Bit-for-bit the entropy/packp.py emission: per coded MB a skip_run,
@@ -572,7 +606,10 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
     prefix-max over each row's coded-MB indices, so the whole frame stays
     one parallel coder call.  (The reference outsources this stage to
     libopenh264 via openh264_wrapper.cpp:282-311.)
+
+    backend: 'pallas' | 'xla' | 'auto' (pallas on TPU); bit-identical.
     """
+    backend = _resolve_backend(backend)
     s, r, c = symbols.kind.shape
     kind = symbols.kind.astype(jnp.int32)
     coded = kind != 0
@@ -674,11 +711,6 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
         axis=-1,
     )
 
-    sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
-    # inter/skip MBs have no luma-DC chunk: kill chunk 0's residual slots
-    kill0 = (~intra)[..., None, None] & (jnp.arange(27) == 0)[:, None]
-    sl27 = jnp.where(kill0, 0, sl27)
-
     zeros6 = jnp.zeros((s, r, c, 27, 6), jnp.int32)
     cg = coded.astype(jnp.int32)
     hdr_l = (
@@ -699,11 +731,25 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
         .at[..., 0, 4].set(h4v)
         .at[..., 0, 5].set(1)
     )
-    chunks_hw, chunks_bits = pack_slots(
-        jnp.concatenate([hdr_l, sl27], -1),
-        jnp.concatenate([hdr_v, sv27], -1),
-        BLOCK_W,
-    )
+    # inter/skip MBs have no luma-DC chunk: chunk 0's residual slots are
+    # suppressed (CAVLC codes nothing there, not even a coeff_token)
+    kill0 = (~intra)[..., None] & (jnp.arange(27) == 0)
+    if backend == "pallas":
+        from . import cavlc_pallas
+
+        chunks_hw, chunks_bits = cavlc_pallas.pack_blocks(
+            levels27, nc27, maxc27, hdr_l, hdr_v, BLOCK_W, 6,
+            hdr_max=32, interpret=jax.default_backend() != "tpu",
+            code_residual=~kill0,
+        )
+    else:
+        sl27, sv27, _ = block_slots(levels27, nc27, maxc27)
+        sl27 = jnp.where(kill0[..., None], 0, sl27)
+        chunks_hw, chunks_bits = pack_slots(
+            jnp.concatenate([hdr_l, sl27], -1),
+            jnp.concatenate([hdr_v, sv27], -1),
+            BLOCK_W,
+        )
 
     grp = jnp.arange(16) // 4  # z-order chunk -> 8x8 group
     pres_luma = jnp.where(
@@ -722,7 +768,15 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len):
     )
     chunks_bits = jnp.where(present, chunks_bits, 0)
     chunks_hw = jnp.where(present[..., None], chunks_hw, 0)
-    mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)
+    if backend == "pallas":
+        from . import cavlc_pallas
+
+        mb_hw, mb_bits = cavlc_pallas.merge_tree(
+            chunks_hw, chunks_bits, MB_W,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        mb_hw, mb_bits = tree_merge(chunks_hw, chunks_bits, MB_W)
     overflow = jnp.any(mb_bits > 32 * MB_W)
 
     # ---- trailing skip_run chunk per slice ----
