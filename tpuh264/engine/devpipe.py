@@ -26,7 +26,9 @@ from ..core.params import PPS, SPS
 from ..entropy import device_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
-from ..kernels import entropy_tpu, iframe
+from ..entropy.device_pack import SLICE_P
+from ..kernels import deblock as kdeblock
+from ..kernels import entropy_tpu, iframe, pframe
 from .config import CodecConfig
 from . import sources
 from .metrics import StatsWindow
@@ -246,6 +248,345 @@ class DevicePipeline:
         wall = time.perf_counter() - t0
         snap = self.stats.snapshot(self.config.streams)
         snap["frames"] = n
+        snap["pipeline_fps"] = n / wall
+        snap["frames_per_s_aggregate"] = n * self.config.streams / wall
+        snap["psnr_y"] = self.last_psnr_y
+        snap["stream_bytes"] = len(self.last_stream)
+        return snap
+
+
+def _deblock_i(recon, sh, qp):
+    """In-loop deblock of an all-intra frame (engine/encoder.py IDR path)."""
+    return kdeblock.deblock_frame_rows(
+        recon[0], recon[1], recon[2],
+        jnp.full(sh, 2, jnp.int32),
+        jnp.zeros(sh, jnp.int32), jnp.zeros(sh, jnp.int32),
+        jnp.zeros((*sh, 4, 4), jnp.int32), qp,
+    )
+
+
+def _deblock_p(recon, sym, motion, qp):
+    from .encoder import _deblock_nnz
+
+    nnz = _deblock_nnz(sym, False)
+    return kdeblock.deblock_frame_rows(
+        recon[0], recon[1], recon[2], sym.kind,
+        motion[0], motion[1], nnz, qp,
+        refidx=sym.refidx, t8=sym.t8,
+    )
+
+
+class GOPDevicePipeline:
+    """IPPP multi-stream RTC pipeline, fully device-resident.
+
+    The reference's scaling axis is independent streams over a worker
+    pool (app.js:430-526); here S streams ride the leading batch axis of
+    every kernel.  Each dispatch advances all S streams by
+    FRAMES_PER_DISPATCH GOP positions: an IDR (GOP start) or P frame per
+    position, with quarter-pel ME/MC against the previous deblocked
+    reconstruction.  The DPB -- both the encoder's reference chain and
+    the decoder's -- lives in HBM across dispatches (device handles are
+    re-fed, never downloaded): the TPU form of the reference's
+    SharedArrayBuffer zero-copy transport (SURVEY.md L4).  Entropy runs
+    on device (Pallas CAVLC on TPU), so per dispatch the host link
+    carries one wire buffer of payload bytes + metadata.
+
+    Every frame is round-tripped: the fused step also parses/reconstructs
+    the decode side (its own DPB chain) and accounts PSNR vs the source,
+    so the headline number is a true encode+decode figure.
+    """
+
+    BUCKET_W = 1024
+    FRAMES_PER_DISPATCH = 4
+
+    def __init__(self, config: Optional[CodecConfig] = None,
+                 gop_size: int = 16, **kw):
+        if config is None:
+            config = CodecConfig(**kw)
+        self.config = config
+        k = self.FRAMES_PER_DISPATCH
+        if gop_size % k:
+            raise ValueError("gop_size must be a multiple of "
+                             f"FRAMES_PER_DISPATCH={k}")
+        self.gop_dispatches = gop_size // k
+        self.w16 = (config.width + 15) // 16 * 16
+        self.h16 = (config.height + 15) // 16 * 16
+        self.sps = SPS.for_size(config.width, config.height)
+        if gop_size > (1 << (self.sps.log2_max_frame_num_minus4 + 4)):
+            raise ValueError("gop_size exceeds max_frame_num")
+        self.pps = PPS()
+        self.stats = StatsWindow()
+        self.dispatch_index = 0
+        self.last_stream: bytes = b""
+        self.frame_streams: list = []
+        self.last_psnr_y: float = 0.0
+        self._steps = {
+            True: self._build_step(True),
+            False: self._build_step(False),
+        }
+        s = config.streams
+        zero = lambda h, w: jnp.zeros((s, h, w), jnp.int32)
+        self._dpb_enc = (zero(self.h16, self.w16),
+                         zero(self.h16 // 2, self.w16 // 2),
+                         zero(self.h16 // 2, self.w16 // 2))
+        self._dpb_dec = self._dpb_enc
+
+    # -- headers ---------------------------------------------------------
+
+    def _headers(self, pos: int, qp: int):
+        """Device slice-header strings for GOP position `pos` (dispatch
+        index within the GOP): (hdr_i or None, hdr_p stacked P-major)."""
+        k = self.FRAMES_PER_DISPATCH
+        s = self.config.streams
+        hdr_i = None
+        if pos == 0:
+            hdr_i = device_pack.slice_headers_device(
+                self.sps, self.pps, qp, 0, True, s, deblock_idc=2,
+            )
+        first = pos * k + (1 if pos == 0 else 0)
+        per = [
+            device_pack.slice_headers_device(
+                self.sps, self.pps, qp, fn, False, s,
+                slice_type=SLICE_P, deblock_idc=2,
+            )
+            for fn in range(first, pos * k + k)
+        ]
+        hdr_p = (jnp.concatenate([p[0] for p in per], 0),
+                 jnp.concatenate([p[1] for p in per], 0))
+        return hdr_i, hdr_p
+
+    # -- fused device step ----------------------------------------------
+
+    def _build_step(self, start: bool):
+        k = self.FRAMES_PER_DISPATCH
+        streams = self.config.streams
+        source = sources._device_source_gop(self.w16, self.h16, k, streams)
+        bucket = self.BUCKET_W
+        n_p = k - 1 if start else k
+
+        def stack_syms(syms):
+            fields = []
+            for name in pframe.MBSymbolsP._fields:
+                vals = [getattr(x, name) for x in syms]
+                if vals[0] is None:
+                    fields.append(None)
+                    continue
+                st = jnp.stack(vals)  # [P, S, ...]
+                fields.append(st.reshape(n_p * streams, *st.shape[2:]))
+            return pframe.MBSymbolsP(*fields)
+
+        @jax.jit
+        def step(t, qp, dpb_enc, dpb_dec, hdr_i_hw, hdr_i_len,
+                 hdr_p_hw, hdr_p_len):
+            y, u, v = source(t)
+            y, u, v = (x.astype(jnp.int32) for x in (y, u, v))
+            p_syms = []
+            sse = []
+            cur, dec_cur = dpb_enc, dpb_dec
+            sym_i = None
+            for f in range(k):
+                if start and f == 0:
+                    sym_i, recon = iframe.encode_iframe_rows(
+                        y[0], u[0], v[0], qp
+                    )
+                    sh = sym_i.mode.shape
+                    cur = _deblock_i(recon, sh, qp)
+                    drec = iframe.decode_iframe_rows(sym_i, qp)
+                    dec = _deblock_i(drec, sh, qp)
+                else:
+                    sym, recon, motion = pframe.encode_pframe_rows(
+                        y[f], u[f], v[f], cur[0], cur[1], cur[2], qp
+                    )
+                    cur = _deblock_p(recon, sym, motion, qp)
+                    drec, dmotion = pframe.decode_pframe_rows_multi(
+                        sym, dec_cur[0][None], dec_cur[1][None],
+                        dec_cur[2][None], qp,
+                    )
+                    dec = _deblock_p(drec, sym, dmotion, qp)
+                    p_syms.append(sym)
+                dec_cur = dec
+                d = dec[0].astype(jnp.float32) - y[f].astype(jnp.float32)
+                d = d.reshape(streams, -1)
+                sse.append(jnp.sum(d * d, axis=-1))  # [S]
+
+            hw_p, bytes_p, ovf = entropy_tpu.encode_bits_pframe(
+                stack_syms(p_syms), qp, hdr_p_hw, hdr_p_len
+            )  # [P*S, R, SLICE_W], [P*S, R]
+            parts = [
+                None, None,
+                jax.lax.bitcast_convert_type(
+                    jnp.stack(sse).reshape(-1).astype(jnp.float32), jnp.int32
+                ),
+            ]
+            slabs = []
+            if start:
+                hw_i, bytes_i, ovf_i = entropy_tpu.encode_bits_iframe(
+                    sym_i, qp, hdr_i_hw, hdr_i_len
+                )
+                ovf = ovf | ovf_i | jnp.any(bytes_i > 4 * bucket)
+                parts[0] = bytes_i.reshape(-1)
+                slabs.append(hw_i[..., :bucket].reshape(-1))
+            else:
+                hw_i = hw_p[:0]
+            ovf = ovf | jnp.any(bytes_p > 4 * bucket)
+            parts[1] = bytes_p.reshape(-1)
+            slabs.append(hw_p[..., :bucket].reshape(-1))
+            wire = jnp.concatenate(
+                [ovf.astype(jnp.int32).reshape(1)]
+                + [p for p in parts if p is not None]
+                + slabs
+            )
+            return hw_i, hw_p, wire, cur, dec_cur
+
+        return step
+
+    # -- host loop -------------------------------------------------------
+
+    def _dispatch(self, qp: int):
+        pos = self.dispatch_index % self.gop_dispatches
+        start = pos == 0
+        hdr_i, hdr_p = self._headers(pos, qp)
+        dummy = jnp.zeros((0,), jnp.int32)
+        hdr_i_hw, hdr_i_len = hdr_i if hdr_i is not None else (dummy, dummy)
+        out = self._steps[start](
+            jnp.int32(self.dispatch_index * self.FRAMES_PER_DISPATCH),
+            jnp.int32(qp),
+            self._dpb_enc, self._dpb_dec,
+            hdr_i_hw, hdr_i_len, hdr_p[0], hdr_p[1],
+        )
+        hw_i, hw_p, wire, self._dpb_enc, self._dpb_dec = out
+        self.dispatch_index += 1
+        for _ in range(self.FRAMES_PER_DISPATCH):
+            self.stats.on_input()
+        return start, hw_i, hw_p, wire
+
+    def _consume(self, handles) -> np.ndarray:
+        """Retire one dispatch: ONE wire download + NAL framing.
+
+        Appends per-stream annex-B bytes for each frame of the dispatch
+        to self.frame_streams ([(stream0, ..., streamS-1), ...])."""
+        start, hw_i, hw_p, wire_dev = handles
+        wire = np.asarray(wire_dev)
+        k = self.FRAMES_PER_DISPATCH
+        s = self.config.streams
+        r = self.h16 // 16
+        n_p = k - 1 if start else k
+        bucket = self.BUCKET_W
+        off = 1
+        if start:
+            bytes_i = wire[off:off + s * r].reshape(s, r)
+            off += s * r
+        bytes_p = wire[off:off + n_p * s * r].reshape(n_p, s, r)
+        off += n_p * s * r
+        sse = wire[off:off + k * s].view(np.float32).reshape(k, s)
+        off += k * s
+        if wire[0]:  # bucket overflow: re-download from the full slabs
+            slab_i = (np.asarray(hw_i) if start else None)
+            slab_p = np.asarray(hw_p)
+            bi = slab_i.view(np.uint32).astype(">u4") if start else None
+            bp = slab_p.view(np.uint32).astype(">u4")
+            wmax_i = bi.shape[-1] if start else 0
+            wmax_p = bp.shape[-1]
+            if (start and int(bytes_i.max()) > 4 * wmax_i) or int(
+                bytes_p.max()
+            ) > 4 * wmax_p:
+                raise RuntimeError("device entropy overflow (slice cap)")
+        else:
+            if start:
+                bi = (
+                    wire[off:off + s * r * bucket]
+                    .reshape(s, r, bucket).view(np.uint32).astype(">u4")
+                )
+                off += s * r * bucket
+            bp = (
+                wire[off:off + n_p * s * r * bucket]
+                .reshape(n_p, s, r, bucket).view(np.uint32).astype(">u4")
+            )
+        bp = bp.reshape(n_p, s, r, -1)
+
+        esc = (
+            entropy_native.escape_rbsp
+            if entropy_native.available()
+            else nal.escape_rbsp
+        )
+        p_hdr_byte = bytes([(2 << 5) | nal.NAL_SLICE_NON_IDR])
+        f = 0
+        if start:
+            idr_hdr_byte = bytes([(3 << 5) | nal.NAL_SLICE_IDR])
+            w = BitWriter()
+            self.sps.write(w)
+            ps = bytes(nal.wrap_nal(nal.NAL_SPS, w.get_bytes()))
+            w = BitWriter()
+            self.pps.write(w)
+            ps += nal.wrap_nal(nal.NAL_PPS, w.get_bytes())
+            frame = []
+            for si in range(s):
+                out = bytearray(ps)
+                for ri in range(r):
+                    rbsp = bi[si, ri].tobytes()[: int(bytes_i[si, ri])]
+                    out += nal.START_CODE + idr_hdr_byte + esc(rbsp)
+                frame.append(bytes(out))
+            self.frame_streams.append(tuple(frame))
+            f = 1
+        for pi in range(n_p):
+            frame = []
+            for si in range(s):
+                out = bytearray()
+                for ri in range(r):
+                    rbsp = bp[pi, si, ri].tobytes()[: int(bytes_p[pi, si, ri])]
+                    out += nal.START_CODE + p_hdr_byte + esc(rbsp)
+                frame.append(bytes(out))
+            self.frame_streams.append(tuple(frame))
+        self.last_stream = self.frame_streams[-1][0]
+        return sse
+
+    def pump_frame(self) -> None:
+        """Encode+decode one dispatch synchronously (tests/drive)."""
+        qp = self.config.qp if self.config.qp is not None else 32
+        k = self.FRAMES_PER_DISPATCH
+        t0 = time.perf_counter()
+        handles = self._dispatch(qp)
+        sse = self._consume(handles)
+        dt = (time.perf_counter() - t0) * 1e3
+        mse = float(sse[-1, 0]) / (self.w16 * self.h16)
+        self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        total = sum(len(b) for fr in self.frame_streams[-k:] for b in fr)
+        self.stats.on_encode(k * self.config.streams, dt, 0.0, 0.0, total)
+        self.stats.on_decode(k * self.config.streams, dt)
+
+    def stream_bytes(self, stream_index: int = 0) -> bytes:
+        """Concatenated annex-B bitstream of one stream so far."""
+        return b"".join(fr[stream_index] for fr in self.frame_streams)
+
+    def run(self, duration_s: float = 5.0, warmup: int = 2) -> Dict[str, float]:
+        """Measurement loop, 1-dispatch-deep software pipelining."""
+        qp = self.config.qp if self.config.qp is not None else 32
+        k = self.FRAMES_PER_DISPATCH
+        for _ in range(warmup):
+            self.pump_frame()
+        self.stats.snapshot(self.config.streams)
+        n = 0
+        t0 = time.perf_counter()
+        deadline = t0 + duration_s
+        pending = None
+        sse = None
+        while time.perf_counter() < deadline:
+            handles = self._dispatch(qp)
+            if pending is not None:
+                sse = self._consume(pending)
+                n += k
+            pending = handles
+        if pending is not None:
+            sse = self._consume(pending)
+            n += k
+        wall = time.perf_counter() - t0
+        if sse is not None:
+            mse = float(sse[-1, 0]) / (self.w16 * self.h16)
+            self.last_psnr_y = (
+                99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+            )
+        snap = self.stats.snapshot(self.config.streams)
+        snap["frames"] = n * self.config.streams
         snap["pipeline_fps"] = n / wall
         snap["frames_per_s_aggregate"] = n * self.config.streams / wall
         snap["psnr_y"] = self.last_psnr_y

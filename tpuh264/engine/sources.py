@@ -103,6 +103,38 @@ def _device_source_frames(width: int, height: int, k: int):
     return gen
 
 
+@functools.lru_cache(maxsize=None)
+def _device_source_gop(width: int, height: int, k: int, streams: int):
+    """Batch axes TIME x STREAM: [k, streams, H, W] uint8 planes, frame
+    t+i of stream s has per-stream phase offsets (independent content)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(t):
+        ti = t + jnp.arange(k, dtype=jnp.int32)[:, None, None, None]
+        si = jnp.arange(streams, dtype=jnp.int32)[None, :, None, None]
+        yy = jnp.arange(height, dtype=jnp.int32)[None, None, :, None]
+        xx = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
+        y = ((xx * 2 + yy + ti * 7 + si * 37) % 256).astype(jnp.uint8)
+        yy2 = yy[:, :, ::2, :]
+        xx2 = xx[:, :, :, ::2]
+        u = (128 + 47 * jnp.sin((xx2 + ti * 3 + si * 11) / 37.0)).astype(
+            jnp.uint8
+        )
+        v = (128 + 47 * jnp.cos((yy2 - ti * 5 + si * 13) / 29.0)).astype(
+            jnp.uint8
+        )
+        shape2 = (k, streams, height // 2, width // 2)
+        return (
+            jnp.broadcast_to(y, (k, streams, height, width)),
+            jnp.broadcast_to(u, shape2),
+            jnp.broadcast_to(v, shape2),
+        )
+
+    return gen
+
+
 def device_yuv_frame(width: int, height: int, t, streams: int = 1):
     """Deterministic synthetic frames generated ON DEVICE (uint8 planes).
 
