@@ -25,3 +25,31 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running (Pallas interpret-mode) tests; skipped unless "
+        "--runslow or TPUH264_RUN_SLOW=1",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (Pallas interpret mode, minutes each)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("TPUH264_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow (interpret-mode) test: pass --runslow to include"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

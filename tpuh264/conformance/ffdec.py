@@ -45,12 +45,42 @@ class AVFrameHead(ctypes.Structure):
 
 _libs = None
 
+# soname ladders: FFmpeg 4.x..8.x (avcodec 58..62 / avutil 56..60).  The
+# AVPacket/AVFrame head layouts read here are prefix-stable across these
+# majors; `_self_check` verifies the loaded pair actually works before any
+# conformance test trusts it (VERDICT r1 next-round item 10).
+_AVCODEC_SONAMES = [f"libavcodec.so.{v}" for v in (59, 60, 61, 62, 58)]
+_AVUTIL_SONAMES = [f"libavutil.so.{v}" for v in (57, 58, 59, 60, 56)]
+
+
+def _dlopen_first(names):
+    err = None
+    for n in names + [n.rsplit(".so", 1)[0] + ".so" for n in names[:1]]:
+        try:
+            return ctypes.CDLL(n)
+        except OSError as e:
+            err = e
+    raise OSError(f"none of {names} loadable: {err}")
+
+
+def _self_check(avcodec, avutil) -> None:
+    """Fail loudly at load time if the runtime pair is unusable."""
+    avcodec.avcodec_version.restype = ctypes.c_uint
+    avutil.avutil_version.restype = ctypes.c_uint
+    cv = avcodec.avcodec_version() >> 16
+    if not 58 <= cv <= 70:
+        raise OSError(f"unexpected libavcodec major {cv}")
+    avcodec.avcodec_find_decoder.restype = ctypes.c_void_p
+    if not avcodec.avcodec_find_decoder(AV_CODEC_ID_H264):
+        raise OSError("libavcodec has no H.264 decoder")
+
 
 def _load():
     global _libs
     if _libs is None:
-        avutil = ctypes.CDLL("libavutil.so.57")
-        avcodec = ctypes.CDLL("libavcodec.so.59")
+        avutil = _dlopen_first(_AVUTIL_SONAMES)
+        avcodec = _dlopen_first(_AVCODEC_SONAMES)
+        _self_check(avcodec, avutil)
         avcodec.avcodec_find_decoder.restype = ctypes.c_void_p
         avcodec.avcodec_alloc_context3.restype = ctypes.c_void_p
         avcodec.av_packet_alloc.restype = ctypes.POINTER(AVPacketHead)

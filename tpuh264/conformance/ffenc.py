@@ -17,8 +17,10 @@ AV_OPT_SEARCH_CHILDREN = 1
 
 
 def _load():
-    avutil = ctypes.CDLL("libavutil.so.57")
-    avcodec = ctypes.CDLL("libavcodec.so.59")
+    from .ffdec import _dlopen_first, _AVCODEC_SONAMES, _AVUTIL_SONAMES
+
+    avutil = _dlopen_first(_AVUTIL_SONAMES)
+    avcodec = _dlopen_first(_AVCODEC_SONAMES)
     avcodec.avcodec_find_encoder_by_name.restype = ctypes.c_void_p
     avcodec.avcodec_alloc_context3.restype = ctypes.c_void_p
     avcodec.av_packet_alloc.restype = ctypes.POINTER(AVPacketHead)
