@@ -81,3 +81,45 @@ def test_gop_pipeline_streams_independent():
     y0 = gcodec.decode_annexb_seq(s0)[-1][0]
     y1 = gcodec.decode_annexb_seq(s1)[-1][0]
     assert not np.array_equal(y0, y1)
+
+
+def test_device_pipeline_overflow_host_fallback():
+    """QP-0 noise overflows the device entropy bit caps; the pipeline
+    must fall back to the host packer and still emit a conformant
+    stream (VERDICT r1 next-round item 5)."""
+    pipe = DevicePipeline(
+        CodecConfig(width=96, height=64, qp=0, streams=1),
+        source_kind="noise",
+    )
+    pipe.pump_frame()
+    stream = pipe.last_stream
+    assert pipe.fallback_packs > 0, "overflow path was not exercised"
+    assert len(pipe.frame_streams) == pipe.FRAMES_PER_DISPATCH
+    y, u, v = gcodec.decode_annexb(stream)
+    if _HAVE_AV:
+        (ay, au, av_), = decode_with_libav(stream)
+        np.testing.assert_array_equal(ay, y)
+        np.testing.assert_array_equal(au, u)
+        np.testing.assert_array_equal(av_, v)
+
+
+def test_gop_pipeline_overflow_host_fallback():
+    """Same for the IPPP GOP pipeline: IDR + P frames repacked on host."""
+    pipe = GOPDevicePipeline(
+        CodecConfig(width=96, height=64, qp=0, streams=2),
+        gop_size=8, source_kind="noise",
+    )
+    pipe.pump_frame()
+    pipe.pump_frame()  # P-only dispatch too
+    assert pipe.fallback_packs == 2, "overflow path was not exercised"
+    for si in range(2):
+        stream = pipe.stream_bytes(si)
+        ours = gcodec.decode_annexb_seq(stream)
+        assert len(ours) == 8
+        if _HAVE_AV:
+            av = decode_with_libav(stream)
+            assert len(av) == 8
+            for fi, ((ay, au, av_), (oy, ou, ov)) in enumerate(zip(av, ours)):
+                np.testing.assert_array_equal(ay, oy, err_msg=f"s{si} f{fi} Y")
+                np.testing.assert_array_equal(au, ou, err_msg=f"s{si} f{fi} U")
+                np.testing.assert_array_equal(av_, ov, err_msg=f"s{si} f{fi} V")

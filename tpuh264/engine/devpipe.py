@@ -26,6 +26,7 @@ from ..core.params import PPS, SPS
 from ..entropy import device_pack
 from ..entropy import native as entropy_native
 from ..entropy import pack as entropy_pack
+from ..entropy import packp as entropy_packp
 from ..entropy.device_pack import SLICE_P
 from ..kernels import deblock as kdeblock
 from ..kernels import entropy_tpu, iframe, pframe
@@ -37,10 +38,12 @@ from .metrics import StatsWindow
 class DevicePipeline:
     """encode -> wire bitstream -> N-stream fan-out decode, one dispatch."""
 
-    def __init__(self, config: Optional[CodecConfig] = None, **kw):
+    def __init__(self, config: Optional[CodecConfig] = None,
+                 source_kind: str = "moving_gradient", **kw):
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
+        self.source_kind = source_kind
         self.w16 = (config.width + 15) // 16 * 16
         self.h16 = (config.height + 15) // 16 * 16
         self.sps = SPS.for_size(config.width, config.height)
@@ -52,6 +55,7 @@ class DevicePipeline:
         )
         self.last_stream: bytes = b""
         self.last_psnr_y: float = 0.0
+        self.fallback_packs = 0  # dispatches repacked on host (overflow)
         self._step = self._build_step()
         self._hdr = None
 
@@ -69,7 +73,9 @@ class DevicePipeline:
     def _build_step(self):
         streams = self.config.streams
         k = self.FRAMES_PER_DISPATCH
-        source = sources._device_source_frames(self.w16, self.h16, k)
+        source = sources._device_source_frames(
+            self.w16, self.h16, k, self.source_kind
+        )
         bucket = self.BUCKET_W
 
         @jax.jit
@@ -89,8 +95,10 @@ class DevicePipeline:
             sse = d.reshape(k * streams, -1)
             sse = jnp.sum(sse * sse, axis=-1)  # [K*streams]
             # ---- single wire buffer: ONE host transfer per dispatch ----
-            # [ovf | slice_bytes (K*R) | sse bits (K*streams) | slabs]
-            ovf = ovf | jnp.any(slice_bytes > 4 * bucket)
+            # [entropy_ovf | slice_bytes (K*R) | sse bits (K*streams) |
+            #  slabs].  Bucket overflow is host-detected from slice_bytes;
+            # wire[0] flags only device-entropy (MB/slice cap) overflow,
+            # which routes to the host-packer fallback.
             slab = slice_hw[..., :bucket]
             wire = jnp.concatenate(
                 [
@@ -102,7 +110,7 @@ class DevicePipeline:
                     slab.reshape(-1),
                 ]
             )
-            return slice_hw, wire
+            return symbols, slice_hw, wire
 
         return step
 
@@ -118,10 +126,10 @@ class DevicePipeline:
         t_tpu = time.perf_counter()
         nbytes = 0
         if emit_bitstream:
-            sse = self._consume(handles)
+            sse = self._consume(handles, qp)
             nbytes = len(self.last_stream)
         else:
-            wire = np.asarray(handles[1])
+            wire = np.asarray(handles[2])
             sse = wire[1 + k * (self.h16 // 16) :][: k * cfg.streams].view(
                 np.float32
             )
@@ -134,20 +142,24 @@ class DevicePipeline:
         )
         self.stats.on_decode(k * cfg.streams, (t_tpu - t_in) * 1e3)
 
-    def _consume(self, handles) -> np.ndarray:
+    def _consume(self, handles, qp: int) -> np.ndarray:
         """Retire one dispatch (K frames): ONE wire-buffer download, then
-        NAL framing; falls back to the full payload slab on overflow.
+        NAL framing.  Bucket overflow falls back to the full payload
+        slab; device-entropy overflow (MB/slice bit caps, e.g. QP-0
+        noise) falls back to the host packer run on the downloaded
+        symbol tensors -- correctness is preserved for any content.
         Returns the [K*streams] SSE vector."""
-        slice_hw, wire_dev = handles
+        symbols, slice_hw, wire_dev = handles
         wire = np.asarray(wire_dev)  # the single host transfer
         r = self.h16 // 16
         k = self.FRAMES_PER_DISPATCH
         streams = self.config.streams
         sbytes = wire[1 : 1 + k * r].reshape(k, r)
         sse = wire[1 + k * r : 1 + k * r + k * streams].view(np.float32)
-        if wire[0]:
-            if int(sbytes.max()) > 4 * entropy_tpu.SLICE_W - 8:
-                raise RuntimeError("device entropy overflow (slice cap)")
+        if wire[0]:  # device entropy overflow: repack on host
+            self._host_pack_i(symbols, qp)
+            return sse
+        if int(sbytes.max()) > 4 * self.BUCKET_W:
             self._assemble(slice_hw, sbytes)  # bucket overflow: full slab
             return sse
         slab = wire[1 + k * r + k * streams :].reshape(k, r, self.BUCKET_W)
@@ -213,10 +225,40 @@ class DevicePipeline:
             )
             self.frame_streams.append(self.last_stream)
 
+    def _host_pack_i(self, symbols, qp: int) -> None:
+        """Device-entropy overflow fallback: download the symbol tensors
+        and run the host CAVLC packer (the path the engine sessions use),
+        preserving a conformant stream for adversarial content (the claim
+        in kernels/entropy_tpu.py:20-22)."""
+        self.fallback_packs += 1
+        k = self.FRAMES_PER_DISPATCH
+        n = (self.h16 // 16) * (self.w16 // 16)
+        mode = np.asarray(symbols.mode).reshape(k, n)
+        cmode = np.asarray(symbols.cmode).reshape(k, n)
+        cbp_l = np.asarray(symbols.cbp_luma).reshape(k, n)
+        cbp_c = np.asarray(symbols.cbp_chroma).reshape(k, n)
+        luma_dc = np.asarray(symbols.luma_dc).reshape(k, n, 16)
+        luma_ac = np.asarray(symbols.luma_ac).reshape(k, n, 16, 16)
+        chroma_dc = np.asarray(symbols.chroma_dc).reshape(k, n, 2, 4)
+        chroma_ac = np.asarray(symbols.chroma_ac).reshape(k, n, 2, 4, 15)
+        self.frame_streams = []
+        for f in range(k):
+            mb_info = np.ascontiguousarray(
+                np.stack([mode[f], cmode[f], cbp_l[f], cbp_c[f]], axis=1),
+                np.int32,
+            )
+            self.last_stream = self._entropy.pack_iframe(
+                mb_info, luma_dc[f], luma_ac[f], chroma_dc[f], chroma_ac[f],
+                self.sps, self.pps, qp,
+                slice_mode="rows", frame_num=0, idr=True, include_ps=True,
+                deblock_idc=1,
+            )
+            self.frame_streams.append(self.last_stream)
+
     def _retire(self, handles, qp: int) -> None:
         """Consume one dispatch (K frames) and update stats."""
         k = self.FRAMES_PER_DISPATCH
-        sse = self._consume(handles)
+        sse = self._consume(handles, qp)
         mse = float(sse[0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
         self.stats.on_encode(k, 0.0, 0.0, 0.0, len(self.last_stream))
@@ -300,10 +342,15 @@ class GOPDevicePipeline:
     FRAMES_PER_DISPATCH = 4
 
     def __init__(self, config: Optional[CodecConfig] = None,
-                 gop_size: int = 16, **kw):
+                 gop_size: int = 16, source_kind: str = "moving_gradient",
+                 **kw):
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
+        self.source_kind = source_kind
+        self._entropy = (
+            entropy_native if entropy_native.available() else entropy_pack
+        )
         k = self.FRAMES_PER_DISPATCH
         if gop_size % k:
             raise ValueError("gop_size must be a multiple of "
@@ -320,6 +367,7 @@ class GOPDevicePipeline:
         self.last_stream: bytes = b""
         self.frame_streams: list = []
         self.last_psnr_y: float = 0.0
+        self.fallback_packs = 0  # dispatches repacked on host (overflow)
         self._steps = {
             True: self._build_step(True),
             False: self._build_step(False),
@@ -360,7 +408,9 @@ class GOPDevicePipeline:
     def _build_step(self, start: bool):
         k = self.FRAMES_PER_DISPATCH
         streams = self.config.streams
-        source = sources._device_source_gop(self.w16, self.h16, k, streams)
+        source = sources._device_source_gop(
+            self.w16, self.h16, k, streams, self.source_kind
+        )
         bucket = self.BUCKET_W
         n_p = k - 1 if start else k
 
@@ -409,8 +459,9 @@ class GOPDevicePipeline:
                 d = d.reshape(streams, -1)
                 sse.append(jnp.sum(d * d, axis=-1))  # [S]
 
+            syms_p = stack_syms(p_syms)
             hw_p, bytes_p, ovf = entropy_tpu.encode_bits_pframe(
-                stack_syms(p_syms), qp, hdr_p_hw, hdr_p_len
+                syms_p, qp, hdr_p_hw, hdr_p_len
             )  # [P*S, R, SLICE_W], [P*S, R]
             parts = [
                 None, None,
@@ -423,12 +474,14 @@ class GOPDevicePipeline:
                 hw_i, bytes_i, ovf_i = entropy_tpu.encode_bits_iframe(
                     sym_i, qp, hdr_i_hw, hdr_i_len
                 )
-                ovf = ovf | ovf_i | jnp.any(bytes_i > 4 * bucket)
+                ovf = ovf | ovf_i
                 parts[0] = bytes_i.reshape(-1)
                 slabs.append(hw_i[..., :bucket].reshape(-1))
             else:
                 hw_i = hw_p[:0]
-            ovf = ovf | jnp.any(bytes_p > 4 * bucket)
+            # wire[0] flags device-entropy overflow only (host-packer
+            # fallback); bucket overflow is host-detected from the byte
+            # counts and re-reads the full slabs instead.
             parts[1] = bytes_p.reshape(-1)
             slabs.append(hw_p[..., :bucket].reshape(-1))
             wire = jnp.concatenate(
@@ -436,7 +489,7 @@ class GOPDevicePipeline:
                 + [p for p in parts if p is not None]
                 + slabs
             )
-            return hw_i, hw_p, wire, cur, dec_cur
+            return sym_i, syms_p, hw_i, hw_p, wire, cur, dec_cur
 
         return step
 
@@ -454,18 +507,21 @@ class GOPDevicePipeline:
             self._dpb_enc, self._dpb_dec,
             hdr_i_hw, hdr_i_len, hdr_p[0], hdr_p[1],
         )
-        hw_i, hw_p, wire, self._dpb_enc, self._dpb_dec = out
+        sym_i, syms_p, hw_i, hw_p, wire, self._dpb_enc, self._dpb_dec = out
         self.dispatch_index += 1
         for _ in range(self.FRAMES_PER_DISPATCH):
             self.stats.on_input()
-        return start, hw_i, hw_p, wire
+        return start, pos, sym_i, syms_p, hw_i, hw_p, wire
 
-    def _consume(self, handles) -> np.ndarray:
+    def _consume(self, handles, qp: int) -> np.ndarray:
         """Retire one dispatch: ONE wire download + NAL framing.
 
         Appends per-stream annex-B bytes for each frame of the dispatch
-        to self.frame_streams ([(stream0, ..., streamS-1), ...])."""
-        start, hw_i, hw_p, wire_dev = handles
+        to self.frame_streams ([(stream0, ..., streamS-1), ...]).
+        Bucket overflow re-reads the full payload slabs; device-entropy
+        overflow (MB/slice bit caps) repacks on host from the symbol
+        tensors."""
+        start, pos, sym_i, syms_p, hw_i, hw_p, wire_dev = handles
         wire = np.asarray(wire_dev)
         k = self.FRAMES_PER_DISPATCH
         s = self.config.streams
@@ -480,17 +536,16 @@ class GOPDevicePipeline:
         off += n_p * s * r
         sse = wire[off:off + k * s].view(np.float32).reshape(k, s)
         off += k * s
-        if wire[0]:  # bucket overflow: re-download from the full slabs
-            slab_i = (np.asarray(hw_i) if start else None)
-            slab_p = np.asarray(hw_p)
-            bi = slab_i.view(np.uint32).astype(">u4") if start else None
-            bp = slab_p.view(np.uint32).astype(">u4")
-            wmax_i = bi.shape[-1] if start else 0
-            wmax_p = bp.shape[-1]
-            if (start and int(bytes_i.max()) > 4 * wmax_i) or int(
-                bytes_p.max()
-            ) > 4 * wmax_p:
-                raise RuntimeError("device entropy overflow (slice cap)")
+        if wire[0]:  # device entropy overflow: repack on host
+            self._host_pack_gop(start, pos, sym_i, syms_p, qp)
+            return sse
+        bucket_ovf = int(bytes_p.max(initial=0)) > 4 * bucket or (
+            start and int(bytes_i.max()) > 4 * bucket
+        )
+        if bucket_ovf:  # re-download from the full slabs
+            bi = (np.asarray(hw_i).view(np.uint32).astype(">u4")
+                  if start else None)
+            bp = np.asarray(hw_p).view(np.uint32).astype(">u4")
         else:
             if start:
                 bi = (
@@ -540,13 +595,80 @@ class GOPDevicePipeline:
         self.last_stream = self.frame_streams[-1][0]
         return sse
 
+    def _host_pack_gop(self, start, pos, sym_i, syms_p, qp: int) -> None:
+        """Device-entropy overflow fallback: host CAVLC pack from the
+        downloaded symbol tensors (same slice headers as the device
+        path: frame_num = GOP position, deblock on, single ref)."""
+        self.fallback_packs += 1
+        k = self.FRAMES_PER_DISPATCH
+        s = self.config.streams
+        n = (self.h16 // 16) * (self.w16 // 16)
+        n_p = k - 1 if start else k
+        if start:
+            mode = np.asarray(sym_i.mode).reshape(s, n)
+            cmode = np.asarray(sym_i.cmode).reshape(s, n)
+            cbp_l = np.asarray(sym_i.cbp_luma).reshape(s, n)
+            cbp_c = np.asarray(sym_i.cbp_chroma).reshape(s, n)
+            ldc = np.asarray(sym_i.luma_dc).reshape(s, n, 16)
+            lac = np.asarray(sym_i.luma_ac).reshape(s, n, 16, 16)
+            cdc = np.asarray(sym_i.chroma_dc).reshape(s, n, 2, 4)
+            cac = np.asarray(sym_i.chroma_ac).reshape(s, n, 2, 4, 15)
+            frame = []
+            for si in range(s):
+                mb_info = np.ascontiguousarray(
+                    np.stack(
+                        [mode[si], cmode[si], cbp_l[si], cbp_c[si]], axis=1
+                    ),
+                    np.int32,
+                )
+                frame.append(self._entropy.pack_iframe(
+                    mb_info, ldc[si], lac[si], cdc[si], cac[si],
+                    self.sps, self.pps, qp,
+                    slice_mode="rows", frame_num=0, idr=True,
+                    include_ps=True, deblock_idc=2,
+                ))
+            self.frame_streams.append(tuple(frame))
+        kind = np.asarray(syms_p.kind).reshape(n_p, s, n)
+        mode = np.asarray(syms_p.mode).reshape(n_p, s, n)
+        cmode = np.asarray(syms_p.cmode).reshape(n_p, s, n)
+        cbp_l = np.asarray(syms_p.cbp_luma).reshape(n_p, s, n)
+        cbp_c = np.asarray(syms_p.cbp_chroma).reshape(n_p, s, n)
+        mvdx = np.asarray(syms_p.mvdx).reshape(n_p, s, n)
+        mvdy = np.asarray(syms_p.mvdy).reshape(n_p, s, n)
+        ldc = np.asarray(syms_p.luma_dc).reshape(n_p, s, n, 16)
+        lac = np.asarray(syms_p.luma_ac).reshape(n_p, s, n, 16, 16)
+        cdc = np.asarray(syms_p.chroma_dc).reshape(n_p, s, n, 2, 4)
+        cac = np.asarray(syms_p.chroma_ac).reshape(n_p, s, n, 2, 4, 15)
+        pack_p = getattr(self._entropy, "pack_pframe",
+                         entropy_packp.pack_pframe)
+        first = pos * k + (1 if start else 0)
+        for pi in range(n_p):
+            frame = []
+            for si in range(s):
+                mb_info = np.zeros((n, 8), np.int32)
+                mb_info[:, 0] = kind[pi, si]
+                mb_info[:, 1] = mode[pi, si]
+                mb_info[:, 2] = cmode[pi, si]
+                mb_info[:, 3] = cbp_l[pi, si]
+                mb_info[:, 4] = cbp_c[pi, si]
+                mb_info[:, 5] = mvdx[pi, si]
+                mb_info[:, 6] = mvdy[pi, si]
+                frame.append(pack_p(
+                    mb_info, ldc[pi, si], lac[pi, si], cdc[pi, si],
+                    cac[pi, si], self.sps, self.pps, qp,
+                    slice_mode="rows", frame_num=first + pi,
+                    deblock_idc=2, ref=True, num_ref_active=1,
+                ))
+            self.frame_streams.append(tuple(frame))
+        self.last_stream = self.frame_streams[-1][0]
+
     def pump_frame(self) -> None:
         """Encode+decode one dispatch synchronously (tests/drive)."""
         qp = self.config.qp if self.config.qp is not None else 32
         k = self.FRAMES_PER_DISPATCH
         t0 = time.perf_counter()
         handles = self._dispatch(qp)
-        sse = self._consume(handles)
+        sse = self._consume(handles, qp)
         dt = (time.perf_counter() - t0) * 1e3
         mse = float(sse[-1, 0]) / (self.w16 * self.h16)
         self.last_psnr_y = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
@@ -573,11 +695,11 @@ class GOPDevicePipeline:
         while time.perf_counter() < deadline:
             handles = self._dispatch(qp)
             if pending is not None:
-                sse = self._consume(pending)
+                sse = self._consume(pending, qp)
                 n += k
             pending = handles
         if pending is not None:
-            sse = self._consume(pending)
+            sse = self._consume(pending, qp)
             n += k
         wall = time.perf_counter() - t0
         if sse is not None:

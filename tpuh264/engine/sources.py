@@ -78,8 +78,19 @@ def _device_source(width: int, height: int, streams: int):
     return gen
 
 
+def _hash_noise(jnp, *terms):
+    """Cheap on-device integer-hash noise in [0, 256) (int32 wraparound)."""
+    h = sum(t * m for t, m in zip(terms, (1664525, 1013904223, 69069)))
+    h = jnp.asarray(h, jnp.int32)
+    h = h ^ (h >> 13)
+    h = h * 1103515245 + 12345
+    h = h ^ (h >> 7)
+    return (h & 255).astype(jnp.uint8)
+
+
 @functools.lru_cache(maxsize=None)
-def _device_source_frames(width: int, height: int, k: int):
+def _device_source_frames(width: int, height: int, k: int,
+                          kind: str = "moving_gradient"):
     """Like _device_source, but the batch axis is TIME: element i is the
     content of frame t+i (for multi-frame-per-dispatch pipelines)."""
     import jax
@@ -90,11 +101,16 @@ def _device_source_frames(width: int, height: int, k: int):
         s = t + jnp.arange(k, dtype=jnp.int32)[:, None, None]
         yy = jnp.arange(height, dtype=jnp.int32)[None, :, None]
         xx = jnp.arange(width, dtype=jnp.int32)[None, None, :]
-        y = ((xx * 2 + yy + s * 7) % 256).astype(jnp.uint8)
-        yy2 = yy[:, ::2, :]
-        xx2 = xx[:, :, ::2]
-        u = (128 + 47 * jnp.sin((xx2 + s * 3) / 37.0)).astype(jnp.uint8)
-        v = (128 + 47 * jnp.cos((yy2 - s * 5) / 29.0)).astype(jnp.uint8)
+        if kind == "noise":
+            y = _hash_noise(jnp, xx, yy, s)
+            u = _hash_noise(jnp, xx[:, :, ::2] + 7, yy[:, ::2, :] + 3, s)
+            v = _hash_noise(jnp, xx[:, :, ::2] + 13, yy[:, ::2, :] + 11, s)
+        else:
+            y = ((xx * 2 + yy + s * 7) % 256).astype(jnp.uint8)
+            yy2 = yy[:, ::2, :]
+            xx2 = xx[:, :, ::2]
+            u = (128 + 47 * jnp.sin((xx2 + s * 3) / 37.0)).astype(jnp.uint8)
+            v = (128 + 47 * jnp.cos((yy2 - s * 5) / 29.0)).astype(jnp.uint8)
         u = jnp.broadcast_to(u, (k, height // 2, width // 2))
         v = jnp.broadcast_to(v, (k, height // 2, width // 2))
         y = jnp.broadcast_to(y, (k, height, width))
@@ -104,7 +120,8 @@ def _device_source_frames(width: int, height: int, k: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _device_source_gop(width: int, height: int, k: int, streams: int):
+def _device_source_gop(width: int, height: int, k: int, streams: int,
+                       kind: str = "moving_gradient"):
     """Batch axes TIME x STREAM: [k, streams, H, W] uint8 planes, frame
     t+i of stream s has per-stream phase offsets (independent content)."""
     import jax
@@ -116,15 +133,24 @@ def _device_source_gop(width: int, height: int, k: int, streams: int):
         si = jnp.arange(streams, dtype=jnp.int32)[None, :, None, None]
         yy = jnp.arange(height, dtype=jnp.int32)[None, None, :, None]
         xx = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
-        y = ((xx * 2 + yy + ti * 7 + si * 37) % 256).astype(jnp.uint8)
-        yy2 = yy[:, :, ::2, :]
-        xx2 = xx[:, :, :, ::2]
-        u = (128 + 47 * jnp.sin((xx2 + ti * 3 + si * 11) / 37.0)).astype(
-            jnp.uint8
-        )
-        v = (128 + 47 * jnp.cos((yy2 - ti * 5 + si * 13) / 29.0)).astype(
-            jnp.uint8
-        )
+        if kind == "noise":
+            y = _hash_noise(jnp, xx + si * 97, yy, ti)
+            u = _hash_noise(
+                jnp, xx[..., ::2] + si * 97 + 7, yy[:, :, ::2] + 3, ti
+            )
+            v = _hash_noise(
+                jnp, xx[..., ::2] + si * 97 + 13, yy[:, :, ::2] + 11, ti
+            )
+        else:
+            y = ((xx * 2 + yy + ti * 7 + si * 37) % 256).astype(jnp.uint8)
+            yy2 = yy[:, :, ::2, :]
+            xx2 = xx[:, :, :, ::2]
+            u = (128 + 47 * jnp.sin((xx2 + ti * 3 + si * 11) / 37.0)).astype(
+                jnp.uint8
+            )
+            v = (128 + 47 * jnp.cos((yy2 - ti * 5 + si * 13) / 29.0)).astype(
+                jnp.uint8
+            )
         shape2 = (k, streams, height // 2, width // 2)
         return (
             jnp.broadcast_to(y, (k, streams, height, width)),
