@@ -1147,3 +1147,374 @@ int64_t th264_parse_slice_p(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dispatch-level annex-B decode front end (the honest bench decode path).
+//
+// Takes the raw annex-B bytes of F frame-streams (one access unit each,
+// exactly as they leave the wire), performs the full entropy-decode front
+// half of a real H.264 decoder -- start-code scan, NAL unwrap, emulation-
+// prevention removal, slice-header parse, CAVLC slice-data parse -- and
+// emits COMPACT records sized to the content rather than the frame:
+//   * one (pos, 9 int16 fields) record per non-skip macroblock, P-slice
+//     layout (I slices are normalized to all-intra records), and
+//   * one (pos, value) record per nonzero coefficient, positions indexed
+//     into the virtual dense [F, N_mb, 400] layout
+//     (16 luma DC | 16x16 luma AC | 2x4 chroma DC | 2x4x15 chroma AC).
+// The TPU scatters these back to dense symbol tensors and reconstructs
+// (engine/devpipe.py).  Compactness matters because the tunneled host
+// link runs at ~80 MB/s: dense symbol tensors would be ~90 MB per
+// dispatch; these records are proportional to the actual bitstream.
+//
+// Role analog in the reference: the entropy-decode half of
+// DecodeFrameNoDelay inside each decoder worker's wasm instance
+// (/root/reference/scripts/decoder_worker.js:154-189,
+//  /root/reference/openh264_wrapper.cpp:391-422).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FsOut {
+  std::vector<int32_t> mb_pos;
+  std::vector<int16_t> mb_fields;  // 9 per record
+  std::vector<int32_t> cpos;
+  std::vector<int16_t> cval;
+  int32_t qp = -1;
+  int32_t err = 0;
+};
+
+// local index bases inside the per-MB 400-slot coefficient layout
+enum { LDC_BASE = 0, LAC_BASE = 16, CDC_BASE = 272, CAC_BASE = 280,
+       MB_SLOTS = 400 };
+
+static inline void emit_block(FsOut& o, int64_t base, const int16_t* blk,
+                              int count) {
+  for (int i = 0; i < count; i++) {
+    if (blk[i]) {
+      o.cpos.push_back((int32_t)(base + i));
+      o.cval.push_back(blk[i]);
+    }
+  }
+}
+
+// Parse one slice's MB data, emitting compact records.  `is_i` selects
+// I-slice syntax (mb_type direct) vs P-slice syntax (skip runs, inter
+// MBs, intra mb_type offset 5).  Supported subset = what our encoder
+// emits on the device path: I16 intra, P_Skip, P_L0_16x16.  Returns MBs
+// parsed, or -1 on error / unsupported syntax.
+static int64_t parse_slice_compact(
+    const uint8_t* rbsp, int64_t nbytes, int64_t start_bit, bool is_i,
+    int32_t slice_start, int32_t mbw, int32_t max_mbs, int32_t nra,
+    int64_t fs_base, int32_t* nnz_y, int32_t* nnz_u, int32_t* nnz_v,
+    FsOut& o) {
+  build_luts();
+  BitReader r{rbsp, nbytes, start_bit};
+  const int ys = 4 * mbw, cs = 2 * mbw;
+  int32_t addr = slice_start;
+  int64_t count = 0;
+  int16_t blk[16];
+
+  auto zero_nnz = [&](int mbx, int mby) {
+    for (int by = 0; by < 4; by++)
+      for (int bx = 0; bx < 4; bx++)
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+    for (int by = 0; by < 2; by++)
+      for (int bx = 0; bx < 2; bx++) {
+        nnz_u[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+        nnz_v[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+  };
+
+  auto parse_luma_i16 = [&](int mbx, int mby, bool left_mb, bool top_mb,
+                            int cbp_l) {
+    int64_t mb_coef = fs_base + (int64_t)addr * MB_SLOTS;
+    int nc0 = nc_of(nnz_y, ys, 4 * mbx, 4 * mby, left_mb, top_mb);
+    decode_block(r, blk, nc0, 16);
+    emit_block(o, mb_coef + LDC_BASE, blk, 16);
+    if (cbp_l) {
+      for (int b = 0; b < 16; b++) {
+        int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+        int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                       bx > 0 || left_mb, by > 0 || top_mb);
+        int tc = decode_block(r, blk, nc, 15);
+        emit_block(o, mb_coef + LAC_BASE + (4 * by + bx) * 16 + 1, blk, 15);
+        nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+      }
+    } else {
+      for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+          nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+    }
+  };
+
+  auto parse_chroma = [&](int mbx, int mby, bool left_mb, bool top_mb,
+                          int cbp_c) {
+    int64_t mb_coef = fs_base + (int64_t)addr * MB_SLOTS;
+    if (cbp_c) {
+      decode_block(r, blk, -1, 4);
+      emit_block(o, mb_coef + CDC_BASE, blk, 4);
+      decode_block(r, blk, -1, 4);
+      emit_block(o, mb_coef + CDC_BASE + 4, blk, 4);
+    }
+    if (cbp_c == 2) {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int b = 0; b < 4; b++) {
+          int bx = b % 2, by = b / 2;
+          int nc = nc_of(nnz_c, cs, 2 * mbx + bx, 2 * mby + by,
+                         bx > 0 || left_mb, by > 0 || top_mb);
+          int tc = decode_block(r, blk, nc, 15);
+          emit_block(o, mb_coef + CAC_BASE + (comp * 4 + b) * 15, blk, 15);
+          nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = tc;
+        }
+      }
+    } else {
+      for (int comp = 0; comp < 2; comp++) {
+        int32_t* nnz_c = comp == 0 ? nnz_u : nnz_v;
+        for (int by = 0; by < 2; by++)
+          for (int bx = 0; bx < 2; bx++)
+            nnz_c[(2 * mby + by) * cs + 2 * mbx + bx] = 0;
+      }
+    }
+  };
+
+  auto emit_mb = [&](int16_t kind, int16_t mode, int16_t cmode,
+                     int16_t cbp_l, int16_t cbp_c, int16_t mvdx,
+                     int16_t mvdy, int16_t refidx) {
+    o.mb_pos.push_back((int32_t)(fs_base / MB_SLOTS + addr));
+    int16_t f[9] = {kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy, refidx, 0};
+    o.mb_fields.insert(o.mb_fields.end(), f, f + 9);
+  };
+
+  while (count < max_mbs && r.more_rbsp_data()) {
+    int mbx, mby;
+    bool left_mb, top_mb;
+    uint32_t mb_type;
+
+    if (!is_i) {
+      uint32_t run = r.ue();
+      if (r.error) return -1;
+      for (uint32_t j = 0; j < run && count < max_mbs; j++) {
+        zero_nnz(addr % mbw, addr / mbw);
+        addr++;
+        count++;
+      }
+      if (count >= max_mbs || !r.more_rbsp_data()) break;
+    }
+    mbx = addr % mbw;
+    mby = addr / mbw;
+    left_mb = (mbx > 0) && (addr - 1 >= slice_start);
+    top_mb = (addr - mbw >= slice_start);
+    mb_type = r.ue();
+    if (r.error) return -1;
+
+    if (is_i || mb_type >= 5) {
+      int icode = is_i ? (int)mb_type : (int)mb_type - 5;
+      if (icode < 1 || icode > 24) return -1;  // I_NxN / I_PCM unsupported
+      int t = icode - 1;
+      int16_t mode = t % 4, cbp_c = (t / 4) % 3, cbp_l = t >= 12 ? 1 : 0;
+      int16_t cmode = (int16_t)r.ue();
+      r.se();  // mb_qp_delta (always 0 on this path)
+      emit_mb(2, mode, cmode, cbp_l, cbp_c, 0, 0, 0);
+      parse_luma_i16(mbx, mby, left_mb, top_mb, cbp_l);
+      parse_chroma(mbx, mby, left_mb, top_mb, cbp_c);
+    } else if (mb_type == 0) {  // P_L0_16x16
+      int16_t refidx = 0;
+      if (nra > 1)
+        refidx = (nra == 2) ? (int16_t)(1 - r.u(1)) : (int16_t)r.ue();
+      int16_t mvdx = (int16_t)r.se();
+      int16_t mvdy = (int16_t)r.se();
+      uint32_t code = r.ue();
+      if (code >= 48 || r.error) return -1;
+      int cbp = CBP_INTER_TAB[code];
+      int16_t cbp_l = cbp & 15, cbp_c = cbp >> 4;
+      if (cbp) r.se();  // mb_qp_delta
+      emit_mb(1, 0, 0, cbp_l, cbp_c, mvdx, mvdy, refidx);
+      int64_t mb_coef = fs_base + (int64_t)addr * MB_SLOTS;
+      for (int i8 = 0; i8 < 4; i8++) {
+        if (cbp_l >> i8 & 1) {
+          for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+            int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+            int nc = nc_of(nnz_y, ys, 4 * mbx + bx, 4 * mby + by,
+                           bx > 0 || left_mb, by > 0 || top_mb);
+            int tc = decode_block(r, blk, nc, 16);
+            emit_block(o, mb_coef + LAC_BASE + (4 * by + bx) * 16, blk, 16);
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = tc;
+          }
+        } else {
+          for (int b = 4 * i8; b < 4 * i8 + 4; b++) {
+            int bx = BLK_SCAN[b][0], by = BLK_SCAN[b][1];
+            nnz_y[(4 * mby + by) * ys + 4 * mbx + bx] = 0;
+          }
+        }
+      }
+      parse_chroma(mbx, mby, left_mb, top_mb, cbp_c);
+    } else {
+      return -1;  // P partitions beyond 16x16 unsupported on this path
+    }
+    if (r.error) return -1;
+    addr++;
+    count++;
+  }
+  return count;
+}
+
+// Full annex-B front end for one frame-stream's access unit.
+static int32_t parse_fs_annexb(
+    const uint8_t* data, int64_t nbytes, int32_t fs_index,
+    int32_t mbw, int32_t mbh, int32_t frame_num_bits, int32_t poc8,
+    int32_t deblock_ctrl, int32_t pps_init_qp, FsOut& o) {
+  const int32_t n_mbs = mbw * mbh;
+  std::vector<int32_t> nnz_y((size_t)16 * n_mbs);
+  std::vector<int32_t> nnz_u((size_t)4 * n_mbs);
+  std::vector<int32_t> nnz_v((size_t)4 * n_mbs);
+  std::vector<uint8_t> rbsp;
+  int64_t total_mbs = 0;
+
+  int64_t i = 0;
+  while (i + 3 < nbytes) {
+    // start-code scan (00 00 01, optionally preceded by more zeros)
+    if (!(data[i] == 0 && data[i + 1] == 0 && data[i + 2] == 1)) {
+      i++;
+      continue;
+    }
+    int64_t nal_start = i + 3;
+    int64_t next = nal_start;
+    while (next + 2 < nbytes &&
+           !(data[next] == 0 && data[next + 1] == 0 && data[next + 2] == 1))
+      next++;
+    int64_t nal_end = (next + 2 < nbytes) ? next : nbytes;
+    while (nal_end > nal_start && data[nal_end - 1] == 0) nal_end--;
+
+    uint8_t hdr = data[nal_start];
+    int ref_idc = hdr >> 5, ntype = hdr & 31;
+    i = nal_end;
+    if (ntype != 1 && ntype != 5) continue;  // skip SPS/PPS/SEI etc.
+
+    rbsp.resize((size_t)(nal_end - nal_start - 1) + 16);
+    int64_t rb = th264_unescape(data + nal_start + 1,
+                                nal_end - nal_start - 1, rbsp.data(),
+                                (int64_t)rbsp.size());
+    if (rb < 0) return -1;
+
+    // slice header (core/sliceheader.py subset)
+    BitReader r{rbsp.data(), rb, 0};
+    uint32_t first_mb = r.ue();
+    uint32_t slice_type = r.ue() % 5;
+    r.ue();  // pps id
+    r.u(frame_num_bits);
+    bool idr = ntype == 5;
+    if (idr) r.ue();  // idr_pic_id
+    if (poc8) r.u(8);
+    int32_t nra = 1;
+    if (slice_type == 0) {  // P
+      if (r.u(1)) nra = (int32_t)r.ue() + 1;
+      if (r.u(1)) return -1;  // ref_pic_list_modification unsupported
+    } else if (slice_type != 2) {
+      return -1;
+    }
+    if (idr) {
+      r.u(1);
+      if (r.u(1)) return -1;  // long-term reference unsupported
+    } else if (ref_idc) {
+      if (r.u(1)) return -1;  // MMCO unsupported
+    }
+    int32_t qp = pps_init_qp + r.se();
+    if (deblock_ctrl) {
+      uint32_t idc = r.ue();
+      if (idc != 1) {
+        r.se();
+        r.se();
+      }
+    }
+    if (r.error) return -1;
+    if (o.qp < 0) o.qp = qp;
+    if (qp != o.qp) return -1;  // uniform-QP path
+
+    int64_t fs_base = (int64_t)fs_index * n_mbs * MB_SLOTS;
+    int32_t max_mbs = n_mbs - (int32_t)first_mb;
+    // row slices end at the next row: cap by remaining MBs (the data
+    // itself terminates at the rbsp stop bit)
+    int64_t got = parse_slice_compact(
+        rbsp.data(), rb, r.pos, slice_type == 2, (int32_t)first_mb, mbw,
+        max_mbs, nra, fs_base, nnz_y.data(), nnz_u.data(), nnz_v.data(), o);
+    if (got < 0) return -1;
+    total_mbs += got;
+  }
+  return total_mbs == n_mbs ? 0 : -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse F frame-streams' annex-B access units into compact MB/coefficient
+// records (layout documented above).  Returns 0, -1 (parse error), or
+// -2 (caller caps too small; counts[] still reports required sizes).
+int64_t th264_parse_dispatch_compact(
+    const uint8_t* blob, const int64_t* fs_off, int32_t n_fs,
+    int32_t mbw, int32_t mbh,
+    int32_t frame_num_bits, int32_t poc8, int32_t deblock_ctrl,
+    int32_t pps_init_qp,
+    int32_t* qp_out,                       // [n_fs]
+    int32_t* mb_pos, int16_t* mb_fields,   // [cap_mb], [cap_mb*9]
+    int64_t cap_mb,
+    int32_t* cpos, int16_t* cval, int64_t cap_c,
+    int64_t* counts,                       // out: [n_mb_total, n_coef_total]
+    int32_t n_threads) {
+  std::vector<FsOut> outs(n_fs);
+  std::atomic<int32_t> next{0};
+  std::atomic<bool> failed{false};
+
+  auto work = [&]() {
+    while (true) {
+      int32_t f = next.fetch_add(1);
+      if (f >= n_fs || failed.load(std::memory_order_relaxed)) return;
+      int32_t rc = parse_fs_annexb(
+          blob + fs_off[f], fs_off[f + 1] - fs_off[f], f, mbw, mbh,
+          frame_num_bits, poc8, deblock_ctrl, pps_init_qp, outs[f]);
+      if (rc < 0) {
+        outs[f].err = rc;
+        failed.store(true);
+        return;
+      }
+    }
+  };
+
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_fs) nt = n_fs;
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& th : threads) th.join();
+  }
+  if (failed.load()) return -1;
+
+  int64_t n_mb = 0, n_c = 0;
+  for (int32_t f = 0; f < n_fs; f++) {
+    n_mb += (int64_t)outs[f].mb_pos.size();
+    n_c += (int64_t)outs[f].cpos.size();
+    qp_out[f] = outs[f].qp;
+  }
+  counts[0] = n_mb;
+  counts[1] = n_c;
+  if (n_mb > cap_mb || n_c > cap_c) return -2;
+
+  int64_t om = 0, oc = 0;
+  for (int32_t f = 0; f < n_fs; f++) {
+    FsOut& o = outs[f];
+    std::memcpy(mb_pos + om, o.mb_pos.data(),
+                o.mb_pos.size() * sizeof(int32_t));
+    std::memcpy(mb_fields + om * 9, o.mb_fields.data(),
+                o.mb_fields.size() * sizeof(int16_t));
+    om += (int64_t)o.mb_pos.size();
+    std::memcpy(cpos + oc, o.cpos.data(), o.cpos.size() * sizeof(int32_t));
+    std::memcpy(cval + oc, o.cval.data(), o.cval.size() * sizeof(int16_t));
+    oc += (int64_t)o.cpos.size();
+  }
+  return 0;
+}
+
+}  // extern "C"

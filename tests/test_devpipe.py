@@ -123,3 +123,99 @@ def test_gop_pipeline_overflow_host_fallback():
                 np.testing.assert_array_equal(ay, oy, err_msg=f"s{si} f{fi} Y")
                 np.testing.assert_array_equal(au, ou, err_msg=f"s{si} f{fi} U")
                 np.testing.assert_array_equal(av_, ov, err_msg=f"s{si} f{fi} V")
+
+
+def test_gop_pipeline_decode_from_bits_bitexact():
+    """The device decode chain consumes PARSED annex-B bytes (native
+    CAVLC front end -> compact records -> TPU scatter + reconstruction;
+    VERDICT r1 next-round item 1).  Its final reconstruction must equal
+    the golden decoder's decode of the same bytes, for every stream,
+    across a GOP boundary."""
+    pipe = GOPDevicePipeline(
+        CodecConfig(width=64, height=48, qp=28, streams=2), gop_size=8
+    )
+    for _ in range(3):  # IDR+3P | 4P | IDR+3P
+        pipe.pump_frame()
+    dy, du, dv = pipe.decoded_planes()
+    for si in range(2):
+        ours = gcodec.decode_annexb_seq(pipe.stream_bytes(si))
+        oy, ou, ov = ours[-1]
+        np.testing.assert_array_equal(dy[si][: oy.shape[0], : oy.shape[1]], oy)
+        np.testing.assert_array_equal(du[si][: ou.shape[0], : ou.shape[1]], ou)
+        np.testing.assert_array_equal(dv[si][: ov.shape[0], : ov.shape[1]], ov)
+
+
+def test_parse_dispatch_compact_roundtrip():
+    """The compact-record parser inverts the host packer exactly: records
+    scattered back to dense tensors equal the packer's inputs."""
+    from tpuh264.core.params import PPS, SPS
+    from tpuh264.entropy import native as en
+
+    rng = np.random.default_rng(7)
+    mbw, mbh = 4, 3
+    n = mbw * mbh
+    sps, pps = SPS.for_size(16 * mbw, 16 * mbh), PPS()
+    mb_info = np.zeros((n, 8), np.int32)
+    mb_info[:, 0] = rng.integers(0, 3, n)  # skip / inter / intra
+    mb_info[:, 1] = rng.integers(0, 4, n)
+    mb_info[:, 2] = rng.integers(0, 4, n)
+    mb_info[:, 5] = rng.integers(-16, 17, n)
+    mb_info[:, 6] = rng.integers(-16, 17, n)
+    intra = mb_info[:, 0] == 2
+    mb_info[:, 3] = np.where(intra, rng.integers(0, 2, n),
+                             rng.integers(0, 16, n))
+    mb_info[:, 4] = rng.integers(0, 3, n)
+    ldc = np.where(intra[:, None], rng.integers(-8, 9, (n, 16)), 0)
+    lac = rng.integers(-4, 5, (n, 16, 16)).astype(np.int16)
+    mb_info[intra, 5:7] = 0  # intra MBs carry no mvd
+    for i in range(n):
+        if mb_info[i, 0] == 0:
+            lac[i] = 0
+            ldc[i] = 0
+            mb_info[i, 1:7] = 0
+        elif mb_info[i, 0] == 2:
+            lac[i, :, 0] = 0  # I16 AC uses slots 1..15
+            if mb_info[i, 3] == 0:
+                lac[i] = 0
+        else:
+            ldc[i] = 0
+            for i8 in range(4):
+                if not (mb_info[i, 3] >> i8) & 1:
+                    for b in range(4 * i8, 4 * i8 + 4):
+                        bx, by = [(0,0),(1,0),(0,1),(1,1),(2,0),(3,0),(2,1),(3,1),
+                                  (0,2),(1,2),(0,3),(1,3),(2,2),(3,2),(2,3),(3,3)][b]
+                        lac[i, 4 * by + bx] = 0
+    cdc = rng.integers(-6, 7, (n, 2, 4)).astype(np.int16)
+    cac = rng.integers(-3, 4, (n, 2, 4, 15)).astype(np.int16)
+    for i in range(n):
+        if mb_info[i, 0] == 0 or mb_info[i, 4] == 0:
+            cdc[i] = 0
+        if mb_info[i, 0] == 0 or mb_info[i, 4] != 2:
+            cac[i] = 0
+    # ensure coded blocks are truly coded (nonzero where cbp demands)
+    stream = en.pack_pframe(
+        mb_info, ldc.astype(np.int16), lac, cdc, cac, sps, pps, 30,
+        frame_num=1, deblock_idc=2,
+    )
+    qp, mb_pos, mb_fields, cpos, cval = en.parse_dispatch_compact(
+        [stream], mbw, mbh, sps, pps
+    )
+    assert qp == 30
+    # scatter back to dense and compare
+    dense = np.zeros((n, 400), np.int16)
+    dense.reshape(-1)[cpos] = cval
+    got_ldc = dense[:, :16]
+    got_lac = dense[:, 16:272].reshape(n, 16, 16)
+    got_cdc = dense[:, 272:280].reshape(n, 2, 4)
+    got_cac = dense[:, 280:400].reshape(n, 2, 4, 15)
+    gk = np.zeros((n, 9), np.int16)
+    gk[mb_pos] = mb_fields
+    # parse of a packed stream reproduces exactly the coded symbols
+    np.testing.assert_array_equal(gk[:, 0], mb_info[:, 0])
+    coded = mb_info[:, 0] != 0
+    np.testing.assert_array_equal(gk[coded, 5], mb_info[coded, 5])
+    np.testing.assert_array_equal(gk[coded, 6], mb_info[coded, 6])
+    np.testing.assert_array_equal(got_ldc, ldc.astype(np.int16))
+    np.testing.assert_array_equal(got_lac, lac)
+    np.testing.assert_array_equal(got_cdc, cdc)
+    np.testing.assert_array_equal(got_cac, cac)

@@ -50,8 +50,16 @@ def encode_with_x264(
     fps: int = 30,
     preset: str = "veryfast",
     tune: str = "zerolatency",
+    profile: str = None,
+    x264_params: str = None,
 ) -> bytes:
-    """Encode I420 frames with libx264 at a target bitrate -> annex-B."""
+    """Encode I420 frames with libx264 at a target bitrate -> annex-B.
+
+    `profile` ("baseline"/"main"/"high") and `x264_params`
+    (colon-separated x264 option string) configure the encoder for the
+    reverse-conformance tests: OUR decoder must accept what a real
+    third-party encoder emits (the role the reference's DecodeFrameNoDelay
+    pool plays, /root/reference/openh264_wrapper.cpp:240-280)."""
     avcodec, avutil = _load()
     codec = avcodec.avcodec_find_encoder_by_name(b"libx264")
     if not codec:
@@ -71,6 +79,10 @@ def encode_with_x264(
     avutil.av_opt_set_int(ctx, b"g", 30, AV_OPT_SEARCH_CHILDREN)
     opt("preset", preset)
     opt("tune", tune)
+    if profile:
+        opt("profile", profile)
+    if x264_params:
+        opt("x264-params", x264_params)
     if avcodec.avcodec_open2(ctx, ctypes.c_void_p(codec), None) < 0:
         raise RuntimeError("avcodec_open2(libx264) failed")
 

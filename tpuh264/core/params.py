@@ -39,6 +39,7 @@ class SPS:
     level_idc: int = 30
     seq_parameter_set_id: int = 0
     log2_max_frame_num_minus4: int = 4
+    log2_max_pic_order_cnt_lsb_minus4: int = 4
     pic_order_cnt_type: int = 2  # POC from decoding order: no B-frames
     max_num_ref_frames: int = 1
     gaps_in_frame_num_value_allowed_flag: int = 0
@@ -98,7 +99,7 @@ class SPS:
         w.ue(self.log2_max_frame_num_minus4)
         w.ue(self.pic_order_cnt_type)
         if self.pic_order_cnt_type == 0:
-            w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+            w.ue(self.log2_max_pic_order_cnt_lsb_minus4)
         elif self.pic_order_cnt_type == 1:
             raise NotImplementedError("pic_order_cnt_type 1")
         w.ue(self.max_num_ref_frames)
@@ -139,7 +140,7 @@ class SPS:
         sps.log2_max_frame_num_minus4 = r.ue()
         sps.pic_order_cnt_type = r.ue()
         if sps.pic_order_cnt_type == 0:
-            r.ue()
+            sps.log2_max_pic_order_cnt_lsb_minus4 = r.ue()
         elif sps.pic_order_cnt_type == 1:
             raise NotImplementedError("pic_order_cnt_type 1")
         sps.max_num_ref_frames = r.ue()

@@ -45,7 +45,8 @@ class SliceHeader:
         if idr:
             w.ue(self.idr_pic_id)
         if sps.pic_order_cnt_type == 0:
-            w.u(8, (2 * self.frame_num) & 0xFF)  # pic_order_cnt_lsb
+            bits = sps.log2_max_pic_order_cnt_lsb_minus4 + 4
+            w.u(bits, (2 * self.frame_num) & ((1 << bits) - 1))  # pic_order_cnt_lsb
         if self.slice_type == SLICE_P:
             override = int(
                 self.num_ref_idx_l0_active_minus1
@@ -81,7 +82,9 @@ class SliceHeader:
         if idr:
             h.idr_pic_id = r.ue()
         if sps.pic_order_cnt_type == 0:
-            r.u(8)
+            r.u(sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+            if pps.bottom_field_pic_order_in_frame_present_flag:
+                r.se()  # delta_pic_order_cnt_bottom
         h.num_ref_idx_l0_active_minus1 = pps.num_ref_idx_l0_default_active_minus1
         if h.slice_type == SLICE_P:
             if r.u(1):

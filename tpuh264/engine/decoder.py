@@ -57,21 +57,57 @@ class DecoderSession:
         self._idc = 1
         self._is_ref_frame = True
         self._nra = 1
+        self._general = False   # syntax outside the TPU fast path seen
+        self._gold = None       # golden.StreamDecoder fallback instance
 
     def decode(
         self, data: bytes
     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Decode one access unit -> (Y, U, V) int32 planes (cropped).
 
-        Returns the concealed previous frame on error (or None if nothing
-        to conceal with), setting `needs_keyframe`.
+        Streams in our encoder's syntax subset ride the TPU fast path
+        (host CAVLC parse -> batched device reconstruction).  GENERAL
+        baseline streams -- third-party encoders emitting P partitions,
+        sub-partitions, mb_qp_delta, I_PCM, multi-slice layouts (see
+        tests/test_conformance_reverse.py) -- fall back to the golden
+        StreamDecoder, which persists its own DPB; an unsupported AU
+        mid-stream raises `needs_keyframe` so the owner forces an IDR
+        and decoding resumes on the general path (the reference's
+        request_keyframe recovery loop, app.js:493-496, with the
+        routing actually wired).  Returns the concealed previous frame
+        on error (or None), setting `needs_keyframe`.
         """
+        if self._general:
+            return self._decode_golden(data)
         try:
             is_p = self._classify(data)
             if is_p:
                 out = self._decode_p(data)
             else:
                 out = self._decode_i(data)
+            self.last_frame = out
+            self.needs_keyframe = False
+            self.frames_decoded += 1
+            return out
+        except (NotImplementedError, RuntimeError):
+            # syntax beyond the fast path: switch to the general decoder
+            self._general = True
+            return self._decode_golden(data)
+        except Exception:
+            self.needs_keyframe = True
+            self.frames_concealed += 1
+            return self.last_frame
+
+    def _decode_golden(self, data: bytes):
+        from ..golden import codec as gcodec
+
+        try:
+            if self._gold is None:
+                self._gold = gcodec.StreamDecoder()
+            out = self._gold.decode_au(data)
+            if out is None:
+                raise RuntimeError("no frame in access unit")
+            out = tuple(np.asarray(p) for p in out)
             self.last_frame = out
             self.needs_keyframe = False
             self.frames_decoded += 1

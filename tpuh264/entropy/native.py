@@ -86,6 +86,18 @@ def load() -> ctypes.CDLL:
             _I32P, _I32P, _I32P,
             _I16P, _I32P, ctypes.c_int32,
         ]
+        _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.th264_parse_dispatch_compact.restype = ctypes.c_int64
+        lib.th264_parse_dispatch_compact.argtypes = [
+            _U8P, _I64P, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            _I32P,
+            _I32P, _I16P, ctypes.c_int64,
+            _I32P, _I16P, ctypes.c_int64,
+            _I64P, ctypes.c_int32,
+        ]
         lib.th264_pack_slice_p.restype = ctypes.c_int64
         lib.th264_pack_slice_p.argtypes = [
             _U8P, ctypes.c_int32,
@@ -369,3 +381,70 @@ def parse_pframe_slices(slices, sps: SPS, pps: PPS, nra: int = 1):
         if got < 0:
             raise RuntimeError("th264_parse_slice_p failed")
     return mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac
+
+
+# per-MB slot layout of the compact coefficient records emitted by
+# th264_parse_dispatch_compact (native/cavlc.cpp): the virtual dense
+# tensor is [F, N_mb, 400] = [luma DC 16 | luma AC 16x16 | chroma DC 2x4
+# | chroma AC 2x4x15]
+MB_SLOTS = 400
+
+
+def parse_dispatch_compact(
+    frames, mbw: int, mbh: int, sps: SPS, pps: PPS,
+    cap_mb: int = 0, cap_c: int = 0, threads: int = 0,
+):
+    """Full annex-B entropy-decode front end for a batch of access units.
+
+    `frames`: list of per-frame-stream annex-B byte strings.  Returns
+    (qp, mb_pos[int32 n_mb], mb_fields[int16 n_mb, 9],
+     cpos[int32 n_c], cval[int16 n_c]) compact records -- the honest
+    decode-side input for the device reconstruction (the role
+    DecodeFrameNoDelay's entropy half plays per decoder worker in the
+    reference, /root/reference/openh264_wrapper.cpp:391-422).  Caps are
+    grown automatically on overflow.
+    """
+    lib = load()
+    n_fs = len(frames)
+    blob = b"".join(frames)
+    fs_off = np.zeros(n_fs + 1, np.int64)
+    o = 0
+    for i, fb in enumerate(frames):
+        fs_off[i] = o
+        o += len(fb)
+    fs_off[n_fs] = o
+    blob_a = np.frombuffer(blob, np.uint8)
+    if cap_mb <= 0:
+        cap_mb = max(4096, n_fs * mbw * mbh // 4)
+    if cap_c <= 0:
+        cap_c = max(65536, len(blob))
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    qp_out = np.zeros(n_fs, np.int32)
+    counts = np.zeros(2, np.int64)
+    while True:
+        mb_pos = np.empty(cap_mb, np.int32)
+        mb_fields = np.empty((cap_mb, 9), np.int16)
+        cpos = np.empty(cap_c, np.int32)
+        cval = np.empty(cap_c, np.int16)
+        rc = lib.th264_parse_dispatch_compact(
+            blob_a, fs_off, n_fs, mbw, mbh,
+            sps.log2_max_frame_num_minus4 + 4,
+            1 if sps.pic_order_cnt_type == 0 else 0,
+            pps.deblocking_filter_control_present_flag,
+            26 + pps.pic_init_qp_minus26,
+            qp_out, mb_pos, mb_fields, cap_mb, cpos, cval, cap_c,
+            counts, threads,
+        )
+        if rc == 0:
+            break
+        if rc == -2:
+            cap_mb = max(cap_mb, 2 * int(counts[0]))
+            cap_c = max(cap_c, 2 * int(counts[1]))
+            continue
+        raise RuntimeError("th264_parse_dispatch_compact failed")
+    n_mb, n_c = int(counts[0]), int(counts[1])
+    qp = int(qp_out[0])
+    if not (qp_out == qp).all():
+        raise RuntimeError("non-uniform slice QP in dispatch")
+    return qp, mb_pos[:n_mb], mb_fields[:n_mb], cpos[:n_c], cval[:n_c]

@@ -136,9 +136,16 @@ class _MBContext:
     force_ref: int = -1        # encoder: restrict ME to one DPB entry
     t8: np.ndarray = None      # (mbh, mbw) transform_size_8x8_flag per MB
     t8_enabled: bool = False   # PPS transform_8x8_mode_flag
+    # 4x4-block-granular inter state for GENERAL streams (partitions
+    # smaller than 16x16; H.264 8.4.1.3 predicts at this granularity)
+    mv4: np.ndarray = None     # (4*mbh, 4*mbw, 2)
+    ref4: np.ndarray = None    # (4*mbh, 4*mbw), -1 = intra
+    avail4: np.ndarray = None  # (4*mbh, 4*mbw) slice id, -1 = undecoded
+    cqp_off: int = 0           # PPS chroma_qp_index_offset
 
 
-def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
+def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int,
+             cqp_off: int = 0) -> "_MBContext":
     return _MBContext(
         recon_y=np.zeros((16 * mbh, 16 * mbw), np.int32),
         recon_u=np.zeros((8 * mbh, 8 * mbw), np.int32),
@@ -154,7 +161,34 @@ def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int) -> "_MBContext":
         i4modes=np.full((4 * mbh, 4 * mbw), -1, np.int32),
         refidx=np.zeros((mbh, mbw), np.int32),
         t8=np.zeros((mbh, mbw), np.int32),
+        mv4=np.zeros((4 * mbh, 4 * mbw, 2), np.int32),
+        ref4=np.full((4 * mbh, 4 * mbw), -1, np.int32),
+        avail4=np.full((4 * mbh, 4 * mbw), -1, np.int32),
+        cqp_off=cqp_off,
     )
+
+
+def _mb_grid_update(ctx: "_MBContext", mbx: int, mby: int, sid: int) -> None:
+    """Mirror a whole-MB state write into the 4x4-granular grids
+    (uniform partitions: skip / 16x16 inter / intra)."""
+    k = int(ctx.kind[mby, mbx])
+    ref = -1 if k == inter_mod.MB_INTRA else int(ctx.refidx[mby, mbx])
+    ctx.mv4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = ctx.mv[mby, mbx]
+    ctx.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = ref
+    ctx.avail4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = sid
+
+
+def _set_blocks4(ctx, gx, gy, w4, h4, mv, ref, sid) -> None:
+    ctx.mv4[gy : gy + h4, gx : gx + w4] = mv
+    ctx.ref4[gy : gy + h4, gx : gx + w4] = ref
+    ctx.avail4[gy : gy + h4, gx : gx + w4] = sid
+
+
+def _apply_qp_delta(ctx: "_MBContext", delta: int) -> None:
+    """mb_qp_delta accumulation (7.4.5: QPY = (QPY_prev + delta + 52) % 52)."""
+    if delta:
+        ctx.qp = (ctx.qp + delta + 52) % 52
+        ctx.qpc = chroma_qp(ctx.qp, ctx.cqp_off)
 
 
 def _neighbors_luma(ctx: _MBContext, mbx: int, mby: int, sid: int):
@@ -314,6 +348,7 @@ def _encode_mb(
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
 
 
 def encode_iframe(
@@ -400,6 +435,9 @@ def _decode_mb(
     if mb_type == 0:
         _decode_i44_mb(r, ctx, mbx, mby, sid)
         return
+    if mb_type == 25:
+        _decode_ipcm_mb(r, ctx, mbx, mby, sid)
+        return
     if not 1 <= mb_type <= 24:
         raise NotImplementedError(f"mb_type {mb_type}")
     t = mb_type - 1
@@ -407,7 +445,8 @@ def _decode_mb(
     cbp_chroma = (t // 4) % 3
     cbp_luma = t >= 12
     cmode = r.ue()
-    r.se()  # mb_qp_delta (always 0 from our encoder; QP tracking later)
+    _apply_qp_delta(ctx, r.se())
+    qp, qpc = ctx.qp, ctx.qpc
 
     left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
     pred = intra.pred16(pred_mode, top, left, corner, top_ok, left_ok)
@@ -465,6 +504,7 @@ def _decode_mb(
         predv, dcv, acv, qpc, cbp_chroma
     )
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
 
 
 def decode_annexb(
@@ -484,7 +524,9 @@ def decode_annexb(
             assert sps is not None and pps is not None, "missing SPS/PPS"
             mbw, mbh = sps.mb_width, sps.mb_height
             if ctx is None:
-                ctx = _new_ctx(mbw, mbh, 0, 0)
+                ctx = _new_ctx(
+                    mbw, mbh, 0, 0, cqp_off=pps.chroma_qp_index_offset
+                )
             r = BitReader(rbsp)
             header = SliceHeader.parse(r, sps, pps, ntype == nal.NAL_SLICE_IDR)
             qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
@@ -604,6 +646,7 @@ def _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice):
     _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
                            dcu, dcv, acu, acv)
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
     ctx.kind[mby, mbx] = inter_mod.MB_INTRA
     ctx.mv[mby, mbx] = 0
 
@@ -629,8 +672,8 @@ def _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
 def _apply_skip(ctx, dpb, mbx, mby, sid):
     """Reconstruct a P_Skip MB and update all state (references DPB[0])."""
     refy, refu, refv, planes = dpb[0]
-    mvx, mvy = inter_mod.skip_mv(
-        ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx
+    mvx, mvy = inter_mod.skip_mv_block(
+        ctx.mv4, ctx.ref4, ctx.avail4, 4 * mbx, 4 * mby, sid
     )
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
@@ -650,6 +693,7 @@ def _apply_skip(ctx, dpb, mbx, mby, sid):
     ctx.kind[mby, mbx] = inter_mod.MB_SKIP
     ctx.refidx[mby, mbx] = 0
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
 
 
 def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
@@ -816,6 +860,7 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
     ctx.refidx[mby, mbx] = ref_i
     ctx.t8[mby, mbx] = 1 if use_t8 else 0
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
 
 
 def as_dpb(refs):
@@ -908,34 +953,94 @@ def encode_pframe(
 
 
 def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
-    qp, qpc = ctx.qp, ctx.qpc
+    """Decode one P-slice MB: P_L0_16x16 / 16x8 / 8x16 / P_8x8[ref0] with
+    8x4/4x8/4x4 sub-partitions (7.3.5.1, 8.4.1.3), plus the intra MB
+    types legal in P slices (I_NxN / I_16x16 / I_PCM).  This is the
+    general path a third-party stream exercises; our own encoder emits
+    only the 16x16 subset (reference analog: DecodeFrameNoDelay accepts
+    arbitrary baseline streams, openh264_wrapper.cpp:391-422)."""
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
     mb_type = r.ue()
     if mb_type >= 5:
-        _decode_intra16_in_p(r, ctx, mb_type - 5, mbx, mby, sid)
+        icode = mb_type - 5
+        if icode == 0:
+            _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=True)
+            return
+        if icode == 25:
+            _decode_ipcm_mb(r, ctx, mbx, mby, sid)
+            return
+        _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid)
         return
-    if mb_type != 0:
+    if mb_type > 4:
         raise NotImplementedError(f"P mb_type {mb_type}")
-    ref_i = 0
-    if ctx.nra > 1:  # ref_idx_l0, te(v)
-        ref_i = (1 - r.u(1)) if ctx.nra == 2 else r.ue()
-    refy, refu, refv, planes = dpb[min(ref_i, len(dpb) - 1)]
-    pmv = inter_mod.predict_mv(
-        ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx, ref_i
-    )
-    mvx = pmv[0] + r.se()
-    mvy = pmv[1] + r.se()
+
+    gx0, gy0 = 4 * mbx, 4 * mby
+
+    def read_ref() -> int:
+        if ctx.nra <= 1:
+            return 0
+        return (1 - r.u(1)) if ctx.nra == 2 else r.ue()
+
+    # partition geometry in 4x4-block units: (ox, oy, w4, h4, special)
+    blocks = []  # (ox, oy, w4, h4, ref, (mvx, mvy))
+    if mb_type in (0, 1, 2):
+        geo = {
+            0: [(0, 0, 4, 4, None)],
+            1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+            2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+        }[mb_type]
+        refs = [read_ref() for _ in geo]
+        for (ox, oy, w4, h4, special), ref in zip(geo, refs):
+            mvdx, mvdy = r.se(), r.se()
+            pmv = inter_mod.predict_mv_block(
+                ctx.mv4, ctx.ref4, ctx.avail4,
+                gx0 + ox, gy0 + oy, w4, h4, sid, ref, special,
+            )
+            mv = (pmv[0] + mvdx, pmv[1] + mvdy)
+            _set_blocks4(ctx, gx0 + ox, gy0 + oy, w4, h4, mv, ref, sid)
+            blocks.append((ox, oy, w4, h4, ref, mv))
+        no_small_parts = mb_type in (0, 1, 2)
+    else:  # P_8x8 (3) / P_8x8ref0 (4)
+        subs = [r.ue() for _ in range(4)]
+        if max(subs) > 3:
+            raise NotImplementedError(f"sub_mb_type {max(subs)}")
+        SUBGEO = {
+            0: [(0, 0, 2, 2)],
+            1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+            2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+            3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+        }
+        refs = (
+            [0] * 4 if mb_type == 4 else [read_ref() for _ in range(4)]
+        )
+        for i8 in range(4):
+            ox8, oy8 = 2 * (i8 & 1), 2 * (i8 >> 1)
+            for (sx, sy, w4, h4) in SUBGEO[subs[i8]]:
+                mvdx, mvdy = r.se(), r.se()
+                pmv = inter_mod.predict_mv_block(
+                    ctx.mv4, ctx.ref4, ctx.avail4,
+                    gx0 + ox8 + sx, gy0 + oy8 + sy, w4, h4, sid, refs[i8],
+                )
+                mv = (pmv[0] + mvdx, pmv[1] + mvdy)
+                _set_blocks4(
+                    ctx, gx0 + ox8 + sx, gy0 + oy8 + sy, w4, h4, mv,
+                    refs[i8], sid,
+                )
+                blocks.append((ox8 + sx, oy8 + sy, w4, h4, refs[i8], mv))
+        no_small_parts = all(t == 0 for t in subs)
+
     from ..entropy.cavlc_tables import CBP_INTER
 
     cbp = CBP_INTER[r.ue()]
     cbp_luma = cbp & 15
     cbp_chroma = cbp >> 4
     use_t8 = False
-    if ctx.t8_enabled and cbp_luma > 0:
+    if ctx.t8_enabled and cbp_luma > 0 and no_small_parts:
         use_t8 = bool(r.u(1))  # transform_size_8x8_flag
     if cbp:
-        r.se()  # mb_qp_delta
+        _apply_qp_delta(ctx, r.se())
+    qp, qpc = ctx.qp, ctx.qpc
     left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
     top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
 
@@ -978,7 +1083,28 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
         ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
-    predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
+    # motion compensation per partition, then residual reconstruction
+    predl = np.zeros((16, 16), np.int32)
+    predu = np.zeros((8, 8), np.int32)
+    predv = np.zeros((8, 8), np.int32)
+    for (ox, oy, w4, h4, ref, (mvx, mvy)) in blocks:
+        refy, refu, refv, planes = dpb[min(ref, len(dpb) - 1)]
+        predl[4 * oy : 4 * oy + 4 * h4, 4 * ox : 4 * ox + 4 * w4] = (
+            inter_mod.mc_luma_qpel_at(
+                planes, x0 + 4 * ox, y0 + 4 * oy, 4 * w4, 4 * h4, mvx, mvy
+            )
+        )
+        predu[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = (
+            inter_mod.mc_chroma_at(
+                refu, cx0 + 2 * ox, c0 + 2 * oy, 2 * w4, 2 * h4, mvx, mvy
+            )
+        )
+        predv[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = (
+            inter_mod.mc_chroma_at(
+                refv, cx0 + 2 * ox, c0 + 2 * oy, 2 * w4, 2 * h4, mvx, mvy
+            )
+        )
+
     if use_t8:
         d8 = t8mod.dequant8x8(t8mod.inverse_zigzag8(zz8), qp)
         pred8 = predl.reshape(2, 8, 2, 8).swapaxes(1, 2)
@@ -990,19 +1116,44 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
         ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = blocks4_to_plane(
             idct_add(plane_to_blocks4(predl), d)
         )
-    predu = inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy)
-    predv = inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy)
     ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
         predu, dcu, acu, qpc, cbp_chroma
     )
     ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
         predv, dcv, acv, qpc, cbp_chroma
     )
-    ctx.mv[mby, mbx] = (mvx, mvy)
+    # per-MB summaries (deblock & legacy callers): last partition MV
+    ctx.mv[mby, mbx] = blocks[-1][5]
     ctx.kind[mby, mbx] = inter_mod.MB_INTER
-    ctx.refidx[mby, mbx] = ref_i
+    ctx.refidx[mby, mbx] = blocks[0][4]
     ctx.t8[mby, mbx] = 1 if use_t8 else 0
     ctx.slice_id[mby, mbx] = sid
+
+
+def _decode_ipcm_mb(r, ctx, mbx, mby, sid):
+    """I_PCM (7.3.5, 8.3.5): byte-aligned raw samples; neighbors treat
+    every block as having 16 coded coefficients (9.2.1)."""
+    while not r.byte_aligned():
+        r.u(1)  # pcm_alignment_zero_bit
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = np.array(
+        [r.u(8) for _ in range(256)], np.int32
+    ).reshape(16, 16)
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = np.array(
+        [r.u(8) for _ in range(64)], np.int32
+    ).reshape(8, 8)
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = np.array(
+        [r.u(8) for _ in range(64)], np.int32
+    ).reshape(8, 8)
+    ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
+    ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+    ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+    ctx.i4modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+    ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
 
 
 def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
@@ -1014,7 +1165,7 @@ def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
     cbp_chroma = (t // 4) % 3
     cbp_luma = t >= 12
     cmode = r.ue()
-    r.se()  # mb_qp_delta
+    _apply_qp_delta(ctx, r.se())
     qp, qpc = ctx.qp, ctx.qpc
     left_ok, top_ok, top, left, corner = _neighbors_luma(ctx, mbx, mby, sid)
     pred = intra.pred16(pred_mode, top, left, corner, top_ok, left_ok)
@@ -1069,6 +1220,134 @@ def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
     ctx.kind[mby, mbx] = inter_mod.MB_INTRA
     ctx.mv[mby, mbx] = 0
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
+
+
+class StreamDecoder:
+    """Incremental annex-B stream decoder (the general path).
+
+    Accepts any CAVLC baseline stream our golden toolset covers --
+    including third-party (libx264/OpenH264) streams with P partitions,
+    sub-partitions, mb_qp_delta, I_PCM and multiple slices (see
+    tests/test_conformance_reverse.py) -- and maintains the DPB across
+    feeds, so it can serve as the engine DecoderSession's fallback when
+    a stream uses syntax outside the TPU fast path.  Reference analog:
+    the per-stream ISVCDecoder instances behind DecodeFrameNoDelay
+    (/root/reference/openh264_wrapper.cpp:240-280, 391-422).
+    """
+
+    def __init__(self) -> None:
+        self.sps: Optional[SPS] = None
+        self.pps: Optional[PPS] = None
+        self.ctx: Optional[_MBContext] = None
+        self.dpb: List = []
+        self.sid = 0
+        self.frame_idc = 1
+        self.frame_is_ref = True
+        self.frame_is_idr = False
+
+    def _finish(self):
+        """Close the current picture: deblock, crop, DPB update."""
+        ctx, sps, pps = self.ctx, self.sps, self.pps
+        if ctx is None:
+            return None
+        if self.frame_idc != 1:
+            from .deblock import deblock_frame
+
+            deblock_frame(
+                ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
+                ctx.kind, ctx.mv, ctx.slice_id, ctx.qp,
+                idc=self.frame_idc,
+                chroma_qp_offset=pps.chroma_qp_index_offset,
+                refidx=ctx.refidx, t8=ctx.t8,
+            )
+        frame = (
+            ctx.recon_y[: sps.height, : sps.width].copy(),
+            ctx.recon_u[: sps.height // 2, : sps.width // 2].copy(),
+            ctx.recon_v[: sps.height // 2, : sps.width // 2].copy(),
+        )
+        if self.frame_is_ref:
+            if self.frame_is_idr:
+                self.dpb = []  # IDR clears the reference buffer
+            ry = ctx.recon_y.copy()
+            self.dpb.insert(0, (
+                ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
+                inter_mod.build_halfpel_planes(ry),
+            ))
+            del self.dpb[max(1, sps.max_num_ref_frames):]  # sliding window
+        self.ctx = None
+        return frame
+
+    def feed(self, data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Process annex-B bytes; returns frames COMPLETED by this feed
+        (a picture completes when the next picture starts -- call
+        flush() to retire the final/pending one)."""
+        done: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for ridc, ntype, rbsp in nal.split_annexb(data):
+            if ntype == nal.NAL_SPS:
+                self.sps = SPS.parse(BitReader(rbsp))
+            elif ntype == nal.NAL_PPS:
+                self.pps = PPS.parse(BitReader(rbsp))
+            elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
+                sps, pps = self.sps, self.pps
+                assert sps is not None and pps is not None
+                mbw, mbh = sps.mb_width, sps.mb_height
+                r = BitReader(rbsp)
+                header = SliceHeader.parse(
+                    r, sps, pps, ntype == nal.NAL_SLICE_IDR, ref=ridc != 0
+                )
+                if header.first_mb_in_slice == 0:
+                    f = self._finish()
+                    if f is not None:
+                        done.append(f)
+                    self.frame_is_ref = ridc != 0
+                    self.frame_is_idr = ntype == nal.NAL_SLICE_IDR
+                qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
+                if self.ctx is None:
+                    self.ctx = _new_ctx(
+                        mbw, mbh, qp,
+                        chroma_qp(qp, pps.chroma_qp_index_offset),
+                        cqp_off=pps.chroma_qp_index_offset,
+                    )
+                    self.ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
+                    self.sid = 0
+                ctx = self.ctx
+                # SliceQPY resets the mb_qp_delta accumulator (7.4.5)
+                ctx.qp = qp
+                ctx.qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+                self.frame_idc = header.disable_deblocking_filter_idc
+                addr = header.first_mb_in_slice
+                sid = self.sid
+                if header.slice_type == SLICE_P:
+                    assert self.dpb, "P slice without reference"
+                    ctx.nra = header.num_ref_idx_l0_active_minus1 + 1
+                    while r.more_rbsp_data():
+                        run = r.ue()
+                        for _ in range(run):
+                            mby, mbx = divmod(addr, mbw)
+                            _apply_skip(ctx, self.dpb, mbx, mby, sid)
+                            addr += 1
+                        if not r.more_rbsp_data():
+                            break
+                        mby, mbx = divmod(addr, mbw)
+                        _decode_mb_p(r, ctx, self.dpb, mbx, mby, sid)
+                        addr += 1
+                else:
+                    while r.more_rbsp_data():
+                        mby, mbx = divmod(addr, mbw)
+                        _decode_mb(r, ctx, mbx, mby, sid)
+                        addr += 1
+                self.sid += 1
+        return done
+
+    def flush(self) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        f = self._finish()
+        return [f] if f is not None else []
+
+    def decode_au(self, data: bytes):
+        """Decode one complete access unit -> (Y, U, V) planes."""
+        frames = self.feed(data) + self.flush()
+        return frames[-1] if frames else None
 
 
 def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -1077,92 +1356,8 @@ def decode_annexb_seq(data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndar
     Frames are delimited by frame_num / first_mb_in_slice==0 boundaries.
     Returns a list of cropped (Y, U, V) per decoded frame.
     """
-    sps: Optional[SPS] = None
-    pps: Optional[PPS] = None
-    ctx: Optional[_MBContext] = None
-    dpb: List = []
-    sid = 0
-    frame_idc = [1]
-    frame_is_ref = [True]
-    frame_is_idr = [False]
-    frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-
-    def finish_frame():
-        nonlocal ctx, dpb
-        if ctx is not None:
-            if frame_idc[0] != 1:
-                from .deblock import deblock_frame
-
-                deblock_frame(
-                    ctx.recon_y, ctx.recon_u, ctx.recon_v, ctx.nnz_y,
-                    ctx.kind, ctx.mv, ctx.slice_id, ctx.qp,
-                    idc=frame_idc[0],
-                    chroma_qp_offset=pps.chroma_qp_index_offset,
-                    refidx=ctx.refidx, t8=ctx.t8,
-                )
-            frames.append(
-                (
-                    ctx.recon_y[: sps.height, : sps.width].copy(),
-                    ctx.recon_u[: sps.height // 2, : sps.width // 2].copy(),
-                    ctx.recon_v[: sps.height // 2, : sps.width // 2].copy(),
-                )
-            )
-            if frame_is_ref[0]:
-                if frame_is_idr[0]:
-                    dpb = []  # IDR clears the reference buffer
-                ry = ctx.recon_y.copy()
-                dpb.insert(0, (
-                    ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
-                    inter_mod.build_halfpel_planes(ry),
-                ))
-                del dpb[max(1, sps.max_num_ref_frames):]  # sliding window
-            ctx = None
-
-    for ridc, ntype, rbsp in nal.split_annexb(data):
-        if ntype == nal.NAL_SPS:
-            sps = SPS.parse(BitReader(rbsp))
-        elif ntype == nal.NAL_PPS:
-            pps = PPS.parse(BitReader(rbsp))
-        elif ntype in (nal.NAL_SLICE_IDR, nal.NAL_SLICE_NON_IDR):
-            assert sps is not None and pps is not None
-            mbw, mbh = sps.mb_width, sps.mb_height
-            r = BitReader(rbsp)
-            header = SliceHeader.parse(
-                r, sps, pps, ntype == nal.NAL_SLICE_IDR, ref=ridc != 0
-            )
-            if header.first_mb_in_slice == 0:
-                finish_frame()
-                frame_is_ref[0] = ridc != 0
-                frame_is_idr[0] = ntype == nal.NAL_SLICE_IDR
-            if ctx is None:
-                qp = 26 + pps.pic_init_qp_minus26 + header.slice_qp_delta
-                ctx = _new_ctx(mbw, mbh, qp, chroma_qp(qp, pps.chroma_qp_index_offset))
-                ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
-                sid = 0
-            frame_idc[0] = header.disable_deblocking_filter_idc
-            addr = header.first_mb_in_slice
-            if header.slice_type == SLICE_P:
-                assert dpb, "P slice without reference"
-                ctx.nra = header.num_ref_idx_l0_active_minus1 + 1
-                while r.more_rbsp_data():
-                    run = r.ue()
-                    for _ in range(run):
-                        mby, mbx = divmod(addr, mbw)
-                        _apply_skip(ctx, dpb, mbx, mby, sid)
-                        addr += 1
-                    if not r.more_rbsp_data():
-                        break
-                    mby, mbx = divmod(addr, mbw)
-                    _decode_mb_p(r, ctx, dpb, mbx, mby, sid)
-                    addr += 1
-            else:
-                while r.more_rbsp_data():
-                    mby, mbx = divmod(addr, mbw)
-                    _decode_mb(r, ctx, mbx, mby, sid)
-                    addr += 1
-            sid += 1
-    finish_frame()
-    return frames
+    d = StreamDecoder()
+    return d.feed(data) + d.flush()
 
 
 def encode_sequence(
@@ -1440,6 +1635,7 @@ def _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=False):
     _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_c,
                            dcu, dcv, acu, acv)
     ctx.slice_id[mby, mbx] = sid
+    _mb_grid_update(ctx, mbx, mby, sid)
     ctx.kind[mby, mbx] = inter_mod.MB_INTRA
     ctx.mv[mby, mbx] = 0
 
@@ -1467,7 +1663,8 @@ def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
     cbp_l = cbp & 15
     cbp_c = cbp >> 4
     if cbp:
-        r.se()  # mb_qp_delta
+        _apply_qp_delta(ctx, r.se())
+    qp, qpc = ctx.qp, ctx.qpc
 
     coeffs = np.zeros((16, 16), np.int32)
     for i8 in range(4):
@@ -1506,6 +1703,7 @@ def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
 
     # causal reconstruction
     ctx.slice_id[mby, mbx] = sid  # in-MB neighbor checks
+    _mb_grid_update(ctx, mbx, mby, sid)
     for bi, (bx, by) in enumerate(BLK_SCAN):
         gbx, gby = 4 * mbx + bx, 4 * mby + by
         L, T, TR, X, l_ok, t_ok = _i44_neighbors(ctx, gbx, gby, sid)

@@ -291,3 +291,138 @@ def motion_search_qpel(
             if s < best_sad:
                 best, best_sad = cand, s
     return best[1], best[0], best_sad
+
+
+# ---------------------------------------------------------------------------
+# Block-granular inter tools for GENERAL streams (third-party decode).
+#
+# Our encoder emits 16x16-only partitions, but a real decoder must accept
+# anything a baseline encoder may emit (the reference decodes arbitrary
+# streams via DecodeFrameNoDelay, /root/reference/openh264_wrapper.cpp:
+# 391-422): P_L0_16x8 / 8x16 / 8x8 with 8x4/4x8/4x4 sub-partitions,
+# per-partition reference indices, and MV prediction at 4x4-block
+# granularity (H.264 8.4.1.3).  These helpers operate on 4x4-granular
+# mv/ref/availability grids; for 16x16-only content they reduce exactly
+# to predict_mv/skip_mv above (tests enforce round-trip bit-exactness).
+# ---------------------------------------------------------------------------
+
+
+def _mv_ref_b4(mv4, ref4, avail4, gx, gy, sid):
+    """(mv, ref) of the 4x4 block at global block coords; unavailable or
+    intra neighbors yield ((0,0), -1) per 8.4.1.3."""
+    h4, w4 = ref4.shape
+    if not (0 <= gx < w4 and 0 <= gy < h4) or avail4[gy, gx] != sid:
+        return (0, 0), -1, False
+    r = int(ref4[gy, gx])
+    if r < 0:  # intra
+        return (0, 0), -1, True
+    return (int(mv4[gy, gx, 0]), int(mv4[gy, gx, 1])), r, True
+
+
+def predict_mv_block(
+    mv4, ref4, avail4, gx, gy, w4, h4, sid, cur_ref, special=None
+):
+    """Luma MV prediction for a partition at 4x4-block coords (gx, gy) of
+    size (w4, h4) blocks (H.264 8.4.1.3).  `special` marks the
+    directional exceptions: '16x8_top'/'16x8_bot'/'8x16_left'/
+    '8x16_right'."""
+    mva, refa, a_ok = _mv_ref_b4(mv4, ref4, avail4, gx - 1, gy, sid)
+    mvb, refb, b_ok = _mv_ref_b4(mv4, ref4, avail4, gx, gy - 1, sid)
+    mvc, refc, c_ok = _mv_ref_b4(mv4, ref4, avail4, gx + w4, gy - 1, sid)
+    if not c_ok:  # substitute D (above-left)
+        mvc, refc, c_ok = _mv_ref_b4(mv4, ref4, avail4, gx - 1, gy - 1, sid)
+
+    if special == "16x8_top" and refb == cur_ref:
+        return mvb
+    if special == "16x8_bot" and refa == cur_ref:
+        return mva
+    if special == "8x16_left" and refa == cur_ref:
+        return mva
+    if special == "8x16_right" and refc == cur_ref:
+        return mvc
+
+    if not b_ok and not c_ok and a_ok:
+        return mva
+    matches = [
+        m for m, r in ((mva, refa), (mvb, refb), (mvc, refc)) if r == cur_ref
+    ]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        median3(mva[0], mvb[0], mvc[0]),
+        median3(mva[1], mvb[1], mvc[1]),
+    )
+
+
+def skip_mv_block(mv4, ref4, avail4, gx, gy, sid):
+    """P_Skip MV (8.4.1.1) with 4x4-granular neighbor state."""
+    mva, refa, a_ok = _mv_ref_b4(mv4, ref4, avail4, gx - 1, gy, sid)
+    mvb, refb, b_ok = _mv_ref_b4(mv4, ref4, avail4, gx, gy - 1, sid)
+    if not a_ok or not b_ok:
+        return (0, 0)
+    if (refa == 0 and mva == (0, 0)) or (refb == 0 and mvb == (0, 0)):
+        return (0, 0)
+    return predict_mv_block(mv4, ref4, avail4, gx, gy, 4, 4, sid, 0)
+
+
+def mc_luma_qpel_at(
+    planes, px: int, py: int, w: int, h: int, mvx_q: int, mvy_q: int,
+    pad: int = SEARCH_PAD,
+) -> np.ndarray:
+    """Quarter-pel luma MC of an arbitrary w x h block at pixel (px, py).
+
+    Uses the same precomputed half-pel planes as mc_luma_qpel; MVs
+    reaching beyond the padded planes are handled by clamping the read
+    window (normative Clip3 sample addressing, 8.4.2.2.1)."""
+    g, b, hh, j = planes
+    x_int = mvx_q >> 2
+    y_int = mvy_q >> 2
+    xf = mvx_q & 3
+    yf = mvy_q & 3
+    ph, pw = g.shape
+
+    def win(pl, dy, dx):
+        ys = np.clip(
+            np.arange(py + y_int + pad + 1 + dy,
+                      py + y_int + pad + 1 + dy + h), 0, ph - 1)
+        xs = np.clip(
+            np.arange(px + x_int + pad + 1 + dx,
+                      px + x_int + pad + 1 + dx + w), 0, pw - 1)
+        return pl[np.ix_(ys, xs)]
+
+    comps = {
+        0: lambda: win(g, 0, 0), 1: lambda: win(b, 0, 0),
+        2: lambda: win(hh, 0, 0), 3: lambda: win(j, 0, 0),
+        4: lambda: win(g, 0, 1), 5: lambda: win(g, 1, 0),
+        6: lambda: win(b, 1, 0), 7: lambda: win(hh, 0, 1),
+    }
+    c1, c2 = QPEL_TBL[(xf, yf)]
+    a = comps[c1]().astype(np.int32)
+    bb = comps[c2]().astype(np.int32)
+    return (a + bb + 1) >> 1
+
+
+def mc_chroma_at(
+    ref: np.ndarray, px: int, py: int, w: int, h: int,
+    mvx_q: int, mvy_q: int,
+) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC of a w x h block at chroma pixel
+    (px, py) (8.4.2.2.2)."""
+    hh, ww = ref.shape
+    x_int = px + (mvx_q >> 3)
+    y_int = py + (mvy_q >> 3)
+    xf = mvx_q & 7
+    yf = mvy_q & 7
+    xs0 = np.clip(np.arange(x_int, x_int + w), 0, ww - 1)
+    xs1 = np.clip(np.arange(x_int, x_int + w) + 1, 0, ww - 1)
+    ys0 = np.clip(np.arange(y_int, y_int + h), 0, hh - 1)
+    ys1 = np.clip(np.arange(y_int, y_int + h) + 1, 0, hh - 1)
+    a = ref[np.ix_(ys0, xs0)].astype(np.int64)
+    b = ref[np.ix_(ys0, xs1)].astype(np.int64)
+    c = ref[np.ix_(ys1, xs0)].astype(np.int64)
+    d = ref[np.ix_(ys1, xs1)].astype(np.int64)
+    out = (
+        (8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+        + (8 - xf) * yf * c + xf * yf * d + 32
+    ) >> 6
+    return out.astype(np.int32)
