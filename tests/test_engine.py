@@ -204,3 +204,28 @@ def test_temporal_layers_engine_roundtrip():
         assert len(libav) == 6
         for t in range(6):
             np.testing.assert_array_equal(libav[t][0], outs[t][0])
+
+
+def test_pipeline_libav_impl():
+    """impl="libav" runs the same fan-out loop on libx264/libavcodec
+    host sessions (the reference's selectable-backend axis,
+    app.js:616-692); skipped when libavcodec lacks libx264."""
+    import pytest
+
+    from tpuh264.engine import libav_backend
+    from tpuh264.engine.pipeline import Pipeline
+
+    if not libav_backend.available():
+        pytest.skip("libx264/libavcodec unavailable")
+    pipe = Pipeline(CodecConfig(width=128, height=96, streams=2, qp=30),
+                    impl="libav")
+    ok = 0
+    for _ in range(4):
+        ok += bool(pipe.pump_frame())
+    assert ok == 4
+    out = pipe.last_outputs[0]
+    assert out is not None and out[0].shape == (96, 128)
+    assert pipe.last_outputs[1][0].shape == (96, 128)
+    assert pipe.decoders[0].frames_decoded == 4
+    snap = pipe.stats.snapshot(2)
+    assert snap["bitrate_bps"] > 0

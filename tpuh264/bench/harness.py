@@ -45,9 +45,10 @@ def run_single(
     duration_s: float = 5.0,
     warmup_frames: int = 3,
     max_frames: Optional[int] = None,
+    impl: str = "tpu",
 ) -> Dict[str, float]:
     """Measure one config: warm-up (compile), then a fixed window."""
-    pipe = Pipeline(config)
+    pipe = Pipeline(config, impl=impl)
     for _ in range(warmup_frames):
         pipe.pump_frame()
     pipe.stats.snapshot(config.streams)
@@ -69,6 +70,7 @@ def run_single(
                 "qp": config.qp,
                 "bitrate": config.bitrate,
                 "slice_mode": config.slice_mode,
+                "impl": pipe.impl,
             },
             "wall_s": wall,
             "pipeline_fps": stats["frames"] / wall,
@@ -86,24 +88,30 @@ def run_matrix(
     duration_s: float = 5.0,
     cooldown_s: float = 1.0,
     max_frames: Optional[int] = None,
+    impls: Iterable[str] = ("tpu",),
 ) -> List[Dict[str, float]]:
-    """The reference's checkbox test matrix (automation.js:110-153)."""
+    """The reference's checkbox test matrix (automation.js:110-153);
+    `impls` is its implementation axis (wasm vs webcodecs,
+    automation.js:120-153) -- here "tpu" vs "libav"."""
     results = []
-    for res in resolutions:
-        w, h = RESOLUTIONS[res]
-        for s in streams:
-            for qp in qps:
-                cfg = CodecConfig(width=w, height=h, streams=s, qp=qp)
-                results.append(
-                    run_single(cfg, duration_s=duration_s, max_frames=max_frames)
-                )
-                time.sleep(cooldown_s)
+    for impl in impls:
+        for res in resolutions:
+            w, h = RESOLUTIONS[res]
+            for s in streams:
+                for qp in qps:
+                    cfg = CodecConfig(width=w, height=h, streams=s, qp=qp)
+                    results.append(run_single(
+                        cfg, duration_s=duration_s, max_frames=max_frames,
+                        impl=impl,
+                    ))
+                    time.sleep(cooldown_s)
     return results
 
 
 def render_table(results: List[Dict[str, float]]) -> str:
     """Results table analog (app.js:801-824), as text."""
     cols = [
+        ("impl", lambda r: r["config"].get("impl", "tpu")),
         ("res", lambda r: r["config"]["res"]),
         ("streams", lambda r: r["config"]["streams"]),
         ("qp", lambda r: r["config"]["qp"]),
@@ -129,6 +137,8 @@ def main() -> None:
     p.add_argument("--streams", default="1,4")
     p.add_argument("--qps", default="30")
     p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--impls", default="tpu",
+                   help="comma list: tpu,libav (A/B like automation.js)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
     results = run_matrix(
@@ -136,6 +146,7 @@ def main() -> None:
         streams=[int(x) for x in args.streams.split(",")],
         qps=[int(x) for x in args.qps.split(",")],
         duration_s=args.duration,
+        impls=args.impls.split(","),
     )
     if args.json:
         print(json.dumps({"machine": machine_info(), "results": results}))

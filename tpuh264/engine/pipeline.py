@@ -30,7 +30,13 @@ from . import sources
 
 
 class Pipeline:
-    def __init__(self, config: Optional[CodecConfig] = None, **kw):
+    """impl="tpu" (default) runs the TPU engine; impl="libav" runs the
+    same loop on libx264/libavcodec host sessions -- the reference's
+    selectable-backend axis (wasm vs webcodecs, app.js:271-279,616-692)
+    so the harness can A/B both implementations end to end."""
+
+    def __init__(self, config: Optional[CodecConfig] = None,
+                 impl: str = "tpu", **kw):
         if config is None:
             config = CodecConfig(**kw)
         if config.streams > config.max_decoders:
@@ -38,8 +44,18 @@ class Pipeline:
                 f"streams {config.streams} > MAX_DECODERS {config.max_decoders}"
             )
         self.config = config
-        self.encoder = EncoderSession(config)
-        self.decoders = DecoderPool(config.max_decoders)
+        self.impl = impl
+        if impl == "libav":
+            from . import libav_backend
+
+            self.encoder = libav_backend.LibavEncoderSession(config)
+            self.decoders = libav_backend.LibavDecoderPool(
+                config.max_decoders)
+        elif impl == "tpu":
+            self.encoder = EncoderSession(config)
+            self.decoders = DecoderPool(config.max_decoders)
+        else:
+            raise ValueError(f"unknown impl {impl!r}")
         for i in range(config.streams):
             self.decoders.init_decoder(i)
         self.ring = FrameRing(config.pool_size, config.max_frame_size)
