@@ -40,7 +40,9 @@ def main() -> None:
     # framed to annex-B, entropy-DECODED from those bytes by the native
     # threaded CAVLC front end, and reconstructed on device on an
     # independent decoder DPB chain (VERDICT r1 next-round item 1).
-    pipe = GOPDevicePipeline(cfg, gop_size=16)
+    # gop_size 32 ~= the reference's fixed g=30 IDR interval
+    # (encoder_worker.js:96 / app.js:680), rounded to the dispatch size
+    pipe = GOPDevicePipeline(cfg, gop_size=32)
     snap = pipe.run(duration_s=10.0, warmup=3)
     stages = {kk: round(vv, 2) for kk, vv in snap.items()
               if kk.startswith("ms_")}

@@ -376,10 +376,10 @@ class GOPDevicePipeline:
         self.frame_streams: list = []
         self.last_psnr_y: float = 0.0
         self.fallback_packs = 0  # dispatches repacked on host (overflow)
-        self._steps = {
-            True: self._build_step(True),
-            False: self._build_step(False),
-        }
+        # compiled encode-step cache keyed by (gop-start, payload
+        # budgets); budgets grow on overflow and are sticky per phase
+        self._step_cache = {}
+        self._payload_w = {True: [1 << 17, 1 << 17], False: [0, 1 << 17]}
         self._dec_step = self._build_decode()
         s = config.streams
         zero = lambda h, w: jnp.zeros((s, h, w), jnp.int32)
@@ -389,11 +389,12 @@ class GOPDevicePipeline:
         self._dpb_dec = self._dpb_enc
         self._sse_dev = None  # decode-side SSE handle (device)
         self._dec_frames = 0
-        # sticky record caps: monotonic so the decode-step jit variants
-        # stabilize after one GOP cycle (recompiles never hit the
-        # measurement window)
-        self._cap_mb = 4096
-        self._cap_c = 16384
+        # sticky record caps, PER GOP PHASE (start dispatches carry the
+        # all-intra I-frame records, ~8x the interior P records): caps
+        # are monotonic within a phase so the decode-step jit variants
+        # stabilize after one GOP cycle, while interior dispatches keep
+        # their small upload tier (the 80 MB/s link is the budget)
+        self._caps = {True: [4096, 16384], False: [4096, 16384]}
         self.stage_ms = {"wire": 0.0, "parse": 0.0, "dec_dispatch": 0.0,
                          "enc_dispatch": 0.0, "n": 0}
 
@@ -423,13 +424,12 @@ class GOPDevicePipeline:
 
     # -- fused device step ----------------------------------------------
 
-    def _build_step(self, start: bool):
+    def _build_step(self, start: bool, budget_i: int, budget_p: int):
         k = self.FRAMES_PER_DISPATCH
         streams = self.config.streams
         source = sources._device_source_gop(
             self.w16, self.h16, k, streams, self.source_kind
         )
-        bucket = self.BUCKET_W
         n_p = k - 1 if start else k
 
         def stack_syms(syms):
@@ -442,6 +442,27 @@ class GOPDevicePipeline:
                 st = jnp.stack(vals)  # [P, S, ...]
                 fields.append(st.reshape(n_p * streams, *st.shape[2:]))
             return pframe.MBSymbolsP(*fields)
+
+        def compact(hw, nbytes, budget):
+            """Pack the used words of every slice contiguously (word
+            granularity, slice order) into a fixed `budget`-word
+            payload: the wire carries ~the content's size instead of
+            L x SLICE_W slabs -- the d2h direction of the tunneled link
+            is the scarcest resource in this pipeline."""
+            L = hw.shape[0] * hw.shape[1]
+            W = hw.shape[2]
+            flat = hw.reshape(L, W)
+            wc = (nbytes.reshape(-1).astype(jnp.int32) + 3) // 4
+            offs = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(wc)]
+            )
+            j = jnp.arange(budget, dtype=jnp.int32)
+            sl = jnp.clip(
+                jnp.searchsorted(offs, j, side="right") - 1, 0, L - 1
+            )
+            col = jnp.clip(j - offs[sl], 0, W - 1)
+            vals = flat[sl, col]
+            return jnp.where(j < offs[-1], vals, 0)
 
         @jax.jit
         def step(t, qp, dpb_enc, hdr_i_hw, hdr_i_len,
@@ -470,25 +491,25 @@ class GOPDevicePipeline:
                 syms_p, qp, hdr_p_hw, hdr_p_len
             )  # [P*S, R, SLICE_W], [P*S, R]
             parts = [None, None]
-            slabs = []
+            payloads = []
             if start:
                 hw_i, bytes_i, ovf_i = entropy_tpu.encode_bits_iframe(
                     sym_i, qp, hdr_i_hw, hdr_i_len
                 )
                 ovf = ovf | ovf_i
                 parts[0] = bytes_i.reshape(-1)
-                slabs.append(hw_i[..., :bucket].reshape(-1))
+                payloads.append(compact(hw_i, bytes_i, budget_i))
             else:
                 hw_i = hw_p[:0]
             # wire[0] flags device-entropy overflow only (host-packer
-            # fallback); bucket overflow is host-detected from the byte
-            # counts and re-reads the full slabs instead.
+            # fallback); payload-budget overflow is host-detected from
+            # the byte counts and re-reads the full slabs instead.
             parts[1] = bytes_p.reshape(-1)
-            slabs.append(hw_p[..., :bucket].reshape(-1))
+            payloads.append(compact(hw_p, bytes_p, budget_p))
             wire = jnp.concatenate(
                 [ovf.astype(jnp.int32).reshape(1)]
                 + [p for p in parts if p is not None]
-                + slabs
+                + payloads
             )
             return sym_i, syms_p, hw_i, hw_p, wire, cur
 
@@ -533,27 +554,39 @@ class GOPDevicePipeline:
             cac = coef[..., 280:400].reshape(k, s, r, c, 2, 4, 15)
 
             y, _, _ = source(t)
-            cur = (dpb_y, dpb_u, dpb_v)
-            sse = []
-            for f in range(k):
+
+            # one uniform per-frame body -> lax.scan over the dispatch's
+            # k frames (sequential DPB chain as the scan carry); the
+            # traced program is 1/k the size of an unrolled chain, which
+            # keeps XLA compile time of the 1080p step manageable
+            def body(cur, xs):
+                mbf_f, ldc_f, lac_f, cdc_f, cac_f, y_f = xs
                 sym = pframe.MBSymbolsP(
-                    kind=mbf[f, ..., 0], mode=mbf[f, ..., 1],
-                    cmode=mbf[f, ..., 2], cbp_luma=mbf[f, ..., 3],
-                    cbp_chroma=mbf[f, ..., 4], mvdx=mbf[f, ..., 5],
-                    mvdy=mbf[f, ..., 6],
-                    luma_dc=ldc[f], luma_ac=lac[f],
-                    chroma_dc=cdc[f], chroma_ac=cac[f],
-                    refidx=mbf[f, ..., 7],
-                    t8=jnp.zeros_like(mbf[f, ..., 0]),
+                    kind=mbf_f[..., 0], mode=mbf_f[..., 1],
+                    cmode=mbf_f[..., 2], cbp_luma=mbf_f[..., 3],
+                    cbp_chroma=mbf_f[..., 4], mvdx=mbf_f[..., 5],
+                    mvdy=mbf_f[..., 6],
+                    luma_dc=ldc_f, luma_ac=lac_f,
+                    chroma_dc=cdc_f, chroma_ac=cac_f,
+                    refidx=mbf_f[..., 7],
+                    t8=jnp.zeros_like(mbf_f[..., 0]),
                 )
                 recon, motion = pframe.decode_pframe_rows_multi(
                     sym, cur[0][None], cur[1][None], cur[2][None], qp
                 )
-                cur = _deblock_p(recon, sym, motion, qp)
-                d = cur[0].astype(jnp.float32) - y[f].astype(jnp.float32)
+                cur = tuple(
+                    x.astype(jnp.int32) for x in
+                    _deblock_p(recon, sym, motion, qp)
+                )  # keep the scan carry dtype fixed (deblock emits uint8)
+                d = cur[0].astype(jnp.float32) - y_f.astype(jnp.float32)
                 d = d.reshape(s, -1)
-                sse.append(jnp.sum(d * d, axis=-1))  # [S]
-            return cur[0], cur[1], cur[2], jnp.stack(sse)
+                return cur, jnp.sum(d * d, axis=-1)  # [S]
+
+            cur, sse = jax.lax.scan(
+                body, (dpb_y, dpb_u, dpb_v),
+                (mbf, ldc, lac, cdc, cac, y.astype(jnp.int32)),
+            )
+            return cur[0], cur[1], cur[2], sse
 
         return dec
 
@@ -564,7 +597,8 @@ class GOPDevicePipeline:
             b *= 2
         return b
 
-    def _decode_dispatch(self, frames_k, t: int, qp: int) -> None:
+    def _decode_dispatch(self, frames_k, t: int, qp: int,
+                         start: bool = False) -> None:
         """Entropy-decode the dispatch's annex-B bytes (native threaded
         CAVLC front end) and reconstruct on device from the parsed
         records, advancing the decoder DPB chain."""
@@ -583,8 +617,9 @@ class GOPDevicePipeline:
         n = r * c
         # pad to sticky shape buckets so jit programs are reused across
         # dispatches; padded records hit the dropped dead slot
-        self._cap_mb = bm = self._bucket(len(mb_pos), self._cap_mb)
-        self._cap_c = bc = self._bucket(len(cval), self._cap_c)
+        caps = self._caps[start]
+        caps[0] = bm = self._bucket(len(mb_pos), caps[0])
+        caps[1] = bc = self._bucket(len(cval), caps[1])
         mb_pos = np.concatenate(
             [mb_pos, np.full(bm - len(mb_pos), k * s * n, np.int32)]
         )
@@ -616,7 +651,12 @@ class GOPDevicePipeline:
         hdr_i, hdr_p = self._headers(pos, qp)
         dummy = jnp.zeros((0,), jnp.int32)
         hdr_i_hw, hdr_i_len = hdr_i if hdr_i is not None else (dummy, dummy)
-        out = self._steps[start](
+        bi, bp = self._payload_w[start]
+        key = (start, bi, bp)
+        step = self._step_cache.get(key)
+        if step is None:
+            step = self._step_cache[key] = self._build_step(start, bi, bp)
+        out = step(
             jnp.int32(t), jnp.int32(qp), self._dpb_enc,
             hdr_i_hw, hdr_i_len, hdr_p[0], hdr_p[1],
         )
@@ -640,7 +680,6 @@ class GOPDevicePipeline:
         s = self.config.streams
         r = self.h16 // 16
         n_p = k - 1 if start else k
-        bucket = self.BUCKET_W
         off = 1
         if start:
             bytes_i = wire[off:off + s * r].reshape(s, r)
@@ -650,25 +689,54 @@ class GOPDevicePipeline:
         if wire[0]:  # device entropy overflow: repack on host
             self._host_pack_gop(start, pos, sym_i, syms_p, qp)
             return self.frame_streams[-k:]
-        bucket_ovf = int(bytes_p.max(initial=0)) > 4 * bucket or (
-            start and int(bytes_i.max()) > 4 * bucket
+
+        def slices_from_compact(pay_words, nbytes):
+            """Per-slice RBSP byte strings from a contiguous payload."""
+            blob = pay_words.view(np.uint32).astype(">u4").tobytes()
+            flat = nbytes.reshape(-1)
+            wc = (flat.astype(np.int64) + 3) // 4
+            offs = np.zeros(len(wc) + 1, np.int64)
+            np.cumsum(wc, out=offs[1:])
+            return [
+                blob[4 * offs[i] : 4 * offs[i] + int(flat[i])]
+                for i in range(len(wc))
+            ]
+
+        def slices_from_slab(hw, nbytes):
+            words = np.asarray(hw).view(np.uint32).astype(">u4")
+            words = words.reshape(-1, words.shape[-1])
+            flat = nbytes.reshape(-1)
+            return [
+                words[i].tobytes()[: int(flat[i])] for i in range(len(flat))
+            ]
+
+        budget_i, budget_p = self._payload_w[start]
+        wc_p_tot = int(((bytes_p.astype(np.int64) + 3) // 4).sum())
+        wc_i_tot = (
+            int(((bytes_i.astype(np.int64) + 3) // 4).sum()) if start else 0
         )
-        if bucket_ovf:  # re-download from the full slabs
-            bi = (np.asarray(hw_i).view(np.uint32).astype(">u4")
-                  if start else None)
-            bp = np.asarray(hw_p).view(np.uint32).astype(">u4")
+        rbsp_i = None
+        if wc_p_tot > budget_p or (start and wc_i_tot > budget_i):
+            # payload-budget overflow: grow the sticky budgets (a new
+            # step variant compiles for subsequent dispatches) and fall
+            # back to the full slab download for this one
+            caps = self._payload_w[start]
+            if start and wc_i_tot > budget_i:
+                caps[0] = self._bucket(2 * wc_i_tot, budget_i)
+            if wc_p_tot > budget_p:
+                caps[1] = self._bucket(2 * wc_p_tot, budget_p)
+            if start:
+                rbsp_i = slices_from_slab(hw_i, bytes_i)
+            rbsp_p = slices_from_slab(hw_p, bytes_p)
         else:
             if start:
-                bi = (
-                    wire[off:off + s * r * bucket]
-                    .reshape(s, r, bucket).view(np.uint32).astype(">u4")
+                rbsp_i = slices_from_compact(
+                    wire[off : off + budget_i], bytes_i
                 )
-                off += s * r * bucket
-            bp = (
-                wire[off:off + n_p * s * r * bucket]
-                .reshape(n_p, s, r, bucket).view(np.uint32).astype(">u4")
+                off += budget_i
+            rbsp_p = slices_from_compact(
+                wire[off : off + budget_p], bytes_p
             )
-        bp = bp.reshape(n_p, s, r, -1)
 
         esc = (
             entropy_native.escape_rbsp
@@ -689,8 +757,8 @@ class GOPDevicePipeline:
             for si in range(s):
                 out = bytearray(ps)
                 for ri in range(r):
-                    rbsp = bi[si, ri].tobytes()[: int(bytes_i[si, ri])]
-                    out += nal.START_CODE + idr_hdr_byte + esc(rbsp)
+                    out += (nal.START_CODE + idr_hdr_byte
+                            + esc(rbsp_i[si * r + ri]))
                 frame.append(bytes(out))
             self.frame_streams.append(tuple(frame))
             f = 1
@@ -699,8 +767,8 @@ class GOPDevicePipeline:
             for si in range(s):
                 out = bytearray()
                 for ri in range(r):
-                    rbsp = bp[pi, si, ri].tobytes()[: int(bytes_p[pi, si, ri])]
-                    out += nal.START_CODE + p_hdr_byte + esc(rbsp)
+                    out += (nal.START_CODE + p_hdr_byte
+                            + esc(rbsp_p[(pi * s + si) * r + ri]))
                 frame.append(bytes(out))
             self.frame_streams.append(tuple(frame))
         self.last_stream = self.frame_streams[-1][0]
@@ -781,7 +849,7 @@ class GOPDevicePipeline:
         handles = self._dispatch(qp)
         t = handles[2]
         frames_k = self._consume(handles, qp)
-        self._decode_dispatch(frames_k, t, qp)
+        self._decode_dispatch(frames_k, t, qp, start=handles[0])
         sse = np.asarray(self._sse_dev)
         dt = (time.perf_counter() - t0) * 1e3
         mse = float(sse[-1, 0]) / (self.w16 * self.h16)
@@ -829,13 +897,15 @@ class GOPDevicePipeline:
                 tw = time.perf_counter()
                 frames_k = self._consume(pending, qp)
                 self.stage_ms["wire"] += (time.perf_counter() - tw) * 1e3
-                self._decode_dispatch(frames_k, pending[2], qp)
+                self._decode_dispatch(frames_k, pending[2], qp,
+                                      start=pending[0])
                 n += k
                 self.stage_ms["n"] += 1
             pending = handles
         if pending is not None:
             frames_k = self._consume(pending, qp)
-            self._decode_dispatch(frames_k, pending[2], qp)
+            self._decode_dispatch(frames_k, pending[2], qp,
+                                  start=pending[0])
             n += k
         if self._sse_dev is not None:
             sse = np.asarray(self._sse_dev)
