@@ -34,7 +34,13 @@ def main() -> None:
     from tpuh264.engine.devpipe import GOPDevicePipeline
 
     streams = 4
-    cfg = CodecConfig(width=1920, height=1080, streams=streams, qp=32)
+    # the reference's operating point: CBR 1 Mbps/stream (RC_BITRATE_MODE,
+    # encoder_worker.js:96) -- qp=None engages the rate controller; the
+    # resolution stays 1080p (the harder end of the reference's ladder)
+    cfg = CodecConfig(
+        width=1920, height=1080, streams=streams, qp=None,
+        bitrate=1_000_000,
+    )
     # IPPP GOP pipeline with decode-from-bits: every counted frame is
     # encoded (quarter-pel ME, deblocking), entropy-packed on device,
     # framed to annex-B, entropy-DECODED from those bytes by the native
@@ -47,6 +53,7 @@ def main() -> None:
     stages = {kk: round(vv, 2) for kk, vv in snap.items()
               if kk.startswith("ms_")}
     print("stages/dispatch:", stages, " psnr:", round(snap["psnr_y"], 2),
+          " qp:", snap.get("qp"), " bytes/frame:", snap.get("stream_bytes"),
           file=sys.stderr)
 
     # aggregate encode+decode round trips per second across streams

@@ -1362,7 +1362,7 @@ static int64_t parse_slice_compact(
 // Full annex-B front end for one frame-stream's access unit.
 static int32_t parse_fs_annexb(
     const uint8_t* data, int64_t nbytes, int32_t fs_index,
-    int32_t mbw, int32_t mbh, int32_t frame_num_bits, int32_t poc8,
+    int32_t mbw, int32_t mbh, int32_t frame_num_bits, int32_t poc_lsb_bits,
     int32_t deblock_ctrl, int32_t pps_init_qp, FsOut& o) {
   const int32_t n_mbs = mbw * mbh;
   std::vector<int32_t> nnz_y((size_t)16 * n_mbs);
@@ -1405,7 +1405,8 @@ static int32_t parse_fs_annexb(
     r.u(frame_num_bits);
     bool idr = ntype == 5;
     if (idr) r.ue();  // idr_pic_id
-    if (poc8) r.u(8);
+    // pic_order_cnt_lsb: actual SPS-configured width (poc type 0)
+    if (poc_lsb_bits > 0) r.u(poc_lsb_bits);
     int32_t nra = 1;
     if (slice_type == 0) {  // P
       if (r.u(1)) nra = (int32_t)r.ue() + 1;
@@ -1454,7 +1455,7 @@ extern "C" {
 int64_t th264_parse_dispatch_compact(
     const uint8_t* blob, const int64_t* fs_off, int32_t n_fs,
     int32_t mbw, int32_t mbh,
-    int32_t frame_num_bits, int32_t poc8, int32_t deblock_ctrl,
+    int32_t frame_num_bits, int32_t poc_lsb_bits, int32_t deblock_ctrl,
     int32_t pps_init_qp,
     int32_t* qp_out,                       // [n_fs]
     int32_t* mb_pos, int16_t* mb_fields,   // [cap_mb], [cap_mb*9]
@@ -1472,7 +1473,7 @@ int64_t th264_parse_dispatch_compact(
       if (f >= n_fs || failed.load(std::memory_order_relaxed)) return;
       int32_t rc = parse_fs_annexb(
           blob + fs_off[f], fs_off[f + 1] - fs_off[f], f, mbw, mbh,
-          frame_num_bits, poc8, deblock_ctrl, pps_init_qp, outs[f]);
+          frame_num_bits, poc_lsb_bits, deblock_ctrl, pps_init_qp, outs[f]);
       if (rc < 0) {
         outs[f].err = rc;
         failed.store(true);

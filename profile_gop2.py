@@ -17,7 +17,7 @@ for i in range(6):
     t0 = time.perf_counter()
     pipe.pump_frame()
     print(f"warm pump {i}: {(time.perf_counter()-t0)*1e3:.0f} ms  "
-          f"caps=({pipe._cap_mb},{pipe._cap_c})", flush=True)
+          f"caps={pipe._caps}", flush=True)
 snap = pipe.run(duration_s=8.0, warmup=0)
 print({k: (round(v, 2) if isinstance(v, float) else v)
        for k, v in snap.items()}, flush=True)

@@ -78,37 +78,40 @@ def test_x264_p16x16_deblock():
     _roundtrip("aq-mode=0:partitions=none:ref=1:threads=1:sliced-threads=0")
 
 
-def test_x264_partitions():
-    """p8x8 partitions (16x8/8x16/8x8 + subpartitions at p4x4): the
-    partition decode path; deblock off (per-4x4 deblock MV granularity
-    is a known deferred item, see ROADMAP)."""
+def test_x264_partitions_deblock():
+    """p8x8 partitions (16x8/8x16/8x8 + subpartitions at p4x4) with
+    in-loop deblocking ON: bS derivation at 4x4 MV granularity
+    (round-3: the former ROADMAP deblock-granularity asterisk)."""
     _roundtrip(
         "aq-mode=0:partitions=p8x8,p4x4,i4x4:ref=1:threads=1:"
-        "sliced-threads=0:no-deblock=1"
+        "sliced-threads=0"
     )
 
 
-def test_x264_adaptive_quant():
-    """mb_qp_delta: x264 adaptive quantization varies QP per MB."""
+def test_x264_adaptive_quant_deblock():
+    """mb_qp_delta: x264 adaptive quantization varies QP per MB;
+    deblocking ON exercises the per-MB-QP edge averaging (8.7.2)."""
     _roundtrip(
         "aq-mode=1:aq-strength=1.5:partitions=none:ref=1:threads=1:"
-        "sliced-threads=0:no-deblock=1"
+        "sliced-threads=0"
     )
 
 
 def test_x264_multislice():
-    """Multiple slices per frame (first_mb_in_slice > 0) with partitions."""
+    """Multiple slices per frame (first_mb_in_slice > 0) with partitions
+    and deblocking across slice boundaries (idc=0, x264 default)."""
     _roundtrip(
         "aq-mode=0:partitions=p8x8,i4x4:ref=1:threads=1:"
-        "sliced-threads=0:no-deblock=1:slices=2"
+        "sliced-threads=0:slices=2"
     )
 
 
 def test_x264_everything_on():
-    """Partitions + AQ + subpel ME at a slower preset (no deblock)."""
+    """Partitions + AQ + deblock + subpel ME at a slower preset: x264's
+    default-configuration syntax surface, pixel-exact vs libavcodec."""
     _roundtrip(
         "aq-mode=1:partitions=p8x8,p4x4,i4x4:ref=1:threads=1:"
-        "sliced-threads=0:no-deblock=1:subme=7:me=umh",
+        "sliced-threads=0:subme=7:me=umh",
         preset="medium",
     )
 

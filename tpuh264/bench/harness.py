@@ -71,6 +71,7 @@ def run_single(
                 "bitrate": config.bitrate,
                 "slice_mode": config.slice_mode,
                 "impl": pipe.impl,
+                "threads": config.threads,
             },
             "wall_s": wall,
             "pipeline_fps": stats["frames"] / wall,
@@ -89,22 +90,27 @@ def run_matrix(
     cooldown_s: float = 1.0,
     max_frames: Optional[int] = None,
     impls: Iterable[str] = ("tpu",),
+    threads: Iterable[int] = (0,),
 ) -> List[Dict[str, float]]:
     """The reference's checkbox test matrix (automation.js:110-153);
     `impls` is its implementation axis (wasm vs webcodecs,
-    automation.js:120-153) -- here "tpu" vs "libav"."""
+    automation.js:120-153) -- here "tpu" vs "libav"; `threads` is its
+    worker-thread axis (automation.js:137-153) -- here the native
+    entropy-stage thread-pool size (0 = default policy)."""
     results = []
     for impl in impls:
-        for res in resolutions:
-            w, h = RESOLUTIONS[res]
-            for s in streams:
-                for qp in qps:
-                    cfg = CodecConfig(width=w, height=h, streams=s, qp=qp)
-                    results.append(run_single(
-                        cfg, duration_s=duration_s, max_frames=max_frames,
-                        impl=impl,
-                    ))
-                    time.sleep(cooldown_s)
+        for th in threads:
+            for res in resolutions:
+                w, h = RESOLUTIONS[res]
+                for s in streams:
+                    for qp in qps:
+                        cfg = CodecConfig(width=w, height=h, streams=s,
+                                          qp=qp, threads=th)
+                        results.append(run_single(
+                            cfg, duration_s=duration_s,
+                            max_frames=max_frames, impl=impl,
+                        ))
+                        time.sleep(cooldown_s)
     return results
 
 
@@ -112,6 +118,7 @@ def render_table(results: List[Dict[str, float]]) -> str:
     """Results table analog (app.js:801-824), as text."""
     cols = [
         ("impl", lambda r: r["config"].get("impl", "tpu")),
+        ("threads", lambda r: r["config"].get("threads", 0)),
         ("res", lambda r: r["config"]["res"]),
         ("streams", lambda r: r["config"]["streams"]),
         ("qp", lambda r: r["config"]["qp"]),
@@ -139,6 +146,12 @@ def main() -> None:
     p.add_argument("--duration", type=float, default=5.0)
     p.add_argument("--impls", default="tpu",
                    help="comma list: tpu,libav (A/B like automation.js)")
+    p.add_argument("--threads", default="0",
+                   help="comma list of entropy-thread counts "
+                        "(automation.js thread axis; 0 = default)")
+    p.add_argument("--charts", default="",
+                   help="path prefix: write the reference's SVG chart "
+                        "families (automation.js:119-153)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
     results = run_matrix(
@@ -147,7 +160,13 @@ def main() -> None:
         qps=[int(x) for x in args.qps.split(",")],
         duration_s=args.duration,
         impls=args.impls.split(","),
+        threads=[int(x) for x in args.threads.split(",")],
     )
+    if args.charts:
+        from .charts import render_charts
+
+        for path in render_charts(results, args.charts):
+            print(f"chart: {path}")
     if args.json:
         print(json.dumps({"machine": machine_info(), "results": results}))
     else:

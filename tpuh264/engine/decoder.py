@@ -89,10 +89,20 @@ class DecoderSession:
             self.needs_keyframe = False
             self.frames_decoded += 1
             return out
-        except (NotImplementedError, RuntimeError):
+        except NotImplementedError:
             # syntax beyond the fast path: switch to the general decoder
             self._general = True
             return self._decode_golden(data)
+        except RuntimeError:
+            # ambiguous: general syntax OR a corrupt AU.  Try the golden
+            # decoder once; only a SUCCESSFUL general decode flips the
+            # session to the general path -- a transiently corrupt AU
+            # conceals and stays on the fast path (advisor round-2:
+            # don't let one bad AU permanently demote the session).
+            out = self._decode_golden(data)
+            if not self.needs_keyframe:
+                self._general = True
+            return out
         except Exception:
             self.needs_keyframe = True
             self.frames_concealed += 1
@@ -104,6 +114,13 @@ class DecoderSession:
         try:
             if self._gold is None:
                 self._gold = gcodec.StreamDecoder()
+                # seed with the session's already-parsed parameter sets:
+                # mid-stream fallback must not depend on the stream
+                # re-sending SPS/PPS before the next IDR (advisor round-2)
+                if self._sps is not None:
+                    self._gold.sps = self._sps
+                if self._pps is not None:
+                    self._gold.pps = self._pps
             out = self._gold.decode_au(data)
             if out is None:
                 raise RuntimeError("no frame in access unit")

@@ -31,6 +31,7 @@ from ..entropy.device_pack import SLICE_P
 from ..kernels import deblock as kdeblock
 from ..kernels import entropy_tpu, iframe, pframe
 from .config import CodecConfig
+from .ratecontrol import RateController
 from . import sources
 from .metrics import StatsWindow
 
@@ -372,6 +373,13 @@ class GOPDevicePipeline:
         self.pps = PPS()
         self.stats = StatsWindow()
         self.dispatch_index = 0
+        # GOP phase decoupled from the time axis so a live pipeline can
+        # force an IDR (stream recovery / checkpoint, SURVEY.md section 5)
+        # and drop capture frames (backpressure) without disturbing the
+        # other: _gop_pos drives frame_num/IDR cadence, time_offset
+        # advances the source clock past dropped frames.
+        self._gop_pos = 0
+        self.time_offset = 0
         self.last_stream: bytes = b""
         self.frame_streams: list = []
         self.last_psnr_y: float = 0.0
@@ -395,7 +403,15 @@ class GOPDevicePipeline:
         # stabilize after one GOP cycle, while interior dispatches keep
         # their small upload tier (the 80 MB/s link is the budget)
         self._caps = {True: [4096, 16384], False: [4096, 16384]}
-        self.stage_ms = {"wire": 0.0, "parse": 0.0, "dec_dispatch": 0.0,
+        # CBR rate control (the reference's RC_BITRATE_MODE analog,
+        # openh264_wrapper.cpp:211-214): active when config.qp is None;
+        # QP is a traced scalar in every kernel, so stepping it costs no
+        # recompiles.  Each dispatch is encoded at one QP which travels
+        # with the dispatch handles (decode parses it back from the
+        # slice headers).
+        self.rc = RateController(config)
+        self.stage_ms = {"wire": 0.0, "dev_wait": 0.0, "d2h": 0.0,
+                         "parse": 0.0, "dec_dispatch": 0.0,
                          "enc_dispatch": 0.0, "n": 0}
 
     # -- headers ---------------------------------------------------------
@@ -432,17 +448,6 @@ class GOPDevicePipeline:
         )
         n_p = k - 1 if start else k
 
-        def stack_syms(syms):
-            fields = []
-            for name in pframe.MBSymbolsP._fields:
-                vals = [getattr(x, name) for x in syms]
-                if vals[0] is None:
-                    fields.append(None)
-                    continue
-                st = jnp.stack(vals)  # [P, S, ...]
-                fields.append(st.reshape(n_p * streams, *st.shape[2:]))
-            return pframe.MBSymbolsP(*fields)
-
         def compact(hw, nbytes, budget):
             """Pack the used words of every slice contiguously (word
             granularity, slice order) into a fixed `budget`-word
@@ -469,24 +474,41 @@ class GOPDevicePipeline:
                  hdr_p_hw, hdr_p_len):
             y, u, v = source(t)
             y, u, v = (x.astype(jnp.int32) for x in (y, u, v))
-            p_syms = []
             cur = dpb_enc
             sym_i = None
-            for f in range(k):
-                if start and f == 0:
-                    sym_i, recon = iframe.encode_iframe_rows(
-                        y[0], u[0], v[0], qp
-                    )
-                    sh = sym_i.mode.shape
-                    cur = _deblock_i(recon, sh, qp)
-                else:
-                    sym, recon, motion = pframe.encode_pframe_rows(
-                        y[f], u[f], v[f], cur[0], cur[1], cur[2], qp
-                    )
-                    cur = _deblock_p(recon, sym, motion, qp)
-                    p_syms.append(sym)
+            if start:
+                sym_i, recon = iframe.encode_iframe_rows(
+                    y[0], u[0], v[0], qp
+                )
+                sh = sym_i.mode.shape
+                cur = tuple(
+                    x.astype(jnp.int32) for x in _deblock_i(recon, sh, qp)
+                )
 
-            syms_p = stack_syms(p_syms)
+            # the P-frame chain is a lax.scan (sequential DPB carry):
+            # ONE traced encode body instead of k inlined copies, so the
+            # step compiles ~k x faster and the carry dtype stays int32
+            # across dispatches (no uint8 retrace on the re-fed DPB)
+            def body(cur, xs):
+                yf, uf, vf = xs
+                sym, recon, motion = pframe.encode_pframe_rows(
+                    yf, uf, vf, cur[0], cur[1], cur[2], qp
+                )
+                cur = tuple(
+                    x.astype(jnp.int32)
+                    for x in _deblock_p(recon, sym, motion, qp)
+                )
+                return cur, sym
+
+            first_p = 1 if start else 0
+            cur, syms_scan = jax.lax.scan(
+                body, cur, (y[first_p:], u[first_p:], v[first_p:])
+            )
+            # [P, S, ...] -> [P*S, ...] for the entropy stage
+            syms_p = pframe.MBSymbolsP(*(
+                None if f is None else f.reshape(n_p * streams, *f.shape[2:])
+                for f in syms_scan
+            ))
             hw_p, bytes_p, ovf = entropy_tpu.encode_bits_pframe(
                 syms_p, qp, hdr_p_hw, hdr_p_len
             )  # [P*S, R, SLICE_W], [P*S, R]
@@ -607,7 +629,8 @@ class GOPDevicePipeline:
         r, c = self.h16 // 16, self.w16 // 16
         pqp, mb_pos, mb_fields, cpos, cval = (
             entropy_native.parse_dispatch_compact(
-                flat, c, r, self.sps, self.pps
+                flat, c, r, self.sps, self.pps,
+                threads=self.config.threads,
             )
         )
         if pqp != qp:
@@ -644,10 +667,14 @@ class GOPDevicePipeline:
 
     # -- host loop -------------------------------------------------------
 
-    def _dispatch(self, qp: int):
-        pos = self.dispatch_index % self.gop_dispatches
+    def _dispatch(self):
+        qp = (
+            self.config.qp if self.config.qp is not None
+            else self.rc.current_qp()
+        )
+        pos = self._gop_pos % self.gop_dispatches
         start = pos == 0
-        t = self.dispatch_index * self.FRAMES_PER_DISPATCH
+        t = self.dispatch_index * self.FRAMES_PER_DISPATCH + self.time_offset
         hdr_i, hdr_p = self._headers(pos, qp)
         dummy = jnp.zeros((0,), jnp.int32)
         hdr_i_hw, hdr_i_len = hdr_i if hdr_i is not None else (dummy, dummy)
@@ -662,11 +689,24 @@ class GOPDevicePipeline:
         )
         sym_i, syms_p, hw_i, hw_p, wire, self._dpb_enc = out
         self.dispatch_index += 1
+        self._gop_pos += 1
         for _ in range(self.FRAMES_PER_DISPATCH):
             self.stats.on_input()
-        return start, pos, t, sym_i, syms_p, hw_i, hw_p, wire
+        return start, pos, t, sym_i, syms_p, hw_i, hw_p, wire, qp
 
-    def _consume(self, handles, qp: int) -> list:
+    def force_idr(self) -> None:
+        """Restart the GOP at the next dispatch (ForceIntraFrame analog,
+        openh264_wrapper.cpp:230-236, routed to the real encoder owner)."""
+        self._gop_pos = 0
+
+    def drop_frames(self, n: int) -> None:
+        """Skip n source frames (capture backpressure): the encoder
+        simply never sees them; the next encoded frame still references
+        the last encoded reconstruction (encoder_worker.js:80-88)."""
+        self.time_offset += n
+        self.stats.on_drop("capture", n)
+
+    def _consume(self, handles) -> list:
         """Retire one dispatch: ONE wire download + NAL framing.
 
         Appends per-stream annex-B bytes for each frame of the dispatch
@@ -674,8 +714,14 @@ class GOPDevicePipeline:
         returns that k-frame list.  Bucket overflow re-reads the full
         payload slabs; device-entropy overflow (MB/slice bit caps)
         repacks on host from the symbol tensors."""
-        start, pos, t, sym_i, syms_p, hw_i, hw_p, wire_dev = handles
-        wire = np.asarray(wire_dev)
+        start, pos, t, sym_i, syms_p, hw_i, hw_p, wire_dev, qp = handles
+        t0 = time.perf_counter()
+        jax.block_until_ready(wire_dev)  # device compute still queued
+        t1 = time.perf_counter()
+        wire = np.asarray(wire_dev)  # the actual d2h transfer
+        t2 = time.perf_counter()
+        self.stage_ms["dev_wait"] += (t1 - t0) * 1e3
+        self.stage_ms["d2h"] += (t2 - t1) * 1e3
         k = self.FRAMES_PER_DISPATCH
         s = self.config.streams
         r = self.h16 // 16
@@ -688,6 +734,7 @@ class GOPDevicePipeline:
         off += n_p * s * r
         if wire[0]:  # device entropy overflow: repack on host
             self._host_pack_gop(start, pos, sym_i, syms_p, qp)
+            self._rc_update(k)
             return self.frame_streams[-k:]
 
         def slices_from_compact(pay_words, nbytes):
@@ -772,7 +819,18 @@ class GOPDevicePipeline:
                 frame.append(bytes(out))
             self.frame_streams.append(tuple(frame))
         self.last_stream = self.frame_streams[-1][0]
+        self._rc_update(k)
         return self.frame_streams[-k:]
+
+    def _rc_update(self, k: int) -> None:
+        """Feed the CBR controller the dispatch's per-frame byte counts
+        (mean across streams; IDR access units amortize over the GOP the
+        same way the reference's RC sees them)."""
+        if self.config.qp is not None:
+            return
+        s = self.config.streams
+        for fr in self.frame_streams[-k:]:
+            self.rc.update(sum(len(b) for b in fr) / s)
 
     def _host_pack_gop(self, start, pos, sym_i, syms_p, qp: int) -> None:
         """Device-entropy overflow fallback: host CAVLC pack from the
@@ -843,12 +901,11 @@ class GOPDevicePipeline:
 
     def pump_frame(self) -> None:
         """Encode+parse+decode one dispatch synchronously (tests/drive)."""
-        qp = self.config.qp if self.config.qp is not None else 32
         k = self.FRAMES_PER_DISPATCH
         t0 = time.perf_counter()
-        handles = self._dispatch(qp)
-        t = handles[2]
-        frames_k = self._consume(handles, qp)
+        handles = self._dispatch()
+        t, qp = handles[2], handles[8]
+        frames_k = self._consume(handles)
         self._decode_dispatch(frames_k, t, qp, start=handles[0])
         sse = np.asarray(self._sse_dev)
         dt = (time.perf_counter() - t0) * 1e3
@@ -876,7 +933,6 @@ class GOPDevicePipeline:
         reconstruction of t-1 behind encode t -- so parse and transfers
         hide under device compute and every counted frame has been
         encoded, packed to annex-B, parsed back, and reconstructed."""
-        qp = self.config.qp if self.config.qp is not None else 32
         k = self.FRAMES_PER_DISPATCH
         # warm a FULL GOP cycle (+1) so every jit variant -- GOP-start and
         # interior encode steps, all sticky record-cap buckets of the
@@ -891,20 +947,20 @@ class GOPDevicePipeline:
         pending = None
         while time.perf_counter() < deadline:
             te = time.perf_counter()
-            handles = self._dispatch(qp)
+            handles = self._dispatch()
             self.stage_ms["enc_dispatch"] += (time.perf_counter() - te) * 1e3
             if pending is not None:
                 tw = time.perf_counter()
-                frames_k = self._consume(pending, qp)
+                frames_k = self._consume(pending)
                 self.stage_ms["wire"] += (time.perf_counter() - tw) * 1e3
-                self._decode_dispatch(frames_k, pending[2], qp,
+                self._decode_dispatch(frames_k, pending[2], pending[8],
                                       start=pending[0])
                 n += k
                 self.stage_ms["n"] += 1
             pending = handles
         if pending is not None:
-            frames_k = self._consume(pending, qp)
-            self._decode_dispatch(frames_k, pending[2], qp,
+            frames_k = self._consume(pending)
+            self._decode_dispatch(frames_k, pending[2], pending[8],
                                   start=pending[0])
             n += k
         if self._sse_dev is not None:
@@ -920,8 +976,13 @@ class GOPDevicePipeline:
         snap["frames_per_s_aggregate"] = n * self.config.streams / wall
         snap["psnr_y"] = self.last_psnr_y
         snap["stream_bytes"] = len(self.last_stream)
+        snap["qp"] = (
+            self.config.qp if self.config.qp is not None
+            else self.rc.current_qp()
+        )
         if self.stage_ms["n"]:
             nn = self.stage_ms["n"]
-            for kk in ("enc_dispatch", "wire", "parse", "dec_dispatch"):
+            for kk in ("enc_dispatch", "wire", "dev_wait", "d2h", "parse",
+                       "dec_dispatch"):
                 snap[f"ms_{kk}"] = self.stage_ms[kk] / nn
         return snap

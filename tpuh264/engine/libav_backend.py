@@ -22,7 +22,38 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..conformance import ffdec, ffenc
+from ..core import nal
 from .config import CodecConfig
+
+_AV_NOPTS_VALUE = -(1 << 63)
+
+
+def _frame_offsets(avutil, frame) -> Tuple[int, int]:
+    """(pict_type, pts) byte offsets into AVFrame, branched on the
+    libavutil major and VERIFIED against a freshly allocated frame.
+
+    FFmpeg 5/6 (lavu 57/58): ...format(116) key_frame(120)
+    pict_type(124) sample_aspect_ratio(128) pts(136).  FFmpeg 7+
+    (lavu >= 59) removed key_frame, so pict_type moves to 120 and pts
+    stays at 136 behind the AVRational + alignment padding.  The checks
+    below make a wrong guess a hard error instead of a silent write
+    into sample_aspect_ratio (advisor round-2 finding)."""
+    major = (avutil.avutil_version() >> 16) & 0xFF
+    off_pict = 120 if major >= 59 else 124
+    off_pts = 136
+    base = ctypes.addressof(frame.contents)
+    if ctypes.c_int64.from_address(base + off_pts).value != _AV_NOPTS_VALUE:
+        raise RuntimeError(
+            f"AVFrame.pts not at offset {off_pts} for libavutil {major}"
+        )
+    probe = ctypes.c_int32.from_address(base + 120).value
+    expect = 1 if major < 59 else 0  # key_frame default 1 / pict_type NONE
+    if probe != expect:
+        raise RuntimeError(
+            f"AVFrame layout probe failed for libavutil {major}: "
+            f"int32@120 = {probe}, expected {expect}"
+        )
+    return off_pict, off_pts
 
 
 def available() -> bool:
@@ -44,13 +75,6 @@ class _Encoded:
 class LibavEncoderSession:
     """Incremental libx264 encoder with the EncoderSession surface the
     pipeline uses (encode_frame_yuv / force_key_frame)."""
-
-    # AVFrame field offsets past the prefix-stable head (FFmpeg 5.x
-    # layout, verified by ffdec._self_check at load): data(64) +
-    # linesize(32) + extended_data(8) + width/height/nb_samples/format(16)
-    _OFF_KEY_FRAME = 120
-    _OFF_PICT_TYPE = 124
-    _OFF_PTS = 136
 
     def __init__(self, config: CodecConfig):
         self.config = config
@@ -85,6 +109,11 @@ class LibavEncoderSession:
         if avcodec.avcodec_open2(ctx, ctypes.c_void_p(codec), None) < 0:
             raise RuntimeError("avcodec_open2(libx264) failed")
         self._frame = avutil.av_frame_alloc()
+        # resolve + verify version-dependent AVFrame offsets BEFORE any
+        # field writes (fresh frame still holds the alloc defaults)
+        self._off_pict_type, self._off_pts = _frame_offsets(
+            avutil, self._frame
+        )
         self._frame.contents.width = w
         self._frame.contents.height = h
         self._frame.contents.format = 0  # AV_PIX_FMT_YUV420P
@@ -126,8 +155,8 @@ class LibavEncoderSession:
                 ctypes.memmove(ctypes.c_void_p(dst + row * stride),
                                src[row].ctypes.data, pw)
         base = ctypes.addressof(frame.contents)
-        ctypes.c_int64.from_address(base + self._OFF_PTS).value = self._pts
-        ctypes.c_int32.from_address(base + self._OFF_PICT_TYPE).value = (
+        ctypes.c_int64.from_address(base + self._off_pts).value = self._pts
+        ctypes.c_int32.from_address(base + self._off_pict_type).value = (
             1 if self._force_idr else 0  # AV_PICTURE_TYPE_I / none
         )
         self._force_idr = False
@@ -144,7 +173,11 @@ class LibavEncoderSession:
             "encode_ms": (t2 - t1) * 1e3,
             "entropy_ms": 0.0,
         }
-        return [_Encoded(data, timings, b"\x65" in data[:8])]
+        keyframe = any(
+            ntype == nal.NAL_SLICE_IDR
+            for _, ntype, _ in nal.split_annexb(data)
+        )
+        return [_Encoded(data, timings, keyframe)]
 
 
 class _LibavDecoderSlot:

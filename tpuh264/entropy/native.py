@@ -430,7 +430,8 @@ def parse_dispatch_compact(
         rc = lib.th264_parse_dispatch_compact(
             blob_a, fs_off, n_fs, mbw, mbh,
             sps.log2_max_frame_num_minus4 + 4,
-            1 if sps.pic_order_cnt_type == 0 else 0,
+            (sps.log2_max_pic_order_cnt_lsb_minus4 + 4
+             if sps.pic_order_cnt_type == 0 else 0),
             pps.deblocking_filter_control_present_flag,
             26 + pps.pic_init_qp_minus26,
             qp_out, mb_pos, mb_fields, cap_mb, cpos, cval, cap_c,

@@ -148,13 +148,35 @@ def deblock_frame(
     chroma_qp_offset: int = 0,
     refidx: np.ndarray = None,  # [mbh, mbw] refIdxL0 (multi-ref DPB)
     t8: np.ndarray = None,      # [mbh, mbw] transform_size_8x8_flag
+    qp_map: np.ndarray = None,  # [mbh, mbw] per-MB QP (mb_qp_delta streams)
+    mv4: np.ndarray = None,     # [4*mbh, 4*mbw, 2] 4x4-granular MVs
+    ref4: np.ndarray = None,    # [4*mbh, 4*mbw] 4x4-granular refIdx
 ) -> None:
-    """Filter the picture in place (MB raster order per 8.7)."""
+    """Filter the picture in place (MB raster order per 8.7).
+
+    General-stream extensions (third-party decode, 8.7.2): `qp_map`
+    carries per-MB QP (mb_qp_delta / I_PCM-as-0) -- MB-boundary edges
+    filter at qPav = (QPp + QPq + 1) >> 1, chroma via the per-MB QPc
+    values; `mv4`/`ref4` carry 4x4-block-granular motion so bS = 1
+    derivation compares the actual blocks across every edge (sub-16x16
+    partitions).  With these omitted, the uniform per-MB state
+    reproduces the original behavior exactly."""
     if idc == 1:
         return
     mbh, mbw = kind.shape
     if refidx is None:
         refidx = np.zeros((mbh, mbw), np.int32)
+    if mv4 is None:
+        mv4 = np.repeat(np.repeat(mv, 4, axis=0), 4, axis=1)
+    if ref4 is None:
+        ref4 = np.repeat(np.repeat(refidx, 4, axis=0), 4, axis=1)
+    if qp_map is None:
+        qp_map = np.full((mbh, mbw), qp, np.int32)
+    qpc_map = np.asarray(
+        [[int(chroma_qp(int(q), chroma_qp_offset)) for q in row]
+         for row in qp_map],
+        np.int32,
+    )
     if t8 is None:
         t8 = np.zeros((mbh, mbw), np.int32)
     else:
@@ -169,8 +191,13 @@ def deblock_frame(
                             cells = nnz_y[4*my + 2*y8 : 4*my + 2*y8 + 2,
                                           4*mx + 2*x8 : 4*mx + 2*x8 + 2]
                             cells[:] = 1 if cells.any() else 0
-    qpc = chroma_qp(qp, chroma_qp_offset)
     intra = kind == 2
+
+    def _bs_mv(aby, abx, bby, bbx):
+        """bS 1/0 from 4x4-granular motion across one block pair."""
+        dmv = np.abs(mv4[aby, abx] - mv4[bby, bbx])
+        diff_ref = ref4[aby, abx] != ref4[bby, bbx]
+        return 1 if (diff_ref or (dmv >= 4).any()) else 0
 
     def bs_pair(mby, mbx, nby, nbx, mb_edge, blocks_a, blocks_b):
         """bS per 4x4 pair along one edge; blocks_* are (by, bx) lists."""
@@ -178,15 +205,12 @@ def deblock_frame(
             return np.full(4, 4 if mb_edge else 3, np.int32)
         bs = np.zeros(4, np.int32)
         for k, ((aby, abx), (bby, bbx)) in enumerate(zip(blocks_a, blocks_b)):
-            if (
-                nnz_y[4 * mby + aby, 4 * mbx + abx] > 0
-                or nnz_y[4 * nby + bby, 4 * nbx + bbx] > 0
-            ):
+            ga = (4 * mby + aby, 4 * mbx + abx)
+            gb = (4 * nby + bby, 4 * nbx + bbx)
+            if nnz_y[ga] > 0 or nnz_y[gb] > 0:
                 bs[k] = 2
             else:
-                dmv = np.abs(mv[mby, mbx] - mv[nby, nbx])
-                diff_ref = refidx[mby, mbx] != refidx[nby, nbx]
-                bs[k] = 1 if (diff_ref or (dmv >= 4).any()) else 0
+                bs[k] = _bs_mv(*ga, *gb)
         return bs
 
     def bs_internal(mby, mbx, blocks_a, blocks_b):
@@ -194,11 +218,12 @@ def deblock_frame(
             return np.full(4, 3, np.int32)
         bs = np.zeros(4, np.int32)
         for k, ((aby, abx), (bby, bbx)) in enumerate(zip(blocks_a, blocks_b)):
-            if (
-                nnz_y[4 * mby + aby, 4 * mbx + abx] > 0
-                or nnz_y[4 * mby + bby, 4 * mbx + bbx] > 0
-            ):
+            ga = (4 * mby + aby, 4 * mbx + abx)
+            gb = (4 * mby + bby, 4 * mbx + bbx)
+            if nnz_y[ga] > 0 or nnz_y[gb] > 0:
                 bs[k] = 2
+            else:
+                bs[k] = _bs_mv(*ga, *gb)
         return bs
 
     for mby in range(mbh):
@@ -230,16 +255,24 @@ def deblock_frame(
                     )
                 if not bs.any():
                     continue
+                if xe == 0:  # MB edge: average the two MBs' QPs (8.7.2)
+                    qp_e = (int(qp_map[mby, mbx - 1])
+                            + int(qp_map[mby, mbx]) + 1) >> 1
+                    qpc_e = (int(qpc_map[mby, mbx - 1])
+                             + int(qpc_map[mby, mbx]) + 1) >> 1
+                else:
+                    qp_e = int(qp_map[mby, mbx])
+                    qpc_e = int(qpc_map[mby, mbx])
                 gx = x0 + xe
                 seg = recon_y[y0 : y0 + 16, gx - 4 : gx + 4]
-                _filter_edge_luma(seg, _expand_bs(bs), qp)
+                _filter_edge_luma(seg, _expand_bs(bs), qp_e)
                 if xe in (0, 8):  # chroma vertical edges at 0 and 4
                     cgx = cx0 + xe // 2
                     cseg_u = recon_u[c0 : c0 + 8, cgx - 2 : cgx + 2]
                     cseg_v = recon_v[c0 : c0 + 8, cgx - 2 : cgx + 2]
                     cbs = _expand_bs(bs, 2)
-                    _filter_edge_chroma(cseg_u, cbs, qpc)
-                    _filter_edge_chroma(cseg_v, cbs, qpc)
+                    _filter_edge_chroma(cseg_u, cbs, qpc_e)
+                    _filter_edge_chroma(cseg_v, cbs, qpc_e)
 
             # ---- horizontal edges (top->bottom) ----
             for e, ye in enumerate((0, 4, 8, 12)):
@@ -264,14 +297,22 @@ def deblock_frame(
                     )
                 if not bs.any():
                     continue
+                if ye == 0:
+                    qp_e = (int(qp_map[mby - 1, mbx])
+                            + int(qp_map[mby, mbx]) + 1) >> 1
+                    qpc_e = (int(qpc_map[mby - 1, mbx])
+                             + int(qpc_map[mby, mbx]) + 1) >> 1
+                else:
+                    qp_e = int(qp_map[mby, mbx])
+                    qpc_e = int(qpc_map[mby, mbx])
                 gy = y0 + ye
                 seg = recon_y[gy - 4 : gy + 4, x0 : x0 + 16].T.copy()
-                _filter_edge_luma(seg, _expand_bs(bs), qp)
+                _filter_edge_luma(seg, _expand_bs(bs), qp_e)
                 recon_y[gy - 4 : gy + 4, x0 : x0 + 16] = seg.T
                 if ye in (0, 8):
                     cgy = c0 + ye // 2
                     cbs = _expand_bs(bs, 2)
                     for plane in (recon_u, recon_v):
                         cseg = plane[cgy - 2 : cgy + 2, cx0 : cx0 + 8].T.copy()
-                        _filter_edge_chroma(cseg, cbs, qpc)
+                        _filter_edge_chroma(cseg, cbs, qpc_e)
                         plane[cgy - 2 : cgy + 2, cx0 : cx0 + 8] = cseg.T

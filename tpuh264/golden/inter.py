@@ -14,10 +14,27 @@ from typing import Optional, Tuple
 import numpy as np
 
 # integer-pel search geometry (shared with the TPU kernels)
-SEARCH_RANGE = 8          # clamp of the stage-1 center, pels
-SEARCH_PAD = 12           # reference padding needed (8 + 2 + 1 margin)
-OFFSETS_S1 = [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
-OFFSETS_S2 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+SEARCH_RANGE = 8          # stage-A full-search radius, integer pels
+REFINE_RANGE = 1          # stage-B full-resolution refine radius, pels
+SEARCH_PAD = 12           # reference padding needed (9 + subpel + margin)
+
+# Motion cost: the search minimizes SAD + lambda*rate(mv), the standard
+# rate-biased criterion (ties on flat content then resolve toward the
+# zero vector, keeping P_Skip reachable, and the MV field stays cheap to
+# code).  The rate proxy is the exact ue(v) length of 2*|v| -- an upper
+# bound of the se(v) mvd bits against a zero predictor.  Integer-only so
+# the TPU kernels reproduce decisions bit-exactly.
+LAMBDA_ME = [max(1, int(0.92 * 2.0 ** ((q - 12) / 6.0) * 4))
+             for q in range(52)]
+
+
+def mv_rate_bits(vx_q: int, vy_q: int) -> int:
+    """ue(2|v|) bit length summed over both quarter-pel components."""
+
+    def one(v):
+        return 2 * int(2 * abs(v) + 1).bit_length() - 1
+
+    return one(vx_q) + one(vy_q)
 
 MB_INTRA = 2
 MB_INTER = 1
@@ -147,37 +164,41 @@ def motion_search(
     ref: np.ndarray,     # full reference luma plane
     mbx: int,
     mby: int,
-    pmv: Tuple[int, int],
-) -> Tuple[int, int, int]:
-    """Two-stage fixed-pattern integer search around the MV predictor.
+    qp: int,
+) -> Tuple[int, int, int, int]:
+    """Integer motion search: exhaustive stage A + full-res refine.
 
-    Stage 1: the zero MV plus a 3x3 stride-2 grid centered at the
-    integer-rounded predictor; stage 2: a 3x3 stride-1 grid around the
-    stage-1 winner.  Ties break toward the earlier candidate in list
-    order.  Returns (mvx_q, mvy_q, sad) with MVs in quarter-pel units.
+    Stage A: rate-biased SAD over the full +-SEARCH_RANGE grid, computed
+    on the stride-2 subsample of the MB (the TPU kernel evaluates the
+    same field as shifted-plane slices); the stride-2 SAD is scaled x4
+    to stay commensurable with the full-resolution stages.  Stage B: a
+    3x3 full-resolution refine around the stage-A winner.  Candidates
+    enumerate in raster order (dy outer) with strict-< selection, so
+    ties break toward the earlier candidate.  Returns
+    (mvx_q, mvy_q, sad, cost): full-res SAD and rate-biased cost of the
+    winner, MV in quarter-pel units.
     """
-
-    def sad_at(dy: int, dx: int) -> int:
-        return int(
-            np.abs(src_mb - mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)).sum()
-        )
-
-    c0y = int(np.clip(pmv[1] >> 2, -SEARCH_RANGE, SEARCH_RANGE))
-    c0x = int(np.clip(pmv[0] >> 2, -SEARCH_RANGE, SEARCH_RANGE))
-    cands1 = [(0, 0)] + [(c0y + dy, c0x + dx) for dy, dx in OFFSETS_S1]
-    best, best_sad = cands1[0], sad_at(*cands1[0])
-    for cand in cands1[1:]:
-        s = sad_at(*cand)
-        if s < best_sad:
-            best, best_sad = cand, s
-    cands2 = [(best[0] + dy, best[1] + dx) for dy, dx in OFFSETS_S2]
-    for cand in cands2:
-        if cand == best:
-            continue
-        s = sad_at(*cand)
-        if s < best_sad:
-            best, best_sad = cand, s
-    return 4 * best[1], 4 * best[0], best_sad
+    lam = LAMBDA_ME[min(max(qp, 0), 51)]
+    best = None  # (cost, dy, dx)
+    for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+        for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+            win = mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)
+            s = int(np.abs(src_mb[::2, ::2] - win[::2, ::2]).sum())
+            cost = 4 * s + lam * mv_rate_bits(4 * dx, 4 * dy)
+            if best is None or cost < best[0]:
+                best = (cost, dy, dx)
+    _, cy, cx = best
+    best = None  # (cost, sad, dy, dx)
+    for oy in range(-REFINE_RANGE, REFINE_RANGE + 1):
+        for ox in range(-REFINE_RANGE, REFINE_RANGE + 1):
+            dy, dx = cy + oy, cx + ox
+            win = mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)
+            s = int(np.abs(src_mb - win).sum())
+            cost = s + lam * mv_rate_bits(4 * dx, 4 * dy)
+            if best is None or cost < best[0]:
+                best = (cost, s, dy, dx)
+    cost, s, by, bx = best
+    return 4 * bx, 4 * by, s, cost
 
 
 # ---------------------------------------------------------------------------
@@ -271,14 +292,17 @@ def motion_search_qpel(
     planes,
     mbx: int,
     mby: int,
-    pmv,
+    qp: int,
 ):
     """Integer search (motion_search) + half then quarter refinement.
 
-    All candidate orders/tie-breaks are shared with the TPU kernel.
-    Returns (mvx_q, mvy_q, sad).
+    Subpel candidates minimize the same rate-biased cost as the integer
+    stages; all candidate orders/tie-breaks are shared with the TPU
+    kernel (strict <, OFFSETS_HALF then OFFSETS_QUARTER raster order).
+    Returns (mvx_q, mvy_q, sad, cost).
     """
-    mvx, mvy, best_sad = motion_search(src_mb, ref, mbx, mby, pmv)
+    lam = LAMBDA_ME[min(max(qp, 0), 51)]
+    mvx, mvy, best_sad, best_cost = motion_search(src_mb, ref, mbx, mby, qp)
     best = (mvy, mvx)
     for offsets in (OFFSETS_HALF, OFFSETS_QUARTER):
         base = best
@@ -288,9 +312,10 @@ def motion_search_qpel(
             cand = (base[0] + dy, base[1] + dx)
             pred = mc_luma_qpel(planes, mbx, mby, cand[1], cand[0])
             s = int(np.abs(src_mb - pred).sum())
-            if s < best_sad:
-                best, best_sad = cand, s
-    return best[1], best[0], best_sad
+            cost = s + lam * mv_rate_bits(cand[1], cand[0])
+            if cost < best_cost:
+                best, best_sad, best_cost = cand, s, cost
+    return best[1], best[0], best_sad, best_cost
 
 
 # ---------------------------------------------------------------------------

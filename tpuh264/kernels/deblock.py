@@ -23,6 +23,7 @@ import numpy as np
 from ..golden.deblock import ALPHA, BETA, TC0
 from . import transform as T
 from .iframe import _mb_view, _unscan, _mbs_to_plane
+from .pframe import _unroll_factor
 
 _ALPHA = jnp.asarray(ALPHA)
 _BETA = jnp.asarray(BETA)
@@ -148,18 +149,27 @@ def deblock_frame_rows(
     u_mbs = _mb_view(u.astype(jnp.int32), 8)
     v_mbs = _mb_view(v.astype(jnp.int32), 8)
 
+    # several MB columns per scan step: the per-step tensors are small,
+    # so the 120-step loop is launch-overhead-bound at 1080p -- unrolling
+    # divides that overhead without changing the (sequential) data flow
+    uf = _unroll_factor(c)
+
     def to_scan(x):
-        return jnp.moveaxis(x, 2, 0)
+        x = jnp.moveaxis(x, 2, 0)
+        return x.reshape(c // uf, uf, *x.shape[1:])
+
+    def mb_scan(x):  # _mb_view output is already [C, ...]
+        return x.reshape(c // uf, uf, *x.shape[1:])
 
     xs = (
-        y_mbs, u_mbs, v_mbs,
+        mb_scan(y_mbs), mb_scan(u_mbs), mb_scan(v_mbs),
         to_scan(kind.astype(jnp.int32)),
         to_scan(mvx.astype(jnp.int32)),
         to_scan(mvy.astype(jnp.int32)),
         to_scan(nnz.astype(jnp.int32)),
         to_scan(refidx.astype(jnp.int32)),
         to_scan(t8.astype(jnp.int32)),
-        jnp.arange(c),
+        jnp.arange(c).reshape(c // uf, uf),
     )
 
     def vertical_edge(left_cols, right_cols, bs4, is_chroma):
@@ -181,7 +191,7 @@ def deblock_frame_rows(
             rc = seg[..., 4:]
         return lc, rc
 
-    def step(carry, x):
+    def substep(carry, x):
         (prev_y, prev_u, prev_v, pkind, pmvx, pmvy, pnnz, pref,
          pvalid) = carry
         ymb, umb, vmb, k, mx, my, nz, ri, tf, col = x
@@ -262,6 +272,15 @@ def deblock_frame_rows(
         del tf
         return new_carry, (prev_y, prev_u, prev_v)
 
+    def step(carry, x):
+        outs = []
+        for uu in range(uf):
+            carry, o = substep(carry, tuple(f[uu] for f in x))
+            outs.append(o)
+        return carry, tuple(
+            jnp.stack([o[i] for o in outs]) for i in range(3)
+        )
+
     zero_mb = jnp.zeros((s, r, 16, 16), jnp.int32)
     zero_c = jnp.zeros((s, r, 8, 8), jnp.int32)
     carry0 = (
@@ -274,6 +293,9 @@ def deblock_frame_rows(
         jnp.zeros((s, r), dtype=bool),
     )
     carry, (oy, ou, ov) = jax.lax.scan(step, carry0, xs)
+    oy = oy.reshape(c, *oy.shape[2:])
+    ou = ou.reshape(c, *ou.shape[2:])
+    ov = ov.reshape(c, *ov.shape[2:])
     # outputs are shifted by one step: out[c] = finalized MB c-1; append last
     oy = jnp.concatenate([oy[1:], carry[0][None]], axis=0)
     ou = jnp.concatenate([ou[1:], carry[1][None]], axis=0)

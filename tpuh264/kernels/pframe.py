@@ -1,16 +1,43 @@
-"""TPU P-frame encoder/decoder core (row-slice parallel, integer-pel ME).
+"""TPU P-frame encoder/decoder core (row-slice parallel, rate-biased ME).
 
 Extends the I-frame scan (kernels/iframe.py) with inter prediction against
 a device-resident reference frame -- the DPB lives in HBM and never
 crosses the host link (BASELINE.json north star: reference pages stay on
-chip).  Motion search is the fixed-candidate two-stage pattern defined by
-tpuh264.golden.inter (bit-identical decisions; fixed-iteration masked
-search per SURVEY.md hard part 4).  Skip and MV prediction use the
-row-slice degenerate forms of H.264 8.4.1: with no top neighbors,
-P_Skip's MV is always zero and the predictor is the left MB's MV.
+chip).
 
-All decisions/reconstructions are bit-exact with tpuh264.golden.codec's
-P path (tests enforce stream equality via the shared entropy packers).
+TPU-first structure (the round-3 redesign): everything inter is computed
+BATCHED over all macroblocks at once -- no per-candidate gathers inside a
+column scan:
+
+  1. integer motion search = a rate-biased SAD field over the full
+     +-SEARCH_RANGE offset grid, evaluated as static shifted-plane
+     slices on the stride-2 subsample (pure VPU work, zero gathers),
+     then a 3x3 full-resolution refine from per-MB windows;
+  2. per-MB reference windows are extracted from statically-built
+     3MBx3MB band tensors with two `take_along_axis` calls (measured
+     ~free on TPU; the bands are 9 shifted reshapes of the plane);
+  3. half/quarter refinement evaluates all 49 reachable quarter-pel
+     positions as STATIC window slices (each qpel sample is the average
+     of two of the 4 half-pel planes, H.264 8.4.2.2.1) into a cost
+     table; the normative two-stage half->quarter selection then runs
+     as pure arithmetic on that table;
+  4. motion compensation, transforms, quant and inter reconstruction
+     are batched [S, R, C] tensor ops;
+  5. only the intra-in-P path (left-neighbor reconstruction chain) and
+     the final mode selection remain a `lax.scan` over MB columns,
+     unrolled several columns per step to amortize loop overhead.
+
+The search criterion is SAD + lambda*rate(mv) (golden/inter.py
+LAMBDA_ME/mv_rate_bits): decisions are bit-identical to
+tpuh264.golden.codec's P path (tests enforce stream equality via the
+shared entropy packers), and the rate bias keeps flat-content ties on
+the zero vector so P_Skip stays reachable.
+
+Skip and MV prediction use the row-slice degenerate forms of H.264
+8.4.1: with no top neighbors, P_Skip's MV is always zero and the
+predictor is the left MB's MV.  The decoder resolves the MV chain with
+an associative scan (mv_c = g_c * mv_{c-1} + g_c * mvd_c), so decode MC
+is fully batched too.
 """
 
 from __future__ import annotations
@@ -29,6 +56,7 @@ from .iframe import (
     _blocks_to_mb,
     _cblocks_to_mb,
     _chroma_blocks,
+    _encode_luma,
     _luma_blocks,
     _mb_view,
     _mbs_to_plane,
@@ -39,18 +67,22 @@ from .iframe import (
     _unscan,
 )
 from ..golden.inter import (
+    LAMBDA_ME,
     OFFSETS_HALF,
     OFFSETS_QUARTER,
-    OFFSETS_S1,
-    OFFSETS_S2,
     QPEL_TBL,
+    REFINE_RANGE,
     SEARCH_PAD,
     SEARCH_RANGE,
+    mv_rate_bits,
 )
 
 KIND_SKIP = 0
 KIND_INTER = 1
 KIND_INTRA = 2
+
+_PE = SEARCH_PAD + 1  # half-pel plane pad (13)
+_LAM_ME = jnp.asarray(LAMBDA_ME, jnp.int32)
 
 
 class MBSymbolsP(NamedTuple):
@@ -97,78 +129,6 @@ def build_halfpel_planes(ref: jnp.ndarray, pad: int = SEARCH_PAD):
     return tuple(pl[:, :h2, :w2] for pl in (g_p, b_p, h_p, j_p))
 
 
-def _qpel_bands(planes, col, r: int):
-    """Per-step 41x41 windows for the 4 planes: [4][S,R,41,41].
-
-    Window-local offset (12 + x_int, 12 + y_int) addresses the integer
-    sample grid; +1 slices provide the quarter-average neighbors."""
-    out = []
-    for pl in planes:
-        band = jax.lax.dynamic_slice_in_dim(pl, col * 16 + 1, 41, axis=2)
-        rows = [band[:, i * 16 + 1 : i * 16 + 42, :] for i in range(r)]
-        out.append(jnp.stack(rows, axis=1))
-    return out
-
-
-# component table as arrays: idx1/idx2 [4(xf), 4(yf)] into the 8-component
-# stack [G00 b00 h00 j00 G10 G01 b01 h10]
-_QTBL1 = np.zeros((4, 4), np.int32)
-_QTBL2 = np.zeros((4, 4), np.int32)
-for (xf, yf), (c1, c2) in QPEL_TBL.items():
-    _QTBL1[xf, yf] = c1
-    _QTBL2[xf, yf] = c2
-_QTBL1 = jnp.asarray(_QTBL1)
-_QTBL2 = jnp.asarray(_QTBL2)
-
-
-def _mc_qpel(qbands, mvx, mvy):
-    """Quarter-pel luma MC: qbands [4][S,R,41,41], mv [S,R] quarter units."""
-    x_int = mvx >> 2
-    y_int = mvy >> 2
-    xf = mvx & 3
-    yf = mvy & 3
-    wins = [
-        _gather_window(b, 12 + y_int, 12 + x_int, 17) for b in qbands
-    ]  # 17x17 per plane
-    wg, wb, wh, wj = wins
-    comps = jnp.stack(
-        [
-            wg[..., :16, :16], wb[..., :16, :16],
-            wh[..., :16, :16], wj[..., :16, :16],
-            wg[..., :16, 1:17], wg[..., 1:17, :16],
-            wb[..., 1:17, :16], wh[..., :16, 1:17],
-        ],
-        axis=0,
-    )  # [8, S, R, 16, 16]
-    i1 = _QTBL1[xf, yf]  # [S, R]
-    i2 = _QTBL2[xf, yf]
-    k = jnp.arange(8).reshape(8, 1, 1, 1, 1)
-    c1 = jnp.sum(jnp.where(k == i1[None, ..., None, None], comps, 0), axis=0)
-    c2 = jnp.sum(jnp.where(k == i2[None, ..., None, None], comps, 0), axis=0)
-    return (c1 + c2 + 1) >> 1
-
-
-def _me_subpel(qbands, src, mvx_i, mvy_i, best_sad):
-    """Half then quarter refinement around the integer winner (matches
-    golden.inter.motion_search_qpel order and tie-breaks)."""
-    best_x = 4 * mvx_i
-    best_y = 4 * mvy_i
-    for offsets in (OFFSETS_HALF, OFFSETS_QUARTER):
-        base_x, base_y = best_x, best_y
-        for dy, dx in offsets:
-            if (dy, dx) == (0, 0):
-                continue
-            cx = base_x + dx
-            cy = base_y + dy
-            pred = _mc_qpel(qbands, cx, cy)
-            s = jnp.abs(src - pred).sum((-1, -2))
-            better = s < best_sad
-            best_sad = jnp.where(better, s, best_sad)
-            best_x = jnp.where(better, cx, best_x)
-            best_y = jnp.where(better, cy, best_y)
-    return best_x, best_y, best_sad
-
-
 def _pad_ref(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Edge-replicate pad [S, H, W] by `pad` on every side (the normative
     Clip3 sample clamp of 8.4.2.2, materialized once)."""
@@ -178,7 +138,7 @@ def _pad_ref(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 # vertical reach of inter prediction into a reference, in rows: the halo
 # a row-sharded DPB must exchange with each neighbor shard (ICI ppermute)
-HALO_Y = SEARCH_PAD + 1   # 13: ME clamp + refine + 6-tap margin
+HALO_Y = SEARCH_PAD + 1   # 13: ME range + refine + subpel + 6-tap margin
 HALO_C = SEARCH_PAD // 2 + 2  # 8: chroma eighth-pel reach
 
 
@@ -217,86 +177,272 @@ def _pad_ref_ext(plane_ext: jnp.ndarray, pad: int) -> jnp.ndarray:
                    ((0, 0), (0, 0), (pad, pad)), mode="edge")
 
 
-def _row_windows(band: jnp.ndarray, r: int, mb: int, win: int) -> jnp.ndarray:
-    """[S, H+2p, win] -> [S, R, win, win] static per-row windows."""
-    rows = [band[:, i * mb : i * mb + win, :] for i in range(r)]
-    return jnp.stack(rows, axis=1)
+# ---------------------------------------------------------------------------
+# Banded window machinery: per-MB reference windows without scan gathers.
+# ---------------------------------------------------------------------------
 
 
-def _gather_window(
-    band: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, size: int
-) -> jnp.ndarray:
-    """Per-lane window gather: band [S,R,W,W], y0/x0 [S,R] -> [S,R,size,size]."""
-    ar = jnp.arange(size)
-    rows = y0[..., None] + ar  # [S,R,size]
-    t = jnp.take_along_axis(band, rows[..., None], axis=2)  # [S,R,size,W]
-    cols = x0[..., None] + ar
-    return jnp.take_along_axis(t, cols[..., :, None].swapaxes(-1, -2), axis=3)
+def _mb_bands(pl: jnp.ndarray, mb: int) -> jnp.ndarray:
+    """[S, (R+2)*mb, (C+2)*mb] plane -> [S, R, C, 3mb, 3mb] per-MB bands.
+
+    Band (r, c) covers the MB tile plus one full tile of margin on every
+    side; built from 9 statically shifted reshapes (no gathers)."""
+    s = pl.shape[0]
+    r = pl.shape[1] // mb - 2
+    c = pl.shape[2] // mb - 2
+    rows = jnp.concatenate(
+        [
+            pl[:, mb * k : mb * k + mb * r, :].reshape(s, r, mb, -1)
+            for k in range(3)
+        ],
+        axis=2,
+    )  # [S, R, 3mb, Wp]
+    cols = jnp.concatenate(
+        [
+            rows[..., mb * k : mb * k + mb * c].reshape(s, r, 3 * mb, c, mb)
+            for k in range(3)
+        ],
+        axis=-1,
+    )  # [S, R, 3mb, C, 3mb]
+    return cols.transpose(0, 1, 3, 2, 4)
 
 
-def _me_16x16(band: jnp.ndarray, src: jnp.ndarray, pmvx, pmvy):
-    """Fixed two-stage integer search (mirrors golden.inter.motion_search).
+def _luma_bands(plane: jnp.ndarray, r: int, c: int):
+    """Half-pel plane (pad _PE=13) -> [S, R, C, 48, 48] uint8 band.
 
-    band: [S,R,40,40] reference windows centered so offset (0,0) reads
-    at [12:28, 12:28]; src: [S,R,16,16].  Returns (dx, dy, sad) int pels.
-    """
-    p = SEARCH_PAD
+    The extra 3-sample zero pad lifts the plane to a 16-aligned pad; the
+    fabricated samples are never read within the legal MV range
+    (|mv| <= SEARCH_RANGE + REFINE_RANGE + 3/4 qpel)."""
+    pl = jnp.pad(
+        plane.astype(jnp.uint8),
+        ((0, 0), (16 - _PE, 16 - _PE), (16 - _PE, 16 - _PE)),
+    )
+    return _mb_bands(pl, 16)
 
-    def sad_at(dy, dx):
-        win = _gather_window(band, p + dy, p + dx, 16)
-        return jnp.abs(src - win).sum((-1, -2))
 
-    c0y = jnp.clip(pmvy >> 2, -SEARCH_RANGE, SEARCH_RANGE)
-    c0x = jnp.clip(pmvx >> 2, -SEARCH_RANGE, SEARCH_RANGE)
-    zero = jnp.zeros_like(c0y)
+def _window(band: jnp.ndarray, j0: jnp.ndarray, i0: jnp.ndarray, win: int):
+    """Per-MB window gather: band [S,R,C,B,B], j0/i0 [S,R,C] ->
+    [S,R,C,win,win] int32 (two take_along_axis calls)."""
+    ar = jnp.arange(win)
+    t = jnp.take_along_axis(band, (j0[..., None, None] + ar[:, None]), axis=3)
+    t = jnp.take_along_axis(t, (i0[..., None, None] + ar[None, :]), axis=4)
+    return t.astype(jnp.int32)
 
-    best_dy, best_dx = zero, zero
-    best_sad = sad_at(zero, zero)
-    for dy_off, dx_off in OFFSETS_S1:
-        dy, dx = c0y + dy_off, c0x + dx_off
-        s = sad_at(dy, dx)
-        better = s < best_sad
-        best_sad = jnp.where(better, s, best_sad)
-        best_dy = jnp.where(better, dy, best_dy)
-        best_dx = jnp.where(better, dx, best_dx)
-    base_dy, base_dx = best_dy, best_dx
-    for dy_off, dx_off in OFFSETS_S2:
-        if (dy_off, dx_off) == (0, 0):
+
+_POW2_7 = jnp.asarray([1, 2, 4, 8, 16, 32, 64], jnp.int32)
+
+
+def _rate_q(vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized golden.inter.mv_rate_bits (ue(2|v|) lengths summed)."""
+
+    def one(v):
+        x = 2 * jnp.abs(v) + 1
+        bl = (x[..., None] >= _POW2_7).sum(-1)
+        return 2 * bl - 1
+
+    return one(vx) + one(vy)
+
+
+# ---------------------------------------------------------------------------
+# Motion search (normative pattern defined in golden/inter.py).
+# ---------------------------------------------------------------------------
+
+
+def _sad_field(src2, gplane, lam, h, w):
+    """Stage A: rate-biased stride-2 SAD over the full +-SEARCH_RANGE
+    grid via shifted-plane slices.  Returns (iy0, ix0) [S,R,C].
+
+    Structured as a `lax.scan` over the dy rows (dynamic row slice) with
+    the dx shifts unrolled inside: identical arithmetic to the fully
+    unrolled 17x17 enumeration, but a 17x smaller graph -- the CPU
+    backend's LLVM pipeline chokes on hundreds of sibling strided-slice
+    reductions (observed 2+ minute compiles), while the TPU runs the
+    short scan at full VPU rate."""
+    s = src2.shape[0]
+    r, c = h // 16, w // 16
+    n = 2 * SEARCH_RANGE + 1
+    rates = jnp.asarray(
+        [
+            [mv_rate_bits(4 * dx, 4 * dy)
+             for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1)]
+            for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1)
+        ],
+        jnp.int32,
+    )
+
+    def body(best, iy):
+        rows = jax.lax.dynamic_slice_in_dim(gplane, _PE - SEARCH_RANGE + iy,
+                                            h, axis=1)[:, ::2]
+        for j, dx in enumerate(range(-SEARCH_RANGE, SEARCH_RANGE + 1)):
+            r2 = rows[:, :, _PE + dx : _PE + dx + w : 2]
+            sad = jnp.abs(src2 - r2).reshape(s, r, 8, c, 8).sum((2, 4))
+            cost = 4 * sad + lam * rates[iy, j]
+            key = cost * 512 + iy * n + j
+            best = jnp.minimum(best, key)
+        return best, None
+
+    init = jnp.full((s, r, c), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best, _ = jax.lax.scan(body, init, jnp.arange(n))
+    code = best % 512
+    return code // n - SEARCH_RANGE, code % n - SEARCH_RANGE
+
+
+def _int_refine(band_g, src_mbs, iy0, ix0, lam):
+    """Stage B: 3x3 full-resolution refine around the stage-A winner
+    (raster order, strict <).  Returns (iy, ix, cost)."""
+    w19 = _window(band_g, 15 + iy0, 15 + ix0, 16 + 2 * REFINE_RANGE + 1)
+    best_cost = biy = bix = None
+    for oy in range(2 * REFINE_RANGE + 1):
+        for ox in range(2 * REFINE_RANGE + 1):
+            pred = w19[..., oy : oy + 16, ox : ox + 16]
+            sad = jnp.abs(src_mbs - pred).sum((-1, -2))
+            my = iy0 - REFINE_RANGE + oy
+            mx = ix0 - REFINE_RANGE + ox
+            cost = sad + lam * _rate_q(4 * mx, 4 * my)
+            if best_cost is None:
+                best_cost, biy, bix = cost, my, mx
+            else:
+                better = cost < best_cost
+                best_cost = jnp.where(better, cost, best_cost)
+                biy = jnp.where(better, my, biy)
+                bix = jnp.where(better, mx, bix)
+    return biy, bix
+
+
+# component table: id -> (plane, dy, dx); ids are golden.inter QPEL_TBL's
+# [G00 b00 h00 j00 G10 G01 b01 h10]
+_COMP_PL = (0, 1, 2, 3, 0, 0, 1, 2)
+_COMP_DY = (0, 0, 0, 0, 0, 1, 1, 0)
+_COMP_DX = (0, 0, 0, 0, 1, 0, 0, 1)
+_COMP_PL_J = jnp.asarray(_COMP_PL)
+_COMP_DY_J = jnp.asarray(_COMP_DY)
+_COMP_DX_J = jnp.asarray(_COMP_DX)
+_QT1 = np.zeros((4, 4), np.int32)
+_QT2 = np.zeros((4, 4), np.int32)
+for (_xf, _yf), (_c1, _c2) in QPEL_TBL.items():
+    _QT1[_xf, _yf] = _c1
+    _QT2[_xf, _yf] = _c2
+_QT1 = jnp.asarray(_QT1)
+_QT2 = jnp.asarray(_QT2)
+
+
+def _comp_slice(w2, k: int, y_int: int, x_int: int):
+    """Static 16x16 component read from the 18x18 4-plane window stack
+    (int sample (0,0) of the winner sits at [1,1])."""
+    dy = 1 + y_int + _COMP_DY[k]
+    dx = 1 + x_int + _COMP_DX[k]
+    return w2[..., _COMP_PL[k], dy : dy + 16, dx : dx + 16]
+
+
+def _extract_w2(bands, iy, ix):
+    """[S,R,C,4,18,18] half-pel plane windows at integer winner (iy,ix)."""
+    return jnp.stack(
+        [_window(b, 15 + iy, 15 + ix, 18) for b in bands], axis=3
+    )
+
+
+def _subpel_refine(w2, src_mbs, iy, ix, lam):
+    """Stages C/D: all 49 reachable quarter-pel positions as static
+    window slices -> cost/SAD tables, then the normative half->quarter
+    two-stage selection as table arithmetic.
+
+    Returns (mvx_q, mvy_q, sad, cost) absolute quarter-pel MVs."""
+    costs, sads = [], []
+    for py in range(-3, 4):
+        y_int, yf = py >> 2, py & 3
+        for px in range(-3, 4):
+            x_int, xf = px >> 2, px & 3
+            c1, c2 = QPEL_TBL[(xf, yf)]
+            a = _comp_slice(w2, c1, y_int, x_int)
+            b = _comp_slice(w2, c2, y_int, x_int)
+            pred = (a + b + 1) >> 1
+            sad = jnp.abs(src_mbs - pred).sum((-1, -2))
+            cost = sad + lam * _rate_q(4 * ix + px, 4 * iy + py)
+            costs.append(cost)
+            sads.append(sad)
+    cost49 = jnp.stack(costs, axis=-1)  # [S,R,C,49]
+    sad49 = jnp.stack(sads, axis=-1)
+
+    best_cost = cost49[..., 24]  # center (0,0)
+    by = jnp.zeros_like(iy)
+    bx = jnp.zeros_like(ix)
+    for hy, hx in OFFSETS_HALF:
+        if (hy, hx) == (0, 0):
             continue
-        dy, dx = base_dy + dy_off, base_dx + dx_off
-        s = sad_at(dy, dx)
-        better = s < best_sad
-        best_sad = jnp.where(better, s, best_sad)
-        best_dy = jnp.where(better, dy, best_dy)
-        best_dx = jnp.where(better, dx, best_dx)
-    return best_dx, best_dy, best_sad
+        cand = cost49[..., (3 + hy) * 7 + 3 + hx]
+        better = cand < best_cost
+        best_cost = jnp.where(better, cand, best_cost)
+        by = jnp.where(better, hy, by)
+        bx = jnp.where(better, hx, bx)
+    base_y, base_x = by, bx
+    for qy, qx in OFFSETS_QUARTER:
+        if (qy, qx) == (0, 0):
+            continue
+        idxd = (3 + base_y + qy) * 7 + (3 + base_x + qx)
+        cand = jnp.take_along_axis(cost49, idxd[..., None], axis=-1)[..., 0]
+        better = cand < best_cost
+        best_cost = jnp.where(better, cand, best_cost)
+        by = jnp.where(better, base_y + qy, by)
+        bx = jnp.where(better, base_x + qx, bx)
+    fidx = (3 + by) * 7 + 3 + bx
+    sad = jnp.take_along_axis(sad49, fidx[..., None], axis=-1)[..., 0]
+    return 4 * ix + bx, 4 * iy + by, sad, best_cost
 
 
-def _mc_luma(band: jnp.ndarray, dx, dy) -> jnp.ndarray:
-    return _gather_window(band, SEARCH_PAD + dy, SEARCH_PAD + dx, 16)
+def _mc_from_window(w2, py, px):
+    """Quarter-pel luma MC from the 18x18 window stack: per-MB relative
+    qpel (py, px) in [-3, 3] around the window's [1,1] integer sample.
+    Two flat take_along_axis reads (one per averaged component)."""
+    lead = py.shape
+    y_int = (py >> 2) + 1  # {0, 1}
+    x_int = (px >> 2) + 1
+    yf = py & 3
+    xf = px & 3
+    c1 = _QT1[xf, yf]
+    c2 = _QT2[xf, yf]
+    flat = w2.reshape(*lead, 4 * 18 * 18)
+    ry = jnp.arange(16)
+    grid = (ry[:, None] * 18 + ry[None, :]).reshape(-1)
+
+    def take(ck):
+        base = (
+            _COMP_PL_J[ck] * 324
+            + (y_int + _COMP_DY_J[ck]) * 18
+            + (x_int + _COMP_DX_J[ck])
+        )
+        idx = base[..., None] + grid
+        out = jnp.take_along_axis(flat, idx, axis=-1)
+        return out.reshape(*lead, 16, 16)
+
+    return (take(c1) + take(c2) + 1) >> 1
 
 
-def _mc_chroma(cband: jnp.ndarray, mvx_q, mvy_q, cpad: int) -> jnp.ndarray:
-    """Eighth-pel bilinear chroma MC (8.4.2.2.2); [S,R,*,*] -> [S,R,8,8]."""
-    x_int = mvx_q >> 3
-    y_int = mvy_q >> 3
-    xf = mvx_q & 7
+def _mc_chroma_bands(band_c, mvx_q, mvy_q):
+    """Eighth-pel bilinear chroma MC (8.4.2.2.2) from per-MB band24:
+    mv in luma quarter-pel units; returns [S,R,C,8,8]."""
+    cy = mvy_q >> 3
+    cx = mvx_q >> 3
     yf = mvy_q & 7
-    w9 = _gather_window(cband, cpad + y_int, cpad + x_int, 9)
+    xf = mvx_q & 7
+    w9 = _window(band_c, 8 + cy, 8 + cx, 9)
     a = w9[..., :8, :8]
     b = w9[..., :8, 1:9]
     c = w9[..., 1:9, :8]
     d = w9[..., 1:9, 1:9]
     xf_ = xf[..., None, None]
     yf_ = yf[..., None, None]
-    out = (
+    return (
         (8 - xf_) * (8 - yf_) * a
         + xf_ * (8 - yf_) * b
         + (8 - xf_) * yf_ * c
         + xf_ * yf_ * d
         + 32
     ) >> 6
-    return out
+
+
+# ---------------------------------------------------------------------------
+# Shared transform helpers (batched over arbitrary leading dims).
+# ---------------------------------------------------------------------------
 
 
 def _intra16_costs(left_y, first, ymb):
@@ -314,7 +460,6 @@ def _transform_inter_luma(src, pred, qp):
     w = T.forward4x4(_luma_blocks(src - pred))  # [.,4,4,4,4]
     q_flat = T.quant4x4(w, qp, intra=False).reshape(*w.shape[:-2], 16)
     l_zz = q_flat[..., T._ZZ]  # [., 4,4,16]
-    # 8x8 group (i8): blocks (by in 2i8_y.., z-order): bit i8 = any nonzero
     nz = jnp.any(l_zz != 0, axis=-1)  # [., 4, 4] (by, bx)
     g = nz.reshape(*nz.shape[:-2], 2, 2, 2, 2)  # (gy, y2, gx, x2)
     gb = jnp.any(g, axis=(-3, -1))  # [., gy, gx]
@@ -353,6 +498,49 @@ def _recon_chroma(pred, dcq, q_flat, cbp_chroma, qpc):
     return _cblocks_to_mb(T.idct_add(_chroma_blocks(pred), d))
 
 
+def _nzmask8(cbp):
+    """4-bit 8x8 CBP -> [., 4, 4] per-4x4-block coded mask."""
+    return jnp.repeat(
+        jnp.repeat(
+            (((cbp[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
+            2, axis=-1,
+        ),
+        2, axis=-2,
+    )
+
+
+def _unroll_factor(c: int) -> int:
+    """Columns per scan step.  The unroll is purely mechanical -- the
+    results are bit-identical at any factor -- so it is chosen per
+    backend: on TPU, 8 columns per step amortize the sequential-loop
+    launch overhead that otherwise dominates the small per-column ops;
+    on CPU (the virtual-mesh test environment), unrolling only bloats
+    the XLA graph and LLVM compile time, so the scan stays per-column."""
+    if jax.default_backend() != "tpu":
+        return 1
+    for u in (8, 6, 5, 4, 3, 2):
+        if c % u == 0:
+            return u
+    return 1
+
+
+def _mc_all(bands_l, bands_u, bands_v, mvx, mvy, n_refs, refsel):
+    """Luma + chroma MC at per-MB quarter-pel MVs, selecting among
+    `n_refs` references by `refsel`.  mv int range [-10, 9]."""
+    preds = []
+    for n in range(n_refs):
+        w2 = _extract_w2(bands_l[n], mvy >> 2, mvx >> 2)
+        pl = _mc_from_window(w2, mvy - 4 * (mvy >> 2), mvx - 4 * (mvx >> 2))
+        pu = _mc_chroma_bands(bands_u[n], mvx, mvy)
+        pv = _mc_chroma_bands(bands_v[n], mvx, mvy)
+        preds.append((pl, pu, pv))
+    out = preds[0]
+    for n in range(1, n_refs):
+        m = (refsel == n)[..., None, None]
+        out = tuple(jnp.where(m, preds[n][i], out[i]) for i in range(3))
+    return out
+
+
 def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
     """Single-reference P encode (the common fast path)."""
     return encode_pframe_rows_multi(
@@ -368,21 +556,23 @@ def encode_pframe_rows_multi(
     """Encode P-frames [S, H, W] against a device-resident DPB.
 
     refs_*: [N, S, H, W], newest first (N static).  Per MB, every
-    reference is searched; lowest SAD wins with ties to the smaller
-    index (mirrors golden _encode_mb_p).  ref_idx travels in
-    symbols.refidx.  `ref_base` offsets the signaled indices when the
-    caller passes a slice of the DPB (forced temporal-layer reference);
-    P_Skip requires the TRUE index 0 (the decoder's skip MC always reads
-    DPB[0], 8.4.1.1).  With halo=True the references arrive vertically
-    pre-extended by (HALO_Y, HALO_C) rows per side -- real neighbor rows
-    exchanged over ICI by a row-sharded DPB (dist/mesh.py) -- and the
-    output is bit-identical to the unsharded full-frame encode."""
+    reference is searched; the lowest rate-biased cost wins with ties
+    to the smaller index (mirrors golden _encode_mb_p).  ref_idx
+    travels in symbols.refidx.  `ref_base` offsets the signaled indices
+    when the caller passes a slice of the DPB (forced temporal-layer
+    reference); P_Skip requires the TRUE index 0 (the decoder's skip MC
+    always reads DPB[0], 8.4.1.1).  With halo=True the references
+    arrive vertically pre-extended by (HALO_Y, HALO_C) rows per side --
+    real neighbor rows exchanged over ICI by a row-sharded DPB
+    (dist/mesh.py) -- and the output is bit-identical to the unsharded
+    full-frame encode."""
     qpc = T.chroma_qp_from_luma(qp)
     n_refs = refs_y.shape[0]
     s, h, w = y.shape
     r, c = h // 16, w // 16
     p = SEARCH_PAD
-    cp = p // 2 + 2  # chroma pad: |dx/2|+1 <= p/2+1
+    cp = p // 2 + 2  # chroma pad
+    lam = _LAM_ME[jnp.clip(qp, 0, 51)]
 
     if halo:
         planes_n = [
@@ -397,142 +587,149 @@ def encode_pframe_rows_multi(
         ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
         ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
-    y_mbs = _mb_view(y.astype(jnp.int32), 16)
-    u_mbs = _mb_view(u.astype(jnp.int32), 8)
-    v_mbs = _mb_view(v.astype(jnp.int32), 8)
-    cols = jnp.arange(c)
+    bands_l = [
+        [_luma_bands(pl, r, c) for pl in planes_n[n]] for n in range(n_refs)
+    ]
+    bands_u = [
+        _mb_bands(ref_up_n[n].astype(jnp.uint8), 8) for n in range(n_refs)
+    ]
+    bands_v = [
+        _mb_bands(ref_vp_n[n].astype(jnp.uint8), 8) for n in range(n_refs)
+    ]
 
-    def step(carry, xs):
+    y32 = y.astype(jnp.int32)
+    src_mbs = y32.reshape(s, r, 16, c, 16).transpose(0, 1, 3, 2, 4)
+    src2 = y32[:, ::2, ::2]
+    u_mbs = (
+        u.astype(jnp.int32).reshape(s, r, 8, c, 8).transpose(0, 1, 3, 2, 4)
+    )
+    v_mbs = (
+        v.astype(jnp.int32).reshape(s, r, 8, c, 8).transpose(0, 1, 3, 2, 4)
+    )
+
+    # ---- motion search per reference, batched over all MBs ----
+    mvx = mvy = inter_sad = inter_cost = refsel = None
+    for n in range(n_refs):
+        iy0, ix0 = _sad_field(src2, planes_n[n][0], lam, h, w)
+        iy, ix = _int_refine(bands_l[n][0], src_mbs, iy0, ix0, lam)
+        w2 = _extract_w2(bands_l[n], iy, ix)
+        mvx_n, mvy_n, sad_n, cost_n = _subpel_refine(
+            w2, src_mbs, iy, ix, lam
+        )
+        if n == 0:
+            mvx, mvy, inter_sad, inter_cost = mvx_n, mvy_n, sad_n, cost_n
+            refsel = jnp.zeros_like(sad_n)
+        else:
+            better = cost_n < inter_cost
+            mvx = jnp.where(better, mvx_n, mvx)
+            mvy = jnp.where(better, mvy_n, mvy)
+            inter_sad = jnp.where(better, sad_n, inter_sad)
+            inter_cost = jnp.where(better, cost_n, inter_cost)
+            refsel = jnp.where(better, n, refsel)
+
+    # ---- inter MC + transforms, batched ----
+    predl, predcu, predcv = _mc_all(
+        bands_l, bands_u, bands_v, mvx, mvy, n_refs, refsel
+    )
+    l_zz, ql_flat, cbp4 = _transform_inter_luma(src_mbs, predl, qp)
+
+    if t8:
+        resid8 = (
+            (src_mbs - predl).reshape(s, r, c, 2, 8, 2, 8).swapaxes(-3, -2)
+        )
+        z8 = T8.quant8x8(T8.forward8x8(resid8), qp, intra=False)
+        zz8 = T8.zigzag8(z8)  # [S,R,C,2,2,64]
+        nz8 = jnp.any(zz8 != 0, -1)
+        cbp8 = (
+            nz8[..., 0, 0].astype(jnp.int32)
+            | (nz8[..., 0, 1].astype(jnp.int32) << 1)
+            | (nz8[..., 1, 0].astype(jnp.int32) << 2)
+            | (nz8[..., 1, 1].astype(jnp.int32) << 3)
+        )
+        pred8 = predl.reshape(s, r, c, 2, 8, 2, 8).swapaxes(-3, -2)
+        rec8 = T8.idct8_add(pred8, T8.dequant8x8(z8, qp))
+        rec8 = rec8.swapaxes(-3, -2).reshape(s, r, c, 16, 16)
+
+    rec_y_inter = _recon_inter_luma(predl, ql_flat, _nzmask8(cbp4), qp)
+
+    if t8:
+        lam8 = _LAMBDA8[jnp.clip(qp, 0, 51)]
+        d4 = rec_y_inter - src_mbs
+        d8 = rec8 - src_mbs
+        j4 = 8 * jnp.sum(d4 * d4, (-1, -2)) + lam8 * _rate_bits(
+            l_zz, (-1, -2, -3)
+        )
+        j8 = 8 * jnp.sum(d8 * d8, (-1, -2)) + lam8 * (
+            _rate_bits(zz8, (-1, -2, -3)) + 1
+        )
+        use_t8 = (j8 < j4) & (cbp8 > 0)
+        cbp_l_inter = jnp.where(use_t8, cbp8, cbp4)
+        rec_y_inter = jnp.where(use_t8[..., None, None], rec8, rec_y_inter)
+        lzz_sel = jnp.where(
+            use_t8[..., None, None, None],
+            zz8.reshape(s, r, c, 4, 64).reshape(s, r, c, 4, 4, 16),
+            l_zz,
+        )
+    else:
+        use_t8 = jnp.zeros(cbp4.shape, bool)
+        cbp_l_inter = cbp4
+        lzz_sel = l_zz
+
+    dcu_i, acu_i, qu_i = _chroma_fwd(u_mbs, predcu, qpc, intra=False)
+    dcv_i, acv_i, qv_i = _chroma_fwd(v_mbs, predcv, qpc, intra=False)
+    any_ac_i = (
+        jnp.any(acu_i != 0, (-1, -2, -3)) | jnp.any(acv_i != 0, (-1, -2, -3))
+    )
+    any_dc_i = jnp.any(dcu_i != 0, (-1, -2)) | jnp.any(dcv_i != 0, (-1, -2))
+    cbp_c_i = jnp.where(any_ac_i, 2, jnp.where(any_dc_i, 1, 0))
+    rec_u_inter = _recon_chroma(predcu, dcu_i, qu_i, cbp_c_i, qpc)
+    rec_v_inter = _recon_chroma(predcv, dcv_i, qv_i, cbp_c_i, qpc)
+
+    skip_pre = (
+        (cbp_l_inter == 0) & (cbp_c_i == 0)
+        & (mvx == 0) & (mvy == 0) & (refsel + ref_base == 0)
+    )
+    cdc_i = jnp.stack(
+        [dcu_i.reshape(s, r, c, 4), dcv_i.reshape(s, r, c, 4)], -2
+    )
+    cac_i = jnp.stack(
+        [acu_i.reshape(s, r, c, 4, 15), acv_i.reshape(s, r, c, 4, 15)], -3
+    )
+
+    # ---- intra-in-P + mode selection: light column scan ----
+    uf = _unroll_factor(c)
+
+    def to_scan(x):
+        return jnp.moveaxis(x, 2, 0).reshape(c // uf, uf, *x.shape[:2],
+                                             *x.shape[3:])
+
+    xs_fields = [
+        src_mbs, u_mbs, v_mbs, inter_sad, skip_pre.astype(jnp.int32),
+        mvx, mvy, refsel, use_t8.astype(jnp.int32),
+        rec_y_inter, rec_u_inter, rec_v_inter,
+        lzz_sel.astype(jnp.int32), cbp_l_inter, cbp_c_i,
+        cdc_i, cac_i,
+    ]
+    xs = tuple(to_scan(x) for x in xs_fields) + (
+        jnp.arange(c).reshape(c // uf, uf),
+    )
+
+    def substep(carry, x, col):
         left_y, left_u, left_v, lmvx, lmvy, lkind = carry
-        ymb, umb, vmb, col = xs
+        (ymb, umb, vmb, sad_i, skip_p, mx, my, refs_, t8f,
+         ry_i, ru_i, rv_i, lzz, cbp_li, cbp_ci, cdc_x, cac_x) = x
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        # per-reference windows for this MB column (4 half-pel planes)
-        qbands_n = [_qpel_bands(pl, col, r) for pl in planes_n]
-        cband_u_n = [
-            _row_windows(
-                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
-                r, 8, 8 + 2 * cp,
-            )
-            for rp in ref_up_n
-        ]
-        cband_v_n = [
-            _row_windows(
-                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
-                r, 8, 8 + 2 * cp,
-            )
-            for rp in ref_vp_n
-        ]
-
-        # MV prediction (row slices: B/C unavailable; ref-independent --
-        # the 8.4.1.3 early rule applies when B and C are missing)
-        left_ok = ~first
-        pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
-        pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
-
-        # per-reference ME; lowest SAD wins, ties to the smaller index
-        mvx = mvy = inter_sad = refsel = None
-        for n in range(n_refs):
-            dx_n, dy_n, sad_n = _me_16x16(qbands_n[n][0], ymb, pmvx, pmvy)
-            mvx_n, mvy_n, sad_n = _me_subpel(
-                qbands_n[n], ymb, dx_n, dy_n, sad_n
-            )
-            if n == 0:
-                mvx, mvy, inter_sad = mvx_n, mvy_n, sad_n
-                refsel = jnp.zeros_like(sad_n)
-            else:
-                better = sad_n < inter_sad
-                mvx = jnp.where(better, mvx_n, mvx)
-                mvy = jnp.where(better, mvy_n, mvy)
-                inter_sad = jnp.where(better, sad_n, inter_sad)
-                refsel = jnp.where(better, n, refsel)
         imode, ipred, intra_sad = _intra16_costs(left_y, first, ymb)
-        use_intra = intra_sad < inter_sad
-
-        # --- inter path (MC from the selected reference) ---
-        def sel_ref(parts):  # list of [S,R,...] per ref -> selected
-            out = parts[0]
-            for n in range(1, n_refs):
-                out = jnp.where(
-                    (refsel == n)[..., None, None], parts[n], out
-                )
-            return out
-
-        predl = sel_ref([_mc_qpel(qb, mvx, mvy) for qb in qbands_n])
-        l_zz, ql_flat, cbp4 = _transform_inter_luma(ymb, predl, qp)
-
-        if t8:
-            # 8x8 transform trial (High profile, golden-mirrored RD pick)
-            resid8 = (ymb - predl).reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
-            z8 = T8.quant8x8(T8.forward8x8(resid8), qp, intra=False)
-            zz8 = T8.zigzag8(z8)  # [S,R,2,2,64]
-            nz8 = jnp.any(zz8 != 0, -1)
-            cbp8 = (
-                nz8[..., 0, 0].astype(jnp.int32)
-                | (nz8[..., 0, 1].astype(jnp.int32) << 1)
-                | (nz8[..., 1, 0].astype(jnp.int32) << 2)
-                | (nz8[..., 1, 1].astype(jnp.int32) << 3)
-            )
-            pred8 = predl.reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
-            rec8 = T8.idct8_add(pred8, T8.dequant8x8(z8, qp))
-            rec8 = rec8.swapaxes(-3, -2).reshape(s, r, 16, 16)
-        nzmask8 = jnp.repeat(
-            jnp.repeat(
-                (((cbp4[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
-                2, axis=-1,
-            ),
-            2, axis=-2,
-        )  # [S,R,4,4] per-block coded flag (wrong order guard: see below)
-
-        predcu = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_u_n])
-        predcv = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_v_n])
-        dcu_i, acu_i, qu_i = _chroma_fwd(umb, predcu, qpc, intra=False)
-        dcv_i, acv_i, qv_i = _chroma_fwd(vmb, predcv, qpc, intra=False)
-        any_ac_i = jnp.any(acu_i != 0, (-1, -2, -3)) | jnp.any(acv_i != 0, (-1, -2, -3))
-        any_dc_i = jnp.any(dcu_i != 0, (-1, -2)) | jnp.any(dcv_i != 0, (-1, -2))
-        cbp_c_i = jnp.where(any_ac_i, 2, jnp.where(any_dc_i, 1, 0))
-
-        rec_y_inter = _recon_inter_luma(predl, ql_flat, nzmask8, qp)
-
-        if t8:
-            lam8 = _LAMBDA8[jnp.clip(qp, 0, 51)]
-            d4 = rec_y_inter - ymb
-            d8 = rec8 - ymb
-            j4 = 8 * jnp.sum(d4 * d4, (-1, -2)) + lam8 * _rate_bits(
-                l_zz, (-1, -2, -3)
-            )
-            j8 = 8 * jnp.sum(d8 * d8, (-1, -2)) + lam8 * (
-                _rate_bits(zz8, (-1, -2, -3)) + 1
-            )
-            use_t8 = (j8 < j4) & (cbp8 > 0)
-            cbp_l_inter = jnp.where(use_t8, cbp8, cbp4)
-            rec_y_inter = jnp.where(use_t8[..., None, None], rec8, rec_y_inter)
-            lzz_sel = jnp.where(
-                use_t8[..., None, None, None],
-                zz8.reshape(s, r, 4, 64).reshape(s, r, 4, 4, 16),
-                l_zz,
-            )
-        else:
-            use_t8 = jnp.zeros(cbp4.shape, bool)
-            cbp_l_inter = cbp4
-            lzz_sel = l_zz
-
-        is_skip = (
-            (~use_intra) & (cbp_l_inter == 0) & (cbp_c_i == 0)
-            & (mvx == 0) & (mvy == 0) & (refsel + ref_base == 0)
-        )
-        rec_u_inter = _recon_chroma(predcu, dcu_i, qu_i, cbp_c_i, qpc)
-        rec_v_inter = _recon_chroma(predcv, dcv_i, qv_i, cbp_c_i, qpc)
-
-        # --- intra path (I16x16, as in iframe) ---
-        from .iframe import _encode_luma, _pred_chroma as _pc
-
+        use_intra = intra_sad < sad_i
         dc_zz, iac_zz, icbp, rec_y_intra = _encode_luma(ymb, ipred, qp)
-        pu_dc, pu_h = _pc(left_u, first)
-        pv_dc, pv_h = _pc(left_v, first)
+
+        pu_dc, pu_h = _pred_chroma(left_u, first)
+        pv_dc, pv_h = _pred_chroma(left_v, first)
         ccost_dc = _sad(umb, pu_dc) + _sad(vmb, pv_dc)
         ccost_h = jnp.where(
-            first, jnp.iinfo(jnp.int32).max, _sad(umb, pu_h) + _sad(vmb, pv_h)
+            first, jnp.iinfo(jnp.int32).max,
+            _sad(umb, pu_h) + _sad(vmb, pv_h),
         )
         use_cdc = ccost_dc <= ccost_h
         icmode = jnp.where(use_cdc, 0, 1)
@@ -540,50 +737,58 @@ def encode_pframe_rows_multi(
         ipredv = jnp.where(use_cdc[..., None, None], pv_dc, pv_h)
         dcu_a, acu_a, qu_a = _chroma_fwd(umb, ipredu, qpc, intra=True)
         dcv_a, acv_a, qv_a = _chroma_fwd(vmb, ipredv, qpc, intra=True)
-        any_ac_a = jnp.any(acu_a != 0, (-1, -2, -3)) | jnp.any(acv_a != 0, (-1, -2, -3))
-        any_dc_a = jnp.any(dcu_a != 0, (-1, -2)) | jnp.any(dcv_a != 0, (-1, -2))
+        any_ac_a = (
+            jnp.any(acu_a != 0, (-1, -2, -3))
+            | jnp.any(acv_a != 0, (-1, -2, -3))
+        )
+        any_dc_a = (
+            jnp.any(dcu_a != 0, (-1, -2)) | jnp.any(dcv_a != 0, (-1, -2))
+        )
         cbp_c_a = jnp.where(any_ac_a, 2, jnp.where(any_dc_a, 1, 0))
         rec_u_intra = _recon_chroma(ipredu, dcu_a, qu_a, cbp_c_a, qpc)
         rec_v_intra = _recon_chroma(ipredv, dcv_a, qv_a, cbp_c_a, qpc)
 
-        # --- select ---
+        is_skip = (~use_intra) & (skip_p == 1)
         kind = jnp.where(
             use_intra, KIND_INTRA, jnp.where(is_skip, KIND_SKIP, KIND_INTER)
         )
         sel = use_intra[..., None, None]
-        rec_y = jnp.where(sel, rec_y_intra, rec_y_inter)
-        rec_u = jnp.where(sel, rec_u_intra, rec_u_inter)
-        rec_v = jnp.where(sel, rec_v_intra, rec_v_inter)
+        rec_y = jnp.where(sel, rec_y_intra, ry_i)
+        rec_u = jnp.where(sel, rec_u_intra, ru_i)
+        rec_v = jnp.where(sel, rec_v_intra, rv_i)
 
-        mvdx = jnp.where(use_intra, 0, mvx - pmvx)
-        mvdy = jnp.where(use_intra, 0, mvy - pmvy)
-        out_mvx = jnp.where(use_intra, 0, mvx)
-        out_mvy = jnp.where(use_intra, 0, mvy)
+        left_ok = ~first
+        pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
+        pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
+        mvdx = jnp.where(use_intra, 0, mx - pmvx)
+        mvdy = jnp.where(use_intra, 0, my - pmvy)
+        out_mvx = jnp.where(use_intra, 0, mx)
+        out_mvy = jnp.where(use_intra, 0, my)
         out_ref = jnp.where(
-            use_intra | is_skip, 0, refsel + ref_base
+            use_intra | is_skip, 0, refs_ + ref_base
         ).astype(jnp.int32)
-        out_t8 = jnp.where(
-            use_intra | is_skip, 0, use_t8.astype(jnp.int32)
-        )
+        out_t8 = jnp.where(use_intra | is_skip, 0, t8f)
 
-        # symbol selection between paths
         sel1 = use_intra[..., None]
         sel3 = use_intra[..., None, None, None]
         luma_dc = jnp.where(sel1, dc_zz, 0)
-        # intra AC layout: slot0 zero (set by _encode_luma); inter: full 16
-        luma_ac = jnp.where(sel3, iac_zz, lzz_sel)
-        cbp_luma = jnp.where(use_intra, icbp.astype(jnp.int32), cbp_l_inter)
-        cbp_chroma = jnp.where(use_intra, cbp_c_a, cbp_c_i)
+        luma_ac = jnp.where(sel3, iac_zz, lzz)
+        cbp_luma = jnp.where(use_intra, icbp.astype(jnp.int32), cbp_li)
+        cbp_chroma = jnp.where(use_intra, cbp_c_a, cbp_ci)
         sel2 = use_intra[..., None, None]
         cdc = jnp.where(
             sel2,
-            jnp.stack([dcu_a.reshape(s, r, 4), dcv_a.reshape(s, r, 4)], -2),
-            jnp.stack([dcu_i.reshape(s, r, 4), dcv_i.reshape(s, r, 4)], -2),
+            jnp.stack(
+                [dcu_a.reshape(s, r, 4), dcv_a.reshape(s, r, 4)], -2
+            ),
+            cdc_x,
         )
         cac = jnp.where(
             sel3,
-            jnp.stack([acu_a.reshape(s, r, 4, 15), acv_a.reshape(s, r, 4, 15)], -3),
-            jnp.stack([acu_i.reshape(s, r, 4, 15), acv_i.reshape(s, r, 4, 15)], -3),
+            jnp.stack(
+                [acu_a.reshape(s, r, 4, 15), acv_a.reshape(s, r, 4, 15)], -3
+            ),
+            cac_x,
         )
 
         new_carry = (
@@ -612,6 +817,18 @@ def encode_pframe_rows_multi(
         )
         return new_carry, out
 
+    def step(carry, x):
+        *fields, cols = x
+        outs = []
+        for uu in range(uf):
+            carry, o = substep(
+                carry, tuple(f[uu] for f in fields), cols[uu]
+            )
+            outs.append(o)
+        return carry, tuple(
+            jnp.stack([o[i] for o in outs]) for i in range(len(outs[0]))
+        )
+
     carry0 = (
         jnp.zeros((s, r, 16), jnp.int32),
         jnp.zeros((s, r, 8), jnp.int32),
@@ -620,7 +837,10 @@ def encode_pframe_rows_multi(
         jnp.zeros((s, r), jnp.int32),
         jnp.full((s, r), KIND_INTRA, jnp.int32),
     )
-    _, outs = jax.lax.scan(step, carry0, (y_mbs, u_mbs, v_mbs, cols))
+    _, outs = jax.lax.scan(step, carry0, xs)
+    outs = tuple(
+        o.reshape(c, *o.shape[2:]) for o in outs
+    )
     (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
      ldc, lac, cdc, cac, ry, ru, rv, amvx, amvy, refi, t8f) = outs
 
@@ -655,7 +875,13 @@ def decode_pframe_rows_multi(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reconstruct P-frames from parsed symbols + a device DPB
     (refs_* [N, S, H, W], newest first; per-MB symbols.refidx).
-    halo=True: vertically pre-extended references (row-sharded DPB)."""
+    halo=True: vertically pre-extended references (row-sharded DPB).
+
+    The MV chain (left-neighbor prediction, 8.4.1.3 row-slice form) is
+    an affine recurrence mv_c = g_c*(mv_{c-1} + mvd_c), resolved with
+    jax.lax.associative_scan; MC and residual reconstruction are then
+    fully batched.  Only intra-in-P MBs reconstruct in a (light,
+    unrolled) column scan."""
     qpc = T.chroma_qp_from_luma(qp)
     n_refs = refs_y.shape[0]
     s, r, c = symbols.kind.shape
@@ -675,145 +901,179 @@ def decode_pframe_rows_multi(
         ref_up_n = [_pad_ref(refs_u[n], cp) for n in range(n_refs)]
         ref_vp_n = [_pad_ref(refs_v[n], cp) for n in range(n_refs)]
 
-    def to_scan(x):
-        return jnp.moveaxis(x.astype(jnp.int32), 2, 0)
+    bands_l = [
+        [_luma_bands(pl, r, c) for pl in planes_n[n]] for n in range(n_refs)
+    ]
+    bands_u = [
+        _mb_bands(ref_up_n[n].astype(jnp.uint8), 8) for n in range(n_refs)
+    ]
+    bands_v = [
+        _mb_bands(ref_vp_n[n].astype(jnp.uint8), 8) for n in range(n_refs)
+    ]
 
+    kind = symbols.kind.astype(jnp.int32)
     refidx = (
-        symbols.refidx if symbols.refidx is not None
-        else jnp.zeros_like(symbols.kind)
+        symbols.refidx.astype(jnp.int32) if symbols.refidx is not None
+        else jnp.zeros_like(kind)
     )
     t8flags = (
-        symbols.t8 if symbols.t8 is not None
-        else jnp.zeros_like(symbols.kind)
+        symbols.t8.astype(jnp.int32) if symbols.t8 is not None
+        else jnp.zeros_like(kind)
     )
-    fields = [
-        symbols.kind, symbols.mode, symbols.cmode, symbols.cbp_luma,
-        symbols.cbp_chroma, symbols.mvdx, symbols.mvdy, symbols.luma_dc,
-        symbols.luma_ac, symbols.chroma_dc, symbols.chroma_ac, refidx,
-        t8flags,
-    ]
-    xs = tuple(to_scan(x) for x in fields) + (jnp.arange(c),)
+    is_intra = kind == KIND_INTRA
+    is_skip = kind == KIND_SKIP
 
-    def step(carry, xs):
-        left_y, left_u, left_v, lmvx, lmvy, lkind = carry
-        (kind, mode, cmode, cbp_l, cbp_c, mvdx, mvdy,
-         dc_zz, ac, cdc, cac, refi, t8f, col) = xs
+    # ---- MV chain: affine associative scan along columns ----
+    g = (kind == KIND_INTER).astype(jnp.int32)
+
+    def comb(l, rgt):
+        a1, bx1, by1 = l
+        a2, bx2, by2 = rgt
+        return a1 * a2, bx1 * a2 + bx2, by1 * a2 + by2
+
+    _, mvx, mvy = jax.lax.associative_scan(
+        comb,
+        (g, g * symbols.mvdx.astype(jnp.int32),
+         g * symbols.mvdy.astype(jnp.int32)),
+        axis=2,
+    )
+
+    # ---- batched MC + inter residual reconstruction ----
+    predl, predcu, predcv = _mc_all(
+        bands_l, bands_u, bands_v, mvx, mvy, n_refs, refidx
+    )
+    inter_cbp = jnp.where(is_skip, 0, symbols.cbp_luma.astype(jnp.int32))
+    ac = symbols.luma_ac.astype(jnp.int32)
+    ac4 = ac.reshape(s, r, c, 4, 4, 16)
+    q_flat = T.inverse_zigzag(ac4).reshape(s, r, c, 4, 4, 16)
+    rec_y_inter = _recon_inter_luma(
+        predl, q_flat, _nzmask8(inter_cbp), qp
+    )
+    if t8:
+        zz8 = ac.reshape(s, r, c, 4, 64).reshape(s, r, c, 2, 2, 64)
+        pred8 = predl.reshape(s, r, c, 2, 8, 2, 8).swapaxes(-3, -2)
+        rec8 = T8.idct8_add(
+            pred8, T8.dequant8x8(T8.inverse_zigzag8(zz8), qp)
+        ).swapaxes(-3, -2).reshape(s, r, c, 16, 16)
+        rec_y_inter = jnp.where(
+            (t8flags == 1)[..., None, None], rec8, rec_y_inter
+        )
+
+    cbp_c = symbols.cbp_chroma.astype(jnp.int32)
+    ccbp = jnp.where(is_skip, 0, cbp_c)
+    cdc = symbols.chroma_dc.astype(jnp.int32)
+    cac = symbols.chroma_ac.astype(jnp.int32)
+    dcu = cdc[..., 0, :].reshape(s, r, c, 2, 2)
+    dcv = cdc[..., 1, :].reshape(s, r, c, 2, 2)
+
+    def q_from_zz(ac_zz15):
+        coeffs = jnp.concatenate(
+            [jnp.zeros((s, r, c, 2, 2, 1), jnp.int32), ac_zz15], axis=-1
+        )
+        return T.inverse_zigzag(coeffs).reshape(s, r, c, 2, 2, 16)
+
+    qu = q_from_zz(cac[..., 0, :, :].reshape(s, r, c, 2, 2, 15))
+    qv = q_from_zz(cac[..., 1, :, :].reshape(s, r, c, 2, 2, 15))
+    rec_u_inter = _recon_chroma(predcu, dcu, qu, ccbp, qpc)
+    rec_v_inter = _recon_chroma(predcv, dcv, qv, ccbp, qpc)
+
+    # ---- intra residuals, batched (pred-independent part of 8.5) ----
+    cbp_l = symbols.cbp_luma.astype(jnp.int32)
+    dc_deq = T.dequant_luma_dc(
+        T.inverse_zigzag(symbols.luma_dc.astype(jnp.int32)), qp
+    )
+    iq = jnp.where((cbp_l == 1)[..., None, None, None], ac4, 0)
+    iq_flat = T.inverse_zigzag(iq).reshape(s, r, c, 4, 4, 16)
+    d_luma = _subst_dc(T.dequant_flat(iq_flat, qp), dc_deq)
+    res_y = (T.inverse4x4(d_luma) + 32) >> 6  # [S,R,C,4,4,4,4]
+
+    def chroma_res(dcq, q_flatc):
+        dc_d = jnp.where(
+            (cbp_c >= 1)[..., None, None], T.dequant_chroma_dc(dcq, qpc), 0
+        )
+        dq = jnp.where((cbp_c == 2)[..., None, None, None], q_flatc, 0)
+        d = _subst_dc(T.dequant_flat(dq, qpc), dc_d)
+        return (T.inverse4x4(d) + 32) >> 6
+
+    res_u = chroma_res(dcu, qu.reshape(s, r, c, 2, 2, 16))
+    res_v = chroma_res(dcv, qv.reshape(s, r, c, 2, 2, 16))
+
+    # ---- light intra scan: prediction + residual add + selection ----
+    uf = _unroll_factor(c)
+
+    def to_scan(x):
+        return jnp.moveaxis(x, 2, 0).reshape(c // uf, uf, *x.shape[:2],
+                                             *x.shape[3:])
+
+    xs_fields = [
+        kind, symbols.mode.astype(jnp.int32),
+        symbols.cmode.astype(jnp.int32),
+        mvx, mvy, rec_y_inter, rec_u_inter, rec_v_inter,
+        res_y, res_u, res_v,
+    ]
+    xs = tuple(to_scan(x) for x in xs_fields) + (
+        jnp.arange(c).reshape(c // uf, uf),
+    )
+
+    def substep(carry, x, col):
+        left_y, left_u, left_v = carry
+        (k, mode, cmode, mx, my, ry_i, ru_i, rv_i, rsy, rsu, rsv) = x
         first = jnp.broadcast_to(col == 0, (s, r))
 
-        qbands_n = [_qpel_bands(pl, col, r) for pl in planes_n]
-        cband_u_n = [
-            _row_windows(
-                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
-                r, 8, 8 + 2 * cp,
-            )
-            for rp in ref_up_n
-        ]
-        cband_v_n = [
-            _row_windows(
-                jax.lax.dynamic_slice_in_dim(rp, col * 8, 8 + 2 * cp, axis=2),
-                r, 8, 8 + 2 * cp,
-            )
-            for rp in ref_vp_n
-        ]
-
-        def sel_ref(parts):
-            out = parts[0]
-            for n in range(1, n_refs):
-                out = jnp.where((refi == n)[..., None, None], parts[n], out)
-            return out
-
-        left_ok = ~first
-        pmvx = jnp.where(left_ok & (lkind != KIND_INTRA), lmvx, 0)
-        pmvy = jnp.where(left_ok & (lkind != KIND_INTRA), lmvy, 0)
-        is_intra = kind == KIND_INTRA
-        is_skip = kind == KIND_SKIP
-        mvx = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvx + mvdx))
-        mvy = jnp.where(is_intra, 0, jnp.where(is_skip, 0, pmvy + mvdy))
-
-        # inter recon
-        predl = sel_ref([_mc_qpel(qb, mvx, mvy) for qb in qbands_n])
-        inter_cbp = jnp.where(is_skip, 0, cbp_l)
-        nzmask8 = jnp.repeat(
-            jnp.repeat(
-                (((inter_cbp[..., None, None] >> jnp.arange(4).reshape(2, 2)) & 1) == 1),
-                2, axis=-1,
-            ),
-            2, axis=-2,
-        )
-        ac4 = ac.reshape(s, r, 4, 4, 16)
-        q_flat = T.inverse_zigzag(ac4).reshape(s, r, 4, 4, 16)
-        rec_y_inter = _recon_inter_luma(predl, q_flat, nzmask8, qp)
-        if t8:
-            zz8 = ac.reshape(s, r, 4, 64).reshape(s, r, 2, 2, 64)
-            pred8 = predl.reshape(s, r, 2, 8, 2, 8).swapaxes(-3, -2)
-            rec8 = T8.idct8_add(
-                pred8, T8.dequant8x8(T8.inverse_zigzag8(zz8), qp)
-            ).swapaxes(-3, -2).reshape(s, r, 16, 16)
-            rec_y_inter = jnp.where(
-                (t8f == 1)[..., None, None], rec8, rec_y_inter
-            )
-
-        predcu = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_u_n])
-        predcv = sel_ref([_mc_chroma(cb, mvx, mvy, cp) for cb in cband_v_n])
-        ccbp = jnp.where(is_skip, 0, cbp_c)
-        dcu = cdc[..., 0, :].reshape(s, r, 2, 2)
-        dcv = cdc[..., 1, :].reshape(s, r, 2, 2)
-
-        def q_from_zz(ac_zz15):
-            coeffs = jnp.concatenate(
-                [jnp.zeros((s, r, 2, 2, 1), jnp.int32), ac_zz15], axis=-1
-            )
-            return T.inverse_zigzag(coeffs).reshape(s, r, 2, 2, 16)
-
-        qu = q_from_zz(cac[..., 0, :, :].reshape(s, r, 2, 2, 15))
-        qv = q_from_zz(cac[..., 1, :, :].reshape(s, r, 2, 2, 15))
-        rec_u_inter = _recon_chroma(predcu, dcu, qu, ccbp, qpc)
-        rec_v_inter = _recon_chroma(predcv, dcv, qv, ccbp, qpc)
-
-        # intra recon (I16x16 in P)
         pred_dc, pred_h = _pred_luma(left_y, first)
         ipred = jnp.where((mode == 2)[..., None, None], pred_dc, pred_h)
-        dc_deq = T.dequant_luma_dc(T.inverse_zigzag(dc_zz), qp)
-        iq = jnp.where((cbp_l == 1)[..., None, None, None], ac4, 0)
-        iq_flat = T.inverse_zigzag(iq).reshape(s, r, 4, 4, 16)
-        d = _subst_dc(T.dequant_flat(iq_flat, qp), dc_deq)
-        rec_y_intra = _blocks_to_mb(T.idct_add(_luma_blocks(ipred), d))
+        rec_y_intra = _blocks_to_mb(
+            jnp.clip(_luma_blocks(ipred) + rsy, 0, 255)
+        )
         pu_dc, pu_h = _pred_chroma(left_u, first)
         pv_dc, pv_h = _pred_chroma(left_v, first)
         csel = (cmode == 0)[..., None, None]
         ipredu = jnp.where(csel, pu_dc, pu_h)
         ipredv = jnp.where(csel, pv_dc, pv_h)
-        rec_u_intra = _recon_chroma(ipredu, dcu, qu, cbp_c, qpc)
-        rec_v_intra = _recon_chroma(ipredv, dcv, qv, cbp_c, qpc)
-
-        sel = is_intra[..., None, None]
-        rec_y = jnp.where(sel, rec_y_intra, rec_y_inter)
-        rec_u = jnp.where(sel, rec_u_intra, rec_u_inter)
-        rec_v = jnp.where(sel, rec_v_intra, rec_v_inter)
-
-        new_carry = (
-            rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7],
-            mvx, mvy, kind,
+        rec_u_intra = _cblocks_to_mb(
+            jnp.clip(_chroma_blocks(ipredu) + rsu, 0, 255)
         )
+        rec_v_intra = _cblocks_to_mb(
+            jnp.clip(_chroma_blocks(ipredv) + rsv, 0, 255)
+        )
+
+        sel = (k == KIND_INTRA)[..., None, None]
+        rec_y = jnp.where(sel, rec_y_intra, ry_i)
+        rec_u = jnp.where(sel, rec_u_intra, ru_i)
+        rec_v = jnp.where(sel, rec_v_intra, rv_i)
+
+        new_carry = (rec_y[..., :, 15], rec_u[..., :, 7], rec_v[..., :, 7])
         return new_carry, (
             rec_y.astype(jnp.uint8),
             rec_u.astype(jnp.uint8),
             rec_v.astype(jnp.uint8),
-            mvx.astype(jnp.int32),
-            mvy.astype(jnp.int32),
+        )
+
+    def step(carry, x):
+        *fields, cols = x
+        outs = []
+        for uu in range(uf):
+            carry, o = substep(
+                carry, tuple(f[uu] for f in fields), cols[uu]
+            )
+            outs.append(o)
+        return carry, tuple(
+            jnp.stack([o[i] for o in outs]) for i in range(len(outs[0]))
         )
 
     carry0 = (
         jnp.zeros((s, r, 16), jnp.int32),
         jnp.zeros((s, r, 8), jnp.int32),
         jnp.zeros((s, r, 8), jnp.int32),
-        jnp.zeros((s, r), jnp.int32),
-        jnp.zeros((s, r), jnp.int32),
-        jnp.full((s, r), KIND_INTRA, jnp.int32),
     )
-    _, (ry, ru, rv, amvx, amvy) = jax.lax.scan(step, carry0, xs)
+    _, (ry, ru, rv) = jax.lax.scan(step, carry0, xs)
+    ry = ry.reshape(c, *ry.shape[2:])
+    ru = ru.reshape(c, *ru.shape[2:])
+    rv = rv.reshape(c, *rv.shape[2:])
+    amvx = jnp.where(is_intra, 0, mvx)
+    amvy = jnp.where(is_intra, 0, mvy)
     return (
         _mbs_to_plane(_unscan(ry)),
         _mbs_to_plane(_unscan(ru)),
         _mbs_to_plane(_unscan(rv)),
-    ), (_unscan(amvx), _unscan(amvy))
+    ), (amvx, amvy)
