@@ -202,8 +202,8 @@ class DecoderSession:
             np.asarray(v[0])[: sps.height // 2, : sps.width // 2],
         )
 
-    def _decode_p(self, data: bytes):
-        assert self._dpb, "P frame before any reference"
+    def _parse_p_symbols(self, data: bytes):
+        """Entropy-parse a P access unit -> (symbols [1,R,C,...], qp)."""
         sps, pps = self._sps, self._pps
         qp = 26 + pps.pic_init_qp_minus26
         slices = []
@@ -242,6 +242,13 @@ class DecoderSession:
             t8=(t8arr.reshape(1, rr, cc) if t8arr is not None
                 else np.zeros((1, rr, cc), np.int32)),
         )
+        return symbols, qp
+
+    def _decode_p(self, data: bytes):
+        assert self._dpb, "P frame before any reference"
+        sps, pps = self._sps, self._pps
+        symbols, qp = self._parse_p_symbols(data)
+        nra = self._nra
         has_t8 = pps.transform_8x8_mode_flag == 1
         dpb = self._dpb[:max(nra, 1)]
         (y, u, v), motion = pframe.decode_pframe_rows_multi(
@@ -317,40 +324,62 @@ class DecoderPool:
         Streams whose SPS dims match are stacked into a single
         reconstruction batch -- the TPU-native analog of the reference
         distributing streams over decoder workers (app.js:351,521),
-        except the batch IS the parallelism.
+        except the batch IS the parallelism.  Both I and P access units
+        batch: an IPPP fan-out decodes as ONE device reconstruction per
+        tick with the sessions' DPB heads stacked on the stream axis
+        (the reference's core scaling story, N decoder workers in
+        parallel).  Anything outside the row-sliced CAVLC subset --
+        CABAC, multi-ref, 8x8 transform, general third-party syntax --
+        falls back to per-session decode.
         """
         entropy = (
             entropy_native if entropy_native.available() else entropy_pack
         )
-        parsed = []
-        results_direct = {}
+        results: Dict[
+            int, Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+        ] = {}
+        i_items: list = []
+        p_items: list = []
         for idx, data in items:
             sess = self._slots[idx]
-            try:
-                parsed.append((idx, sess, entropy.parse_iframe(data)))
-                sps = parsed[-1][2][0]
-                if (_count_slices(data) != sps.mb_height
-                        and sps.mb_height > 1):
-                    # single-slice (wavefront) or exotic slicing: the
-                    # batched path assumes row-slice reconstruction
-                    raise ValueError("non-row slicing")
-            except Exception:
-                # not a batchable row-sliced I frame: per-session decode
-                if parsed and parsed[-1][0] == idx and parsed[-1][2] is not None:
-                    parsed.pop()
-                out = sess.decode(data)
-                results_direct[idx] = out
-                parsed.append((idx, sess, None))
+            handled = False
+            if not sess._general:
+                try:
+                    is_p = sess._classify(data)
+                    pps = sess._pps
+                    cabac = (
+                        pps is not None and pps.entropy_coding_mode_flag
+                    )
+                    if (is_p and not cabac and sess._dpb
+                            and sess._nra == 1
+                            and pps.transform_8x8_mode_flag == 0):
+                        symbols, qp = sess._parse_p_symbols(data)
+                        p_items.append((idx, sess, symbols, qp))
+                        handled = True
+                    elif not is_p and not cabac and sess._idc == 1:
+                        p = entropy.parse_iframe(data)
+                        sps = p[0]
+                        if (_count_slices(data) == sps.mb_height
+                                or sps.mb_height == 1):
+                            i_items.append((idx, sess, p))
+                            handled = True
+                except Exception:
+                    handled = False
+            if not handled:
+                results[idx] = sess.decode(data)
 
-        # group by (mb_height, mb_width, qp)
+        self._decode_batch_i(i_items, results)
+        self._decode_batch_p(p_items, results)
+        return results
+
+    def _decode_batch_i(self, i_items, results) -> None:
+        """Batched reconstruction of row-sliced CAVLC I frames."""
         groups: Dict[Tuple[int, int, int], list] = {}
-        for item in parsed:
-            if item[2] is None:
-                continue
+        for item in i_items:
             sps, pps, qp = item[2][:3]
-            groups.setdefault((sps.mb_height, sps.mb_width, qp), []).append(item)
-
-        results: Dict[int, Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+            groups.setdefault(
+                (sps.mb_height, sps.mb_width, qp), []
+            ).append(item)
         for (r, c, qp), group in groups.items():
             n = r * c
             stack = lambda k, shape: jnp.asarray(
@@ -387,7 +416,58 @@ class DecoderPool:
                 sess._sps, sess._pps = p[0], p[1]
                 sess._dpb = [(dy[i : i + 1], du[i : i + 1], dv[i : i + 1])]
                 results[idx] = out
-        for idx, sess, p in parsed:
-            if p is None:
-                results[idx] = results_direct.get(idx, sess.last_frame)
-        return results
+
+    def _decode_batch_p(self, p_items, results) -> None:
+        """Batched reconstruction of row-sliced CAVLC P frames: one
+        decode_pframe_rows_multi + deblock call per (size, qp, idc)
+        group, sessions' DPB heads stacked on the stream axis."""
+        groups: Dict[Tuple[int, int, int, int], list] = {}
+        for item in p_items:
+            idx, sess, symbols, qp = item
+            r, c = symbols.kind.shape[1:]
+            groups.setdefault((r, c, qp, sess._idc), []).append(item)
+        for (r, c, qp, idc), group in groups.items():
+            fields = {}
+            for name in pframe.MBSymbolsP._fields:
+                fields[name] = jnp.asarray(np.concatenate(
+                    [np.asarray(getattr(g[2], name)) for g in group], axis=0
+                ))
+            symbols = pframe.MBSymbolsP(**fields)
+            refs_y = jnp.concatenate(
+                [g[1]._dpb[0][0] for g in group], axis=0
+            )[None]
+            refs_u = jnp.concatenate(
+                [g[1]._dpb[0][1] for g in group], axis=0
+            )[None]
+            refs_v = jnp.concatenate(
+                [g[1]._dpb[0][2] for g in group], axis=0
+            )[None]
+            (y, u, v), motion = pframe.decode_pframe_rows_multi(
+                symbols, refs_y, refs_u, refs_v, jnp.int32(qp)
+            )
+            if idc != 1:
+                from .encoder import _deblock_nnz
+
+                nnz = _deblock_nnz(symbols, False)
+                y, u, v = kdeblock.deblock_frame_rows(
+                    y, u, v, symbols.kind, motion[0], motion[1],
+                    nnz, jnp.int32(qp),
+                    refidx=symbols.refidx, t8=symbols.t8,
+                )
+            for i, (idx, sess, _, _) in enumerate(group):
+                sps = sess._sps
+                out = (
+                    np.asarray(y[i])[: sps.height, : sps.width],
+                    np.asarray(u[i])[: sps.height // 2, : sps.width // 2],
+                    np.asarray(v[i])[: sps.height // 2, : sps.width // 2],
+                )
+                sess.last_frame = out
+                sess.needs_keyframe = False
+                sess.frames_decoded += 1
+                if sess._is_ref_frame:
+                    sess._dpb.insert(
+                        0, (y[i : i + 1], u[i : i + 1], v[i : i + 1])
+                    )
+                    max_ref = max(1, sess._sps.max_num_ref_frames)
+                    del sess._dpb[max_ref:]
+                results[idx] = out

@@ -365,9 +365,19 @@ class GOPDevicePipeline:
             raise ValueError("gop_size must be a multiple of "
                              f"FRAMES_PER_DISPATCH={k}")
         self.gop_dispatches = gop_size // k
+        self.n_refs = max(1, config.num_ref_frames)
+        if self.n_refs > k:
+            # ref_idx validity: frame f of an interior dispatch has
+            # exactly its f prior frames plus the k of the previous
+            # dispatch in any conformant decoder's DPB
+            raise ValueError(
+                f"num_ref_frames {self.n_refs} > FRAMES_PER_DISPATCH {k}"
+            )
         self.w16 = (config.width + 15) // 16 * 16
         self.h16 = (config.height + 15) // 16 * 16
         self.sps = SPS.for_size(config.width, config.height)
+        if self.n_refs > 1:
+            self.sps.max_num_ref_frames = self.n_refs
         if gop_size > (1 << (self.sps.log2_max_frame_num_minus4 + 4)):
             raise ValueError("gop_size exceeds max_frame_num")
         self.pps = PPS()
@@ -385,12 +395,18 @@ class GOPDevicePipeline:
         self.last_psnr_y: float = 0.0
         self.fallback_packs = 0  # dispatches repacked on host (overflow)
         # compiled encode-step cache keyed by (gop-start, payload
-        # budgets); budgets grow on overflow and are sticky per phase
+        # budgets); budgets grow on overflow, and SHRINK back when a
+        # window of dispatches underuses them -- the wire d2h cost is
+        # budget-sized, not content-sized, so a budget left fat by a
+        # transient (e.g. the rate controller settling) would tax every
+        # later dispatch.  Every budget value's step compiles once and
+        # stays cached.
         self._step_cache = {}
         self._payload_w = {True: [1 << 17, 1 << 17], False: [0, 1 << 17]}
+        self._payload_hist = {True: [], False: []}
         self._dec_step = self._build_decode()
         s = config.streams
-        zero = lambda h, w: jnp.zeros((s, h, w), jnp.int32)
+        zero = lambda h, w: jnp.zeros((self.n_refs, s, h, w), jnp.int32)
         self._dpb_enc = (zero(self.h16, self.w16),
                          zero(self.h16 // 2, self.w16 // 2),
                          zero(self.h16 // 2, self.w16 // 2))
@@ -403,6 +419,7 @@ class GOPDevicePipeline:
         # stabilize after one GOP cycle, while interior dispatches keep
         # their small upload tier (the 80 MB/s link is the budget)
         self._caps = {True: [4096, 16384], False: [4096, 16384]}
+        self._caps_hist = {True: [], False: []}
         # CBR rate control (the reference's RC_BITRATE_MODE analog,
         # openh264_wrapper.cpp:211-214): active when config.qp is None;
         # QP is a traced scalar in every kernel, so stepping it costs no
@@ -427,10 +444,11 @@ class GOPDevicePipeline:
                 self.sps, self.pps, qp, 0, True, s, deblock_idc=2,
             )
         first = pos * k + (1 if pos == 0 else 0)
+        nra = 1 if pos == 0 else self.n_refs
         per = [
             device_pack.slice_headers_device(
                 self.sps, self.pps, qp, fn, False, s,
-                slice_type=SLICE_P, deblock_idc=2,
+                slice_type=SLICE_P, deblock_idc=2, num_ref_active=nra,
             )
             for fn in range(first, pos * k + k)
         ]
@@ -469,20 +487,37 @@ class GOPDevicePipeline:
             vals = flat[sl, col]
             return jnp.where(j < offs[-1], vals, 0)
 
+        n_refs = self.n_refs
+        # the dispatch right after an IDR caps ref_idx at the refs that
+        # actually exist in a conformant decoder's DPB (1 after the IDR);
+        # interior dispatches use the full depth (n_refs <= k guarantees
+        # every signaled index maps to a real prior frame)
+        nra = 1 if start else n_refs
+
+        def push(stack, new):
+            """DPB push-front: [N,S,H,W], newest first."""
+            return jnp.concatenate([new[None], stack[:-1]], axis=0)
+
         @jax.jit
         def step(t, qp, dpb_enc, hdr_i_hw, hdr_i_len,
                  hdr_p_hw, hdr_p_len):
             y, u, v = source(t)
             y, u, v = (x.astype(jnp.int32) for x in (y, u, v))
-            cur = dpb_enc
+            cur = dpb_enc  # 3 x [N, S, H, W]
             sym_i = None
             if start:
                 sym_i, recon = iframe.encode_iframe_rows(
                     y[0], u[0], v[0], qp
                 )
                 sh = sym_i.mode.shape
-                cur = tuple(
+                db = tuple(
                     x.astype(jnp.int32) for x in _deblock_i(recon, sh, qp)
+                )
+                # IDR resets the DPB; unfilled slots mirror slot 0 so
+                # the (never-selected) extra references stay well-formed
+                cur = tuple(
+                    jnp.broadcast_to(p[None], (n_refs, *p.shape))
+                    for p in db
                 )
 
             # the P-frame chain is a lax.scan (sequential DPB carry):
@@ -491,13 +526,15 @@ class GOPDevicePipeline:
             # across dispatches (no uint8 retrace on the re-fed DPB)
             def body(cur, xs):
                 yf, uf, vf = xs
-                sym, recon, motion = pframe.encode_pframe_rows(
-                    yf, uf, vf, cur[0], cur[1], cur[2], qp
+                sym, recon, motion = pframe.encode_pframe_rows_multi(
+                    yf, uf, vf, cur[0][:nra], cur[1][:nra], cur[2][:nra],
+                    qp,
                 )
-                cur = tuple(
+                db = tuple(
                     x.astype(jnp.int32)
                     for x in _deblock_p(recon, sym, motion, qp)
                 )
+                cur = tuple(push(cur[i], db[i]) for i in range(3))
                 return cur, sym
 
             first_p = 1 if start else 0
@@ -510,7 +547,7 @@ class GOPDevicePipeline:
                 for f in syms_scan
             ))
             hw_p, bytes_p, ovf = entropy_tpu.encode_bits_pframe(
-                syms_p, qp, hdr_p_hw, hdr_p_len
+                syms_p, qp, hdr_p_hw, hdr_p_len, nra=nra
             )  # [P*S, R, SLICE_W], [P*S, R]
             parts = [None, None]
             payloads = []
@@ -559,7 +596,8 @@ class GOPDevicePipeline:
         )
 
         @jax.jit
-        def dec(t, qp, mb_pos, mb_fields, cpos, cval, dpb_y, dpb_u, dpb_v):
+        def dec(t, qp, reset, mb_pos, mb_fields, cpos, cval,
+                dpb_y, dpb_u, dpb_v):
             # record scatter (dead slot = last row/element, dropped)
             mbf = jnp.zeros((f_tot * n + 1, 9), jnp.int32)
             mbf = mbf.at[mb_pos].set(
@@ -582,7 +620,7 @@ class GOPDevicePipeline:
             # traced program is 1/k the size of an unrolled chain, which
             # keeps XLA compile time of the 1080p step manageable
             def body(cur, xs):
-                mbf_f, ldc_f, lac_f, cdc_f, cac_f, y_f = xs
+                mbf_f, ldc_f, lac_f, cdc_f, cac_f, y_f, rst = xs
                 sym = pframe.MBSymbolsP(
                     kind=mbf_f[..., 0], mode=mbf_f[..., 1],
                     cmode=mbf_f[..., 2], cbp_luma=mbf_f[..., 3],
@@ -594,19 +632,30 @@ class GOPDevicePipeline:
                     t8=jnp.zeros_like(mbf_f[..., 0]),
                 )
                 recon, motion = pframe.decode_pframe_rows_multi(
-                    sym, cur[0][None], cur[1][None], cur[2][None], qp
+                    sym, cur[0], cur[1], cur[2], qp
                 )
-                cur = tuple(
+                db = tuple(
                     x.astype(jnp.int32) for x in
                     _deblock_p(recon, sym, motion, qp)
                 )  # keep the scan carry dtype fixed (deblock emits uint8)
-                d = cur[0].astype(jnp.float32) - y_f.astype(jnp.float32)
+                # DPB update mirrors the encoder exactly: IDR frames
+                # reset the stack to copies of themselves; others
+                # push-front (newest first)
+                cur = tuple(
+                    jnp.where(
+                        rst,
+                        jnp.broadcast_to(db[i][None], cur[i].shape),
+                        jnp.concatenate([db[i][None], cur[i][:-1]], 0),
+                    )
+                    for i in range(3)
+                )
+                d = db[0].astype(jnp.float32) - y_f.astype(jnp.float32)
                 d = d.reshape(s, -1)
                 return cur, jnp.sum(d * d, axis=-1)  # [S]
 
             cur, sse = jax.lax.scan(
                 body, (dpb_y, dpb_u, dpb_v),
-                (mbf, ldc, lac, cdc, cac, y.astype(jnp.int32)),
+                (mbf, ldc, lac, cdc, cac, y.astype(jnp.int32), reset),
             )
             return cur[0], cur[1], cur[2], sse
 
@@ -641,6 +690,20 @@ class GOPDevicePipeline:
         # pad to sticky shape buckets so jit programs are reused across
         # dispatches; padded records hit the dropped dead slot
         caps = self._caps[start]
+        hist = self._caps_hist[start]
+        hist.append((len(mb_pos), len(cval)))
+        if len(hist) >= 16:
+            # record caps shrink like the payload budgets (>=4x
+            # oversized only): the h2d record upload is cap-sized, so
+            # caps left fat by an RC transient would tax every later
+            # dispatch, but oscillating variants would cost recompiles
+            need_m = self._bucket(max(m for m, _ in hist) * 5 // 4)
+            need_c = self._bucket(max(cc for _, cc in hist) * 5 // 4)
+            if need_m <= caps[0] // 4:
+                caps[0] = need_m
+            if need_c <= caps[1] // 4:
+                caps[1] = need_c
+            del hist[:]
         caps[0] = bm = self._bucket(len(mb_pos), caps[0])
         caps[1] = bc = self._bucket(len(cval), caps[1])
         mb_pos = np.concatenate(
@@ -654,8 +717,11 @@ class GOPDevicePipeline:
         )
         cval = np.concatenate([cval, np.zeros(bc - len(cval), np.int16)])
         t1 = time.perf_counter()
+        reset = np.zeros(k, bool)
+        reset[0] = start
         dy, du, dv, sse = self._dec_step(
-            jnp.int32(t), jnp.int32(qp), mb_pos, mb_fields, cpos, cval,
+            jnp.int32(t), jnp.int32(qp), jnp.asarray(reset),
+            mb_pos, mb_fields, cpos, cval,
             *self._dpb_dec,
         )
         t2 = time.perf_counter()
@@ -692,7 +758,10 @@ class GOPDevicePipeline:
         self._gop_pos += 1
         for _ in range(self.FRAMES_PER_DISPATCH):
             self.stats.on_input()
-        return start, pos, t, sym_i, syms_p, hw_i, hw_p, wire, qp
+        # the payload budgets RIDE WITH the handles: the wire layout is
+        # fixed at dispatch time, and consume may run a dispatch later
+        # (software pipelining) than a budget grow/shrink
+        return start, pos, t, sym_i, syms_p, hw_i, hw_p, wire, qp, (bi, bp)
 
     def force_idr(self) -> None:
         """Restart the GOP at the next dispatch (ForceIntraFrame analog,
@@ -714,7 +783,8 @@ class GOPDevicePipeline:
         returns that k-frame list.  Bucket overflow re-reads the full
         payload slabs; device-entropy overflow (MB/slice bit caps)
         repacks on host from the symbol tensors."""
-        start, pos, t, sym_i, syms_p, hw_i, hw_p, wire_dev, qp = handles
+        (start, pos, t, sym_i, syms_p, hw_i, hw_p, wire_dev, qp,
+         (budget_i, budget_p)) = handles
         t0 = time.perf_counter()
         jax.block_until_ready(wire_dev)  # device compute still queued
         t1 = time.perf_counter()
@@ -757,21 +827,35 @@ class GOPDevicePipeline:
                 words[i].tobytes()[: int(flat[i])] for i in range(len(flat))
             ]
 
-        budget_i, budget_p = self._payload_w[start]
+        # budget_i/budget_p came with the handles (the wire layout is
+        # theirs); growth/shrink below only steers FUTURE dispatches
         wc_p_tot = int(((bytes_p.astype(np.int64) + 3) // 4).sum())
         wc_i_tot = (
             int(((bytes_i.astype(np.int64) + 3) // 4).sum()) if start else 0
         )
         rbsp_i = None
+        caps = self._payload_w[start]
+        hist = self._payload_hist[start]
+        hist.append((wc_i_tot, wc_p_tot))
+        if len(hist) >= 16:
+            # shrink budgets left >=4x oversized by a transient (e.g.
+            # the rate controller settling): conservative hysteresis so
+            # steady state never oscillates between step variants
+            need_i = self._bucket(max(wi for wi, _ in hist) * 5 // 4)
+            need_p = self._bucket(max(wp for _, wp in hist) * 5 // 4)
+            if start and need_i <= caps[0] // 4:
+                caps[0] = need_i
+            if need_p <= caps[1] // 4:
+                caps[1] = need_p
+            del hist[:]
         if wc_p_tot > budget_p or (start and wc_i_tot > budget_i):
             # payload-budget overflow: grow the sticky budgets (a new
             # step variant compiles for subsequent dispatches) and fall
             # back to the full slab download for this one
-            caps = self._payload_w[start]
             if start and wc_i_tot > budget_i:
-                caps[0] = self._bucket(2 * wc_i_tot, budget_i)
+                caps[0] = self._bucket(wc_i_tot * 5 // 4, budget_i)
             if wc_p_tot > budget_p:
-                caps[1] = self._bucket(2 * wc_p_tot, budget_p)
+                caps[1] = self._bucket(wc_p_tot * 5 // 4, budget_p)
             if start:
                 rbsp_i = slices_from_slab(hw_i, bytes_i)
             rbsp_p = slices_from_slab(hw_p, bytes_p)
@@ -876,9 +960,15 @@ class GOPDevicePipeline:
         lac = np.asarray(syms_p.luma_ac).reshape(n_p, s, n, 16, 16)
         cdc = np.asarray(syms_p.chroma_dc).reshape(n_p, s, n, 2, 4)
         cac = np.asarray(syms_p.chroma_ac).reshape(n_p, s, n, 2, 4, 15)
+        refi = np.asarray(
+            syms_p.refidx if syms_p.refidx is not None else 0
+        ).reshape(n_p, s, n) if syms_p.refidx is not None else np.zeros(
+            (n_p, s, n), np.int32
+        )
         pack_p = getattr(self._entropy, "pack_pframe",
                          entropy_packp.pack_pframe)
         first = pos * k + (1 if start else 0)
+        nra = 1 if start else self.n_refs
         for pi in range(n_p):
             frame = []
             for si in range(s):
@@ -890,11 +980,12 @@ class GOPDevicePipeline:
                 mb_info[:, 4] = cbp_c[pi, si]
                 mb_info[:, 5] = mvdx[pi, si]
                 mb_info[:, 6] = mvdy[pi, si]
+                mb_info[:, 7] = refi[pi, si]
                 frame.append(pack_p(
                     mb_info, ldc[pi, si], lac[pi, si], cdc[pi, si],
                     cac[pi, si], self.sps, self.pps, qp,
                     slice_mode="rows", frame_num=first + pi,
-                    deblock_idc=2, ref=True, num_ref_active=1,
+                    deblock_idc=2, ref=True, num_ref_active=nra,
                 ))
             self.frame_streams.append(tuple(frame))
         self.last_stream = self.frame_streams[-1][0]
@@ -917,8 +1008,9 @@ class GOPDevicePipeline:
 
     def decoded_planes(self):
         """Download the decoder chain's current reconstruction
-        (post-deblock planes of the last decoded frame, all S streams)."""
-        return tuple(np.asarray(p) for p in self._dpb_dec)
+        (post-deblock planes of the last decoded frame, all S streams;
+        the DPB is [N, S, H, W] newest-first)."""
+        return tuple(np.asarray(p[0]) for p in self._dpb_dec)
 
     def stream_bytes(self, stream_index: int = 0) -> bytes:
         """Concatenated annex-B bitstream of one stream so far."""
@@ -936,9 +1028,27 @@ class GOPDevicePipeline:
         k = self.FRAMES_PER_DISPATCH
         # warm a FULL GOP cycle (+1) so every jit variant -- GOP-start and
         # interior encode steps, all sticky record-cap buckets of the
-        # decode step -- compiles before the measurement window
+        # decode step -- compiles before the measurement window; with
+        # rate control active, keep warming (bounded) until the QP and
+        # every sticky budget/cap stop moving, so no step variant
+        # compiles inside the window
         for _ in range(max(warmup, self.gop_dispatches + 1)):
             self.pump_frame()
+        if self.config.qp is None:
+            for _ in range(6):
+                state = (self.rc.current_qp(),
+                         tuple(self._payload_w[True]),
+                         tuple(self._payload_w[False]),
+                         tuple(self._caps[True]), tuple(self._caps[False]))
+                for _ in range(self.gop_dispatches):
+                    self.pump_frame()
+                new_state = (self.rc.current_qp(),
+                             tuple(self._payload_w[True]),
+                             tuple(self._payload_w[False]),
+                             tuple(self._caps[True]),
+                             tuple(self._caps[False]))
+                if new_state == state:
+                    break
         self.stats.snapshot(self.config.streams)
         self.stage_ms = {kk: 0.0 for kk in self.stage_ms}
         n = 0

@@ -23,6 +23,26 @@ def yuv_frame(
     if kind == "moving_gradient":
         y = ((xx * 2 + yy + t * 7) % 256 + rng.integers(0, 8, (height, width)))
         y = y.clip(0, 255)
+    elif kind == "rigid":
+        # camera-like rigid motion (one (2,1) px/frame field for all
+        # planes; see _device_source_gop for rationale)
+        xf = xx - 2.0 * t
+        yf = yy - 1.0 * t
+        y = (
+            128.0
+            + 46.0 * np.sin(xf / 17.0) * np.cos(yf / 23.0)
+            + 34.0 * np.sin((xf + yf) / 7.1)
+            + 18.0 * np.cos(xf / 3.3) * np.sin(yf / 4.7)
+        ).clip(0, 255)
+        x2 = xx[::2, ::2] - 1.0 * t
+        y2 = yy[::2, ::2] - 0.5 * t
+        u = (128.0 + 44.0 * np.sin(x2 / 19.0) * np.cos(y2 / 13.0))
+        v = (128.0 + 44.0 * np.cos(x2 / 11.0) * np.sin(y2 / 29.0))
+        return (
+            np.asarray(y, np.int32),
+            u.clip(0, 255).astype(np.int32),
+            v.clip(0, 255).astype(np.int32),
+        )
     elif kind == "colorbars":
         y = ((xx * 8 // max(width, 1)) * 32 + 16 + (t % 2)).clip(0, 235)
     elif kind == "noise":
@@ -123,7 +143,14 @@ def _device_source_frames(width: int, height: int, k: int,
 def _device_source_gop(width: int, height: int, k: int, streams: int,
                        kind: str = "moving_gradient"):
     """Batch axes TIME x STREAM: [k, streams, H, W] uint8 planes, frame
-    t+i of stream s has per-stream phase offsets (independent content)."""
+    t+i of stream s has per-stream phase offsets (independent content).
+
+    kind="rigid": camera-like content -- a smooth multi-scale luminance
+    field and chroma fields all translating with ONE rigid motion
+    ((2, 1) luma px/frame, inside the ME range), the way real captured
+    scenes move.  The legacy "moving_gradient" drifts luma and chroma
+    in different directions, which no 4:2:0 codec can track (chroma MVs
+    are luma/2 by definition, 8.4.1.4) -- adversarial for rate tests."""
     import jax
     import jax.numpy as jnp
 
@@ -133,7 +160,24 @@ def _device_source_gop(width: int, height: int, k: int, streams: int,
         si = jnp.arange(streams, dtype=jnp.int32)[None, :, None, None]
         yy = jnp.arange(height, dtype=jnp.int32)[None, None, :, None]
         xx = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
-        if kind == "noise":
+        if kind == "rigid":
+            xf = (xx - 2.0 * ti).astype(jnp.float32)
+            yf = (yy - 1.0 * ti).astype(jnp.float32)
+            ph = si.astype(jnp.float32) * 1.7
+            y = (
+                128.0
+                + 46.0 * jnp.sin(xf / 17.0 + ph) * jnp.cos(yf / 23.0)
+                + 34.0 * jnp.sin((xf + yf) / 7.1 + ph)
+                + 18.0 * jnp.cos(xf / 3.3) * jnp.sin(yf / 4.7 + ph)
+            )
+            y = jnp.clip(y, 0, 255).astype(jnp.uint8)
+            x2 = (xx[..., ::2] - 1.0 * ti).astype(jnp.float32)
+            y2 = (yy[:, :, ::2] - 0.5 * ti).astype(jnp.float32)
+            u = (128.0 + 44.0 * jnp.sin(x2 / 19.0 + ph)
+                 * jnp.cos(y2 / 13.0)).astype(jnp.uint8)
+            v = (128.0 + 44.0 * jnp.cos(x2 / 11.0 - ph)
+                 * jnp.sin(y2 / 29.0)).astype(jnp.uint8)
+        elif kind == "noise":
             y = _hash_noise(jnp, xx + si * 97, yy, ti)
             u = _hash_noise(
                 jnp, xx[..., ::2] + si * 97 + 7, yy[:, :, ::2] + 3, ti

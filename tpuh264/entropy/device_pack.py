@@ -33,14 +33,16 @@ def slice_headers_device(
     slice_type: int = SLICE_I,
     ref: bool = True,
     deblock_idc: int = 1,
+    num_ref_active: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(stream, row) slice-header bit strings as device arrays.
 
     Cached per config: headers are constant for a given
-    (dims, qp, frame_num, idr, type, ref, idc, s), so the upload happens
-    once per configuration."""
+    (dims, qp, frame_num, idr, type, ref, idc, nra, s), so the upload
+    happens once per configuration."""
     key = (sps.mb_width, sps.mb_height, qp, frame_num, idr, s,
-           pps.pic_init_qp_minus26, slice_type, ref, deblock_idc)
+           pps.pic_init_qp_minus26, slice_type, ref, deblock_idc,
+           num_ref_active)
     hit = _HDR_CACHE.get(key)
     if hit is not None:
         return hit
@@ -55,6 +57,7 @@ def slice_headers_device(
             frame_num=frame_num % (1 << (sps.log2_max_frame_num_minus4 + 4)),
             slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
             disable_deblocking_filter_idc=deblock_idc,
+            num_ref_idx_l0_active_minus1=num_ref_active - 1,
         ).write(w, sps, pps, idr, ref=ref)
         bits = w.bit_length
         w.u((32 - bits % 32) % 32, 0)

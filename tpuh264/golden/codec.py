@@ -143,6 +143,7 @@ class _MBContext:
     avail4: np.ndarray = None  # (4*mbh, 4*mbw) slice id, -1 = undecoded
     cqp_off: int = 0           # PPS chroma_qp_index_offset
     qp_map: np.ndarray = None  # (mbh, mbw) per-MB QP as decoded (8.7.2)
+    gmv: list = None           # per-DPB-entry (gy, gx) global MV (encoder)
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int,
@@ -722,8 +723,9 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
     )
     best = None  # (cost, sad, ref, mvx, mvy)
     for ri in cand_refs:
+        gmv = ctx.gmv[ri] if ctx.gmv is not None else (0, 0)
         mvx_r, mvy_r, sad_r, cost_r = inter_mod.motion_search_qpel(
-            src, dpb[ri][0], dpb[ri][3], mbx, mby, qp
+            src, dpb[ri][0], dpb[ri][3], mbx, mby, qp, gmv
         )
         if best is None or cost_r < best[0]:
             best = (cost_r, sad_r, ri, mvx_r, mvy_r)
@@ -917,6 +919,11 @@ def encode_pframe(
     ctx.nra = len(dpb)
     ctx.force_ref = force_ref
     ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
+    # phase 1 of the coherent-field search: per-reference global MV
+    # (mode of stage-A winners; see inter.global_mv)
+    ctx.gmv = [
+        inter_mod.global_mv(yp, dpb[ri][0], qp) for ri in range(len(dpb))
+    ]
 
     if slice_mode == "rows":
         slices = [(r, [(r, c) for c in range(mbw)]) for r in range(mbh)]

@@ -23,8 +23,11 @@ SEARCH_PAD = 12           # reference padding needed (9 + subpel + margin)
 # zero vector, keeping P_Skip reachable, and the MV field stays cheap to
 # code).  The rate proxy is the exact ue(v) length of 2*|v| -- an upper
 # bound of the se(v) mvd bits against a zero predictor.  Integer-only so
-# the TPU kernels reproduce decisions bit-exactly.
-LAMBDA_ME = [max(1, int(0.92 * 2.0 ** ((q - 12) / 6.0) * 4))
+# the TPU kernels reproduce decisions bit-exactly.  The scale is the
+# standard SAD-domain lambda sqrt(0.85 * 2^((qp-12)/3)) ~ 2^((qp-12)/6);
+# anything much larger stops the search from following real motion at
+# high QP (the residual then costs far more than the mvd saved).
+LAMBDA_ME = [max(1, int(0.92 * 2.0 ** ((q - 12) / 6.0)))
              for q in range(52)]
 
 
@@ -159,32 +162,80 @@ def mc_chroma(ref: np.ndarray, mbx: int, mby: int, mvx_q: int, mvy_q: int) -> np
     return out.astype(np.int32)
 
 
+def stage_a_sads(src_mb: np.ndarray, ref: np.ndarray, mbx: int, mby: int
+                 ) -> np.ndarray:
+    """Stage-A SAD table: stride-2 SAD at every integer offset of the
+    +-SEARCH_RANGE grid, raster order (dy outer) -> [n*n]."""
+    n = 2 * SEARCH_RANGE + 1
+    out = np.empty(n * n, np.int32)
+    i = 0
+    for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+        for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+            win = mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)
+            out[i] = np.abs(src_mb[::2, ::2] - win[::2, ::2]).sum()
+            i += 1
+    return out
+
+
+def global_mv(y: np.ndarray, ref: np.ndarray, qp: int) -> Tuple[int, int]:
+    """Per-frame dominant integer MV (gy, gx) in pels.
+
+    Phase 1 of the coherent-field search: every MB's stage-A winner
+    under the zero-anchored rate bias, then the MODE over the frame
+    (ties -> the raster-earliest candidate).  MV-rate in the actual
+    search is then measured relative to this global vector, so near-tie
+    MBs on panning content all land on the SAME vector and the mvd
+    field costs ~nothing -- the parallel-encoder substitute for
+    predictor-centered search (which would chain MBs sequentially)."""
+    lam = LAMBDA_ME[min(max(qp, 0), 51)]
+    n = 2 * SEARCH_RANGE + 1
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    r0 = np.asarray(
+        [mv_rate_bits(4 * dx, 4 * dy)
+         for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1)
+         for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1)],
+        np.int64,
+    )
+    counts = np.zeros(n * n, np.int64)
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            sads = stage_a_sads(
+                y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16],
+                ref, mbx, mby,
+            )
+            counts[int(np.argmin(4 * sads.astype(np.int64) + lam * r0))] += 1
+    g = int(np.argmax(counts))  # first max = raster-earliest
+    return g // n - SEARCH_RANGE, g % n - SEARCH_RANGE
+
+
 def motion_search(
     src_mb: np.ndarray,  # [16,16] current MB
     ref: np.ndarray,     # full reference luma plane
     mbx: int,
     mby: int,
     qp: int,
+    gmv: Tuple[int, int] = (0, 0),  # (gy, gx) integer pels
 ) -> Tuple[int, int, int, int]:
     """Integer motion search: exhaustive stage A + full-res refine.
 
-    Stage A: rate-biased SAD over the full +-SEARCH_RANGE grid, computed
-    on the stride-2 subsample of the MB (the TPU kernel evaluates the
-    same field as shifted-plane slices); the stride-2 SAD is scaled x4
-    to stay commensurable with the full-resolution stages.  Stage B: a
-    3x3 full-resolution refine around the stage-A winner.  Candidates
-    enumerate in raster order (dy outer) with strict-< selection, so
-    ties break toward the earlier candidate.  Returns
-    (mvx_q, mvy_q, sad, cost): full-res SAD and rate-biased cost of the
-    winner, MV in quarter-pel units.
+    Stage A: SAD over the full +-SEARCH_RANGE grid on the stride-2
+    subsample (the TPU kernel evaluates the same field as shifted-plane
+    slices), scaled x4 to stay commensurable with the full-resolution
+    stages; the MV-rate bias is measured relative to the frame's global
+    vector `gmv` (see global_mv).  Stage B: a 3x3 full-resolution
+    refine around the stage-A winner.  Candidates enumerate in raster
+    order (dy outer) with strict-< selection, so ties break toward the
+    earlier candidate.  Returns (mvx_q, mvy_q, sad, cost): full-res SAD
+    and rate-biased cost of the winner, MV in quarter-pel units.
     """
     lam = LAMBDA_ME[min(max(qp, 0), 51)]
+    gy, gx = gmv
     best = None  # (cost, dy, dx)
     for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
         for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
             win = mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)
             s = int(np.abs(src_mb[::2, ::2] - win[::2, ::2]).sum())
-            cost = 4 * s + lam * mv_rate_bits(4 * dx, 4 * dy)
+            cost = 4 * s + lam * mv_rate_bits(4 * (dx - gx), 4 * (dy - gy))
             if best is None or cost < best[0]:
                 best = (cost, dy, dx)
     _, cy, cx = best
@@ -194,7 +245,7 @@ def motion_search(
             dy, dx = cy + oy, cx + ox
             win = mc_luma(ref, mbx, mby, 4 * dx, 4 * dy)
             s = int(np.abs(src_mb - win).sum())
-            cost = s + lam * mv_rate_bits(4 * dx, 4 * dy)
+            cost = s + lam * mv_rate_bits(4 * (dx - gx), 4 * (dy - gy))
             if best is None or cost < best[0]:
                 best = (cost, s, dy, dx)
     cost, s, by, bx = best
@@ -293,16 +344,21 @@ def motion_search_qpel(
     mbx: int,
     mby: int,
     qp: int,
+    gmv: Tuple[int, int] = (0, 0),
 ):
     """Integer search (motion_search) + half then quarter refinement.
 
     Subpel candidates minimize the same rate-biased cost as the integer
-    stages; all candidate orders/tie-breaks are shared with the TPU
-    kernel (strict <, OFFSETS_HALF then OFFSETS_QUARTER raster order).
+    stages (rate relative to the frame's global vector); all candidate
+    orders/tie-breaks are shared with the TPU kernel (strict <,
+    OFFSETS_HALF then OFFSETS_QUARTER raster order).
     Returns (mvx_q, mvy_q, sad, cost).
     """
     lam = LAMBDA_ME[min(max(qp, 0), 51)]
-    mvx, mvy, best_sad, best_cost = motion_search(src_mb, ref, mbx, mby, qp)
+    gy, gx = gmv
+    mvx, mvy, best_sad, best_cost = motion_search(
+        src_mb, ref, mbx, mby, qp, gmv
+    )
     best = (mvy, mvx)
     for offsets in (OFFSETS_HALF, OFFSETS_QUARTER):
         base = best
@@ -312,7 +368,7 @@ def motion_search_qpel(
             cand = (base[0] + dy, base[1] + dx)
             pred = mc_luma_qpel(planes, mbx, mby, cand[1], cand[0])
             s = int(np.abs(src_mb - pred).sum())
-            cost = s + lam * mv_rate_bits(cand[1], cand[0])
+            cost = s + lam * mv_rate_bits(cand[1] - 4 * gx, cand[0] - 4 * gy)
             if cost < best_cost:
                 best, best_sad, best_cost = cand, s, cost
     return best[1], best[0], best_sad, best_cost

@@ -30,6 +30,14 @@ _BETA = jnp.asarray(BETA)
 _TC0 = jnp.asarray(TC0)  # [52, 3]
 
 
+def _tc0_sel(qp, bs):
+    """tc0 by bS via selects: a per-element gather from the [52, 3]
+    table lowers pathologically on TPU; three scalar rows + selects are
+    pure VPU work."""
+    t = _TC0[qp]  # [3], scalar row select
+    return jnp.where(bs >= 3, t[2], jnp.where(bs == 2, t[1], t[0]))
+
+
 def _filter_luma(seg: jnp.ndarray, bs: jnp.ndarray, qp):
     """seg [..., N, 8] rows [p3..p0 q0..q3]; bs [..., N]; returns filtered."""
     a = _ALPHA[qp]
@@ -45,7 +53,7 @@ def _filter_luma(seg: jnp.ndarray, bs: jnp.ndarray, qp):
     ap = jnp.abs(p2 - p0) < b
     aq = jnp.abs(q2 - q0) < b
 
-    tc0 = _TC0[qp, jnp.clip(bs, 1, 3) - 1]
+    tc0 = _tc0_sel(qp, bs)
     tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
     delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
     np0 = jnp.clip(p0 + delta, 0, 255)
@@ -97,7 +105,7 @@ def _filter_chroma(seg: jnp.ndarray, bs: jnp.ndarray, qpc):
         & (jnp.abs(p1 - p0) < b)
         & (jnp.abs(q1 - q0) < b)
     )
-    tc = _TC0[qpc, jnp.clip(bs, 1, 3) - 1] + 1
+    tc = _tc0_sel(qpc, bs) + 1
     delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
     np0 = jnp.clip(p0 + delta, 0, 255)
     nq0 = jnp.clip(q0 - delta, 0, 255)

@@ -594,18 +594,22 @@ def _se_val(v):
     return jnp.where(v > 0, 2 * v - 1, -2 * v)
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
-def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto"):
+@functools.partial(jax.jit, static_argnames=("backend", "nra"))
+def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto",
+                       nra: int = 1):
     """P-slice payload bits on device (rows slice mode).
 
     Bit-for-bit the entropy/packp.py emission: per coded MB a skip_run,
     then Intra_16x16-in-P (mb_type / intra_chroma_pred_mode / dqp +
     DC-split residuals) or P_L0_16x16 (mvd / coded_block_pattern / dqp +
     16-coeff luma residuals), plus the trailing skip_run of each slice.
-    The skip runs -- the only cross-MB sequential syntax -- become a
-    prefix-max over each row's coded-MB indices, so the whole frame stays
-    one parallel coder call.  (The reference outsources this stage to
-    libopenh264 via openh264_wrapper.cpp:282-311.)
+    With nra > 1 (multi-reference DPB), inter MBs additionally emit
+    ref_idx_l0 as te(v) with cMax = nra-1 (7.3.5.1), composed into the
+    mb_type header slot.  The skip runs -- the only cross-MB sequential
+    syntax -- become a prefix-max over each row's coded-MB indices, so
+    the whole frame stays one parallel coder call.  (The reference
+    outsources this stage to libopenh264 via
+    openh264_wrapper.cpp:282-311.)
 
     backend: 'pallas' | 'xla' | 'auto' (pallas on TPU); bit-identical.
     """
@@ -663,6 +667,20 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto"):
     mvdx = symbols.mvdx.astype(jnp.int32)
     mvdy = symbols.mvdy.astype(jnp.int32)
     h1l, h1v = _ue_slot(jnp.where(intra, 6 + mode + 4 * cbp_c + 12 * cbp_l, 0))
+    if nra > 1:
+        # inter slot 1 becomes mb_type ue(0) ++ ref_idx_l0 te(v)
+        refs = (
+            symbols.refidx.astype(jnp.int32)
+            if symbols.refidx is not None
+            else jnp.zeros_like(mvdx)
+        )
+        if nra == 2:
+            te_l = jnp.ones_like(refs)
+            te_v = 1 - refs
+        else:
+            te_l, te_v = _ue_slot(refs)
+        h1l = jnp.where(intra, h1l, 1 + te_l)
+        h1v = jnp.where(intra, h1v, (1 << te_l) | te_v)
     h2l, h2v = _ue_slot(jnp.where(intra, cmode, _se_val(mvdx)))
     # intra slot 3 is dqp: se(0) == ue(0), same 1-bit code
     h3l, h3v = _ue_slot(jnp.where(intra, 0, _se_val(mvdy)))

@@ -220,24 +220,45 @@ def _luma_bands(plane: jnp.ndarray, r: int, c: int):
     return _mb_bands(pl, 16)
 
 
-def _window(band: jnp.ndarray, j0: jnp.ndarray, i0: jnp.ndarray, win: int):
-    """Per-MB window gather: band [S,R,C,B,B], j0/i0 [S,R,C] ->
-    [S,R,C,win,win] int32 (two take_along_axis calls)."""
-    ar = jnp.arange(win)
-    t = jnp.take_along_axis(band, (j0[..., None, None] + ar[:, None]), axis=3)
-    t = jnp.take_along_axis(t, (i0[..., None, None] + ar[None, :]), axis=4)
-    return t.astype(jnp.int32)
+def _window(band: jnp.ndarray, j0: jnp.ndarray, i0: jnp.ndarray, win: int,
+            j_range=None, i_range=None):
+    """Per-MB window extraction: band [S,R,C,B,B], j0/i0 [S,R,C] ->
+    [S,R,C,win,win] int32.
+
+    TPU-native formulation: a masked sum of STATIC shifted slices over
+    the (small, known) offset range, one axis at a time -- XLA fuses
+    the whole expression into one pass over the band.  General gathers
+    (take_along_axis) measure ~100x slower on TPU for this shape; the
+    offset ranges here are 10-20 values, so shift enumeration wins."""
+    b = band.shape[-1]
+    jlo, jhi = j_range if j_range is not None else (0, b - win)
+    ilo, ihi = i_range if i_range is not None else (0, b - win)
+    zero = jnp.zeros((), band.dtype)
+    # selection stays in the band's (uint8) dtype -- the masks are
+    # disjoint, so the sums never overflow and traffic stays 1 B/sample
+    rows = sum(
+        jnp.where((j0 == d)[..., None, None], band[..., d : d + win, :],
+                  zero)
+        for d in range(jlo, jhi + 1)
+    )  # [S,R,C,win,B]
+    return sum(
+        jnp.where((i0 == d)[..., None, None], rows[..., :, d : d + win],
+                  zero)
+        for d in range(ilo, ihi + 1)
+    ).astype(jnp.int32)
 
 
-_POW2_7 = jnp.asarray([1, 2, 4, 8, 16, 32, 64], jnp.int32)
+_POW2_8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
 
 
 def _rate_q(vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized golden.inter.mv_rate_bits (ue(2|v|) lengths summed)."""
+    """Vectorized golden.inter.mv_rate_bits (ue(2|v|) lengths summed).
+    Exact for |v| <= 127 qpel (the global-MV-relative offsets reach
+    ~71)."""
 
     def one(v):
         x = 2 * jnp.abs(v) + 1
-        bl = (x[..., None] >= _POW2_7).sum(-1)
+        bl = (x[..., None] >= _POW2_8).sum(-1)
         return 2 * bl - 1
 
     return one(vx) + one(vy)
@@ -248,49 +269,128 @@ def _rate_q(vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _sad_field(src2, gplane, lam, h, w):
-    """Stage A: rate-biased stride-2 SAD over the full +-SEARCH_RANGE
-    grid via shifted-plane slices.  Returns (iy0, ix0) [S,R,C].
+_NN = (2 * SEARCH_RANGE + 1) ** 2
+_CAND_D = np.stack(
+    np.meshgrid(
+        np.arange(-SEARCH_RANGE, SEARCH_RANGE + 1),
+        np.arange(-SEARCH_RANGE, SEARCH_RANGE + 1),
+        indexing="ij",
+    ),
+    -1,
+).reshape(_NN, 2)  # [NN, (dy, dx)] raster order
+_CAND_DY = jnp.asarray(_CAND_D[:, 0])
+_CAND_DX = jnp.asarray(_CAND_D[:, 1])
+_RATE0 = jnp.asarray(
+    [mv_rate_bits(4 * int(dx), 4 * int(dy)) for dy, dx in _CAND_D],
+    jnp.int32,
+)
 
-    Structured as a `lax.scan` over the dy rows (dynamic row slice) with
-    the dx shifts unrolled inside: identical arithmetic to the fully
-    unrolled 17x17 enumeration, but a 17x smaller graph -- the CPU
-    backend's LLVM pipeline chokes on hundreds of sibling strided-slice
-    reductions (observed 2+ minute compiles), while the TPU runs the
-    short scan at full VPU rate."""
+
+def _sad_field(src2, gplane, h, w):
+    """Stage-A SAD table: stride-2 SAD at every offset of the
+    +-SEARCH_RANGE grid -> [S, R, C, NN] int32, candidate raster order.
+
+    TPU: static shift enumeration over PRE-SPLIT stride-2 phase planes
+    (strided slices at 289 offsets lower to pathological copies), with
+    the per-MB 8x8-sample reduction as two block-indicator matmuls on
+    the MXU -- exact, since |diffs| <= 255 are bf16-representable and
+    accumulation is f32.  CPU: a lax.scan over the dy rows (the LLVM
+    pipeline chokes on hundreds of sibling strided-slice reductions)."""
     s = src2.shape[0]
     r, c = h // 16, w // 16
     n = 2 * SEARCH_RANGE + 1
-    rates = jnp.asarray(
-        [
-            [mv_rate_bits(4 * dx, 4 * dy)
-             for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1)]
-            for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1)
-        ],
-        jnp.int32,
-    )
 
-    def body(best, iy):
+    if jax.default_backend() == "tpu":
+        hp, wp = h // 2, w // 2
+        phases = [
+            [gplane[:, py::2, px::2].astype(jnp.bfloat16)
+             for px in range(2)]
+            for py in range(2)
+        ]
+        src2b = src2.astype(jnp.bfloat16)
+        red_w = jnp.asarray(
+            (np.arange(wp)[:, None] // 8) == np.arange(c)[None, :],
+            jnp.bfloat16,
+        )
+        red_h = jnp.asarray(
+            (np.arange(r)[:, None]) == (np.arange(hp)[None, :] // 8),
+            jnp.float32,
+        )
+        sads = []
+        for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+            oy = _PE + dy
+            ph_y, by = oy & 1, oy >> 1
+            for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
+                ox = _PE + dx
+                ph_x, bx = ox & 1, ox >> 1
+                r2 = phases[ph_y][ph_x][:, by : by + hp, bx : bx + wp]
+                d = jnp.abs(src2b - r2)  # [S, hp, wp]
+                # t stays f32: its values reach 8*255, beyond bf16's
+                # 8-bit mantissa -- the second (small) matmul runs f32
+                t = jnp.einsum(
+                    "shw,wc->shc", d, red_w,
+                    preferred_element_type=jnp.float32,
+                )
+                sads.append(jnp.einsum(
+                    "rh,shc->src", red_h, t,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32))
+        return jnp.stack(sads, axis=-1)
+
+    def body(_, iy):
         rows = jax.lax.dynamic_slice_in_dim(gplane, _PE - SEARCH_RANGE + iy,
                                             h, axis=1)[:, ::2]
-        for j, dx in enumerate(range(-SEARCH_RANGE, SEARCH_RANGE + 1)):
+        out = []
+        for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
             r2 = rows[:, :, _PE + dx : _PE + dx + w : 2]
-            sad = jnp.abs(src2 - r2).reshape(s, r, 8, c, 8).sum((2, 4))
-            cost = 4 * sad + lam * rates[iy, j]
-            key = cost * 512 + iy * n + j
-            best = jnp.minimum(best, key)
-        return best, None
+            out.append(
+                jnp.abs(src2 - r2).reshape(s, r, 8, c, 8).sum((2, 4))
+            )
+        return None, jnp.stack(out, axis=-1)  # [S,R,C,n]
 
-    init = jnp.full((s, r, c), jnp.iinfo(jnp.int32).max, jnp.int32)
-    best, _ = jax.lax.scan(body, init, jnp.arange(n))
-    code = best % 512
-    return code // n - SEARCH_RANGE, code % n - SEARCH_RANGE
+    _, sads = jax.lax.scan(body, None, jnp.arange(n))  # [n,S,R,C,n]
+    return jnp.moveaxis(sads, 0, 3).reshape(s, r, c, n * n)
 
 
-def _int_refine(band_g, src_mbs, iy0, ix0, lam):
+def _int_winner(sads, lam):
+    """Two-phase stage-A selection on the SAD table [S,R,C,NN].
+
+    Phase 1: zero-anchored rate bias -> per-MB winner; per-stream
+    global MV = mode of winners (argmax = raster-earliest on ties).
+    Phase 2: re-select with the rate measured relative to the global
+    vector, so near-tie MBs land on one coherent vector and the mvd
+    field costs ~nothing (golden/inter.py global_mv / motion_search).
+    Returns (iy0, ix0 [S,R,C], gy, gx [S])."""
+    cost1 = 4 * sads + lam * _RATE0
+    win1 = jnp.argmin(cost1, axis=-1)  # first min on ties
+    counts = jnp.stack(
+        [(win1 == d).sum((1, 2)) for d in range(_NN)], axis=-1
+    )  # [S, NN]
+    gidx = jnp.argmax(counts, axis=-1)  # first max on ties
+    n = 2 * SEARCH_RANGE + 1
+    gy = gidx // n - SEARCH_RANGE
+    gx = gidx % n - SEARCH_RANGE
+    rate_rel = _rate_q(
+        4 * (_CAND_DX[None, :] - gx[:, None]),
+        4 * (_CAND_DY[None, :] - gy[:, None]),
+    )  # [S, NN]
+    cost2 = 4 * sads + lam * rate_rel[:, None, None, :]
+    win = jnp.argmin(cost2, axis=-1)
+    return (
+        win // n - SEARCH_RANGE,
+        win % n - SEARCH_RANGE,
+        gy,
+        gx,
+    )
+
+
+def _int_refine(band_g, src_mbs, iy0, ix0, lam, gqx, gqy):
     """Stage B: 3x3 full-resolution refine around the stage-A winner
-    (raster order, strict <).  Returns (iy, ix, cost)."""
-    w19 = _window(band_g, 15 + iy0, 15 + ix0, 16 + 2 * REFINE_RANGE + 1)
+    (raster order, strict <; rate relative to the global vector).
+    gq* are [S,1,1] quarter-pel.  Returns (iy, ix)."""
+    rng = (15 - SEARCH_RANGE, 15 + SEARCH_RANGE)
+    w19 = _window(band_g, 15 + iy0, 15 + ix0, 16 + 2 * REFINE_RANGE + 1,
+                  j_range=rng, i_range=rng)
     best_cost = biy = bix = None
     for oy in range(2 * REFINE_RANGE + 1):
         for ox in range(2 * REFINE_RANGE + 1):
@@ -298,7 +398,7 @@ def _int_refine(band_g, src_mbs, iy0, ix0, lam):
             sad = jnp.abs(src_mbs - pred).sum((-1, -2))
             my = iy0 - REFINE_RANGE + oy
             mx = ix0 - REFINE_RANGE + ox
-            cost = sad + lam * _rate_q(4 * mx, 4 * my)
+            cost = sad + lam * _rate_q(4 * mx - gqx, 4 * my - gqy)
             if best_cost is None:
                 best_cost, biy, bix = cost, my, mx
             else:
@@ -314,16 +414,6 @@ def _int_refine(band_g, src_mbs, iy0, ix0, lam):
 _COMP_PL = (0, 1, 2, 3, 0, 0, 1, 2)
 _COMP_DY = (0, 0, 0, 0, 0, 1, 1, 0)
 _COMP_DX = (0, 0, 0, 0, 1, 0, 0, 1)
-_COMP_PL_J = jnp.asarray(_COMP_PL)
-_COMP_DY_J = jnp.asarray(_COMP_DY)
-_COMP_DX_J = jnp.asarray(_COMP_DX)
-_QT1 = np.zeros((4, 4), np.int32)
-_QT2 = np.zeros((4, 4), np.int32)
-for (_xf, _yf), (_c1, _c2) in QPEL_TBL.items():
-    _QT1[_xf, _yf] = _c1
-    _QT2[_xf, _yf] = _c2
-_QT1 = jnp.asarray(_QT1)
-_QT2 = jnp.asarray(_QT2)
 
 
 def _comp_slice(w2, k: int, y_int: int, x_int: int):
@@ -334,17 +424,23 @@ def _comp_slice(w2, k: int, y_int: int, x_int: int):
     return w2[..., _COMP_PL[k], dy : dy + 16, dx : dx + 16]
 
 
-def _extract_w2(bands, iy, ix):
-    """[S,R,C,4,18,18] half-pel plane windows at integer winner (iy,ix)."""
+def _extract_w2(bands, iy, ix, lo: int = -9, hi: int = 9):
+    """[S,R,C,4,18,18] half-pel plane windows at integer winner (iy,ix);
+    (lo, hi) bound the per-MB integer offsets (encode: refine range;
+    decode: the emitted MV's integer span)."""
+    rng = (15 + lo, 15 + hi)
     return jnp.stack(
-        [_window(b, 15 + iy, 15 + ix, 18) for b in bands], axis=3
+        [_window(b, 15 + iy, 15 + ix, 18, j_range=rng, i_range=rng)
+         for b in bands],
+        axis=3,
     )
 
 
-def _subpel_refine(w2, src_mbs, iy, ix, lam):
+def _subpel_refine(w2, src_mbs, iy, ix, lam, gqx, gqy):
     """Stages C/D: all 49 reachable quarter-pel positions as static
     window slices -> cost/SAD tables, then the normative half->quarter
-    two-stage selection as table arithmetic.
+    two-stage selection as table arithmetic.  Rate relative to the
+    global vector (gq* [S,1,1] quarter-pel).
 
     Returns (mvx_q, mvy_q, sad, cost) absolute quarter-pel MVs."""
     costs, sads = [], []
@@ -357,7 +453,9 @@ def _subpel_refine(w2, src_mbs, iy, ix, lam):
             b = _comp_slice(w2, c2, y_int, x_int)
             pred = (a + b + 1) >> 1
             sad = jnp.abs(src_mbs - pred).sum((-1, -2))
-            cost = sad + lam * _rate_q(4 * ix + px, 4 * iy + py)
+            cost = sad + lam * _rate_q(
+                4 * ix + px - gqx, 4 * iy + py - gqy
+            )
             costs.append(cost)
             sads.append(sad)
     cost49 = jnp.stack(costs, axis=-1)  # [S,R,C,49]
@@ -390,31 +488,21 @@ def _subpel_refine(w2, src_mbs, iy, ix, lam):
 
 
 def _mc_from_window(w2, py, px):
-    """Quarter-pel luma MC from the 18x18 window stack: per-MB relative
-    qpel (py, px) in [-3, 3] around the window's [1,1] integer sample.
-    Two flat take_along_axis reads (one per averaged component)."""
-    lead = py.shape
-    y_int = (py >> 2) + 1  # {0, 1}
-    x_int = (px >> 2) + 1
-    yf = py & 3
-    xf = px & 3
-    c1 = _QT1[xf, yf]
-    c2 = _QT2[xf, yf]
-    flat = w2.reshape(*lead, 4 * 18 * 18)
-    ry = jnp.arange(16)
-    grid = (ry[:, None] * 18 + ry[None, :]).reshape(-1)
-
-    def take(ck):
-        base = (
-            _COMP_PL_J[ck] * 324
-            + (y_int + _COMP_DY_J[ck]) * 18
-            + (x_int + _COMP_DX_J[ck])
-        )
-        idx = base[..., None] + grid
-        out = jnp.take_along_axis(flat, idx, axis=-1)
-        return out.reshape(*lead, 16, 16)
-
-    return (take(c1) + take(c2) + 1) >> 1
+    """Quarter-pel luma MC from the 18x18 window stack: per-MB
+    FRACTIONAL position (py, px) in [0, 3] against the window's [1,1]
+    integer sample.  A masked select over the 16 static fractional
+    predictions -- each is two static component slices averaged -- since
+    general gathers are ~100x slower than static slices on TPU."""
+    pred = None
+    for fy in range(4):
+        for fx in range(4):
+            c1, c2 = QPEL_TBL[(fx, fy)]
+            a = _comp_slice(w2, c1, 0, 0)
+            b = _comp_slice(w2, c2, 0, 0)
+            p = (a + b + 1) >> 1
+            m = ((py == fy) & (px == fx))[..., None, None]
+            pred = p if pred is None else jnp.where(m, p, pred)
+    return pred
 
 
 def _mc_chroma_bands(band_c, mvx_q, mvy_q):
@@ -424,7 +512,8 @@ def _mc_chroma_bands(band_c, mvx_q, mvy_q):
     cx = mvx_q >> 3
     yf = mvy_q & 7
     xf = mvx_q & 7
-    w9 = _window(band_c, 8 + cy, 8 + cx, 9)
+    rng = (8 - 6, 8 + 5)  # |mv| <= 9.75 pel -> chroma int in [-6, 5]
+    w9 = _window(band_c, 8 + cy, 8 + cx, 9, j_range=rng, i_range=rng)
     a = w9[..., :8, :8]
     b = w9[..., :8, 1:9]
     c = w9[..., 1:9, :8]
@@ -529,7 +618,7 @@ def _mc_all(bands_l, bands_u, bands_v, mvx, mvy, n_refs, refsel):
     `n_refs` references by `refsel`.  mv int range [-10, 9]."""
     preds = []
     for n in range(n_refs):
-        w2 = _extract_w2(bands_l[n], mvy >> 2, mvx >> 2)
+        w2 = _extract_w2(bands_l[n], mvy >> 2, mvx >> 2, lo=-10, hi=9)
         pl = _mc_from_window(w2, mvy - 4 * (mvy >> 2), mvx - 4 * (mvx >> 2))
         pu = _mc_chroma_bands(bands_u[n], mvx, mvy)
         pv = _mc_chroma_bands(bands_v[n], mvx, mvy)
@@ -610,11 +699,15 @@ def encode_pframe_rows_multi(
     # ---- motion search per reference, batched over all MBs ----
     mvx = mvy = inter_sad = inter_cost = refsel = None
     for n in range(n_refs):
-        iy0, ix0 = _sad_field(src2, planes_n[n][0], lam, h, w)
-        iy, ix = _int_refine(bands_l[n][0], src_mbs, iy0, ix0, lam)
+        sads = _sad_field(src2, planes_n[n][0], h, w)
+        iy0, ix0, gy, gx = _int_winner(sads, lam)
+        gqx = (4 * gx)[:, None, None]
+        gqy = (4 * gy)[:, None, None]
+        iy, ix = _int_refine(bands_l[n][0], src_mbs, iy0, ix0, lam,
+                             gqx, gqy)
         w2 = _extract_w2(bands_l[n], iy, ix)
         mvx_n, mvy_n, sad_n, cost_n = _subpel_refine(
-            w2, src_mbs, iy, ix, lam
+            w2, src_mbs, iy, ix, lam, gqx, gqy
         )
         if n == 0:
             mvx, mvy, inter_sad, inter_cost = mvx_n, mvy_n, sad_n, cost_n
