@@ -17,11 +17,24 @@
 #include <thread>
 #include <mutex>
 #include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 #include "cavlc_tables.inc"
 
 namespace {
+
+// Verbose parse diagnostics: off by default (they serialize the parse thread
+// pool and flood stderr); set TH264_DEBUG=1 to enable.
+static bool th264_debug() {
+  static const bool on = [] {
+    const char* e = getenv("TH264_DEBUG");
+    return e && e[0] && e[0] != '0';
+  }();
+  return on;
+}
+#define TH264_DBG(...) \
+  do { if (th264_debug()) fprintf(stderr, __VA_ARGS__); } while (0)
 
 // ---------------------------------------------------------------------------
 // Bit I/O
@@ -1124,7 +1137,7 @@ int64_t th264_parse_slice_p(
       info[5] = r.se();
       info[6] = r.se();
       uint32_t code = r.ue();
-      if (code >= 48 || r.error) { fprintf(stderr, "[dbg] cbp addr=%d code=%u err=%d pos=%lld\n", (int)addr, code, (int)r.error, (long long)r.pos); return -1; }
+      if (code >= 48 || r.error) { TH264_DBG("[dbg] cbp addr=%d code=%u err=%d pos=%lld\n", (int)addr, code, (int)r.error, (long long)r.pos); return -1; }
       int cbp = CBP_INTER_TAB[code];
       info[3] = cbp & 15;
       info[4] = cbp >> 4;
@@ -1336,7 +1349,7 @@ static int64_t parse_slice_compact(
       int16_t mvdx = (int16_t)r.se();
       int16_t mvdy = (int16_t)r.se();
       uint32_t code = r.ue();
-      if (code >= 48 || r.error) { fprintf(stderr, "[dbg] cbp addr=%d code=%u err=%d pos=%lld\n", (int)addr, code, (int)r.error, (long long)r.pos); return -1; }
+      if (code >= 48 || r.error) { TH264_DBG("[dbg] cbp addr=%d code=%u err=%d pos=%lld\n", (int)addr, code, (int)r.error, (long long)r.pos); return -1; }
       int cbp = CBP_INTER_TAB[code];
       int16_t cbp_l = cbp & 15, cbp_c = cbp >> 4;
       if (cbp) r.se();  // mb_qp_delta
@@ -1363,7 +1376,7 @@ static int64_t parse_slice_compact(
     } else {
       return -1;  // P partitions beyond 16x16 unsupported on this path
     }
-    if (r.error) { fprintf(stderr, "[dbg] resid addr=%d pos=%lld nb8=%lld\n", (int)addr, (long long)r.pos, (long long)(8*r.nbytes)); return -1; }
+    if (r.error) { TH264_DBG("[dbg] resid addr=%d pos=%lld nb8=%lld\n", (int)addr, (long long)r.pos, (long long)(8*r.nbytes)); return -1; }
     addr++;
     count++;
   }
@@ -1412,7 +1425,7 @@ static int32_t parse_fs_annexb(
     BitReader r{rbsp.data(), rb, 0};
     uint32_t first_mb = r.ue();
     uint32_t slice_type = r.ue() % 5;
-    fprintf(stderr, "[dbg] slice first_mb=%u type=%u rb=%lld\n", first_mb, slice_type, (long long)rb);
+    TH264_DBG("[dbg] slice first_mb=%u type=%u rb=%lld\n", first_mb, slice_type, (long long)rb);
     r.ue();  // pps id
     r.u(frame_num_bits);
     bool idr = ntype == 5;
@@ -1452,7 +1465,7 @@ static int32_t parse_fs_annexb(
         rbsp.data(), rb, r.pos, slice_type == 2, (int32_t)first_mb, mbw,
         max_mbs, nra, fs_base, nnz_y.data(), nnz_u.data(), nnz_v.data(), o);
     if (got < 0) return -1;
-    fprintf(stderr, "[dbg] slice fmb=%u got=%lld\n", first_mb, (long long)got);
+    TH264_DBG("[dbg] slice fmb=%u got=%lld\n", first_mb, (long long)got);
     total_mbs += got;
   }
   return total_mbs == n_mbs ? 0 : -1;
