@@ -168,7 +168,8 @@ def sharded_gop_step(mesh: Mesh):
         ru_ext = _halo_extend(ru.astype(jnp.int32), pframe.HALO_C, "rows")
         rv_ext = _halo_extend(rv.astype(jnp.int32), pframe.HALO_C, "rows")
         return pframe.encode_pframe_rows_multi(
-            y, u, v, ry_ext[None], ru_ext[None], rv_ext[None], qp, halo=True
+            y, u, v, ry_ext[None], ru_ext[None], rv_ext[None], qp,
+            halo=True, axis_name="rows",
         )
 
     specs_i = iframe.MBSymbols(

@@ -352,7 +352,7 @@ def _sad_field(src2, gplane, h, w):
     return jnp.moveaxis(sads, 0, 3).reshape(s, r, c, n * n)
 
 
-def _int_winner(sads, lam):
+def _int_winner(sads, lam, axis_name=None):
     """Two-phase stage-A selection on the SAD table [S,R,C,NN].
 
     Phase 1: zero-anchored rate bias -> per-MB winner; per-stream
@@ -360,12 +360,20 @@ def _int_winner(sads, lam):
     Phase 2: re-select with the rate measured relative to the global
     vector, so near-tie MBs land on one coherent vector and the mvd
     field costs ~nothing (golden/inter.py global_mv / motion_search).
-    Returns (iy0, ix0 [S,R,C], gy, gx [S])."""
+    Returns (iy0, ix0 [S,R,C], gy, gx [S]).
+
+    axis_name: mesh axis the MB rows are sharded over (dist/mesh.py
+    sharded_gop_step).  The winner mode is a FRAME-global statistic, so
+    a row-sharded call must psum the candidate counts over that axis --
+    otherwise each shard derives its own global MV and the rate-relative
+    phase-2 selection diverges from the unsharded encode."""
     cost1 = 4 * sads + lam * _RATE0
     win1 = jnp.argmin(cost1, axis=-1)  # first min on ties
     counts = jnp.stack(
         [(win1 == d).sum((1, 2)) for d in range(_NN)], axis=-1
     )  # [S, NN]
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
     gidx = jnp.argmax(counts, axis=-1)  # first max on ties
     n = 2 * SEARCH_RANGE + 1
     gy = gidx // n - SEARCH_RANGE
@@ -637,10 +645,12 @@ def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ref_base", "halo", "t8"))
+@functools.partial(
+    jax.jit, static_argnames=("ref_base", "halo", "t8", "axis_name")
+)
 def encode_pframe_rows_multi(
     y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0,
-    halo: bool = False, t8: bool = False,
+    halo: bool = False, t8: bool = False, axis_name: Optional[str] = None,
 ) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode P-frames [S, H, W] against a device-resident DPB.
 
@@ -700,7 +710,7 @@ def encode_pframe_rows_multi(
     mvx = mvy = inter_sad = inter_cost = refsel = None
     for n in range(n_refs):
         sads = _sad_field(src2, planes_n[n][0], h, w)
-        iy0, ix0, gy, gx = _int_winner(sads, lam)
+        iy0, ix0, gy, gx = _int_winner(sads, lam, axis_name)
         gqx = (4 * gx)[:, None, None]
         gqy = (4 * gy)[:, None, None]
         iy, ix = _int_refine(bands_l[n][0], src_mbs, iy0, ix0, lam,
