@@ -33,6 +33,23 @@ def main() -> None:
     from tpuh264.engine import CodecConfig
     from tpuh264.engine.devpipe import GOPDevicePipeline
 
+    # on-hardware correctness gate BEFORE the measurement: the flagship
+    # pipeline at 3 shapes (incl. the reference's exact 480p config and
+    # the 1080p headline shape), decode-from-bits asserted bit-exact
+    # against libavcodec/golden (VERDICT r3 next-round item 3: nothing
+    # else exercises TPU-lowered kernels, and a TPU-only entropy
+    # miscompile shipped in round 3)
+    gate = "pass"
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        import tpu_gate
+
+        tpu_gate.run_gate()
+        print("tpu-gate: PASS", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        gate = f"FAIL: {e}"
+        print("tpu-gate: FAIL:", e, file=sys.stderr)
+
     streams = 4
     # CBR via the rate controller (RC_BITRATE_MODE analog,
     # encoder_worker.js:96).  The reference fixes 1 Mbps at 480p
@@ -94,6 +111,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "gate": gate,
             }
         )
     )

