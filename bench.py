@@ -58,9 +58,13 @@ def main() -> None:
     # 1080p headline runs 4 Mbps/stream (standard 1080p RTC rate); the
     # reference's EXACT 480p x 8 x 1 Mbps config is measured separately
     # below and recorded in BENCH_NOTES.
+    # intra_in_p=False: the RTC speed preset (the reference's encoder
+    # runs LOW_COMPLEXITY / scene-change-detect off,
+    # openh264_wrapper.cpp:216-220) -- removes the last sequential
+    # column scan so the whole P encode is one batched program
     cfg = CodecConfig(
         width=1920, height=1080, streams=streams, qp=None,
-        bitrate=4_000_000,
+        bitrate=4_000_000, intra_in_p=False,
     )
     # IPPP GOP pipeline with decode-from-bits: every counted frame is
     # encoded (quarter-pel ME, deblocking), entropy-packed on device,
@@ -86,6 +90,7 @@ def main() -> None:
     try:
         cfg480 = CodecConfig(
             width=854, height=480, streams=8, qp=None, bitrate=1_000_000,
+            intra_in_p=False,
         )
         pipe480 = GOPDevicePipeline(cfg480, gop_size=32,
                                     source_kind="rigid")

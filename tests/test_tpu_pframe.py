@@ -148,3 +148,80 @@ def test_tpu_pframe_libav_conformance():
     assert len(libav) == 4
     for t in range(4):
         np.testing.assert_array_equal(libav[t][0], recons[t][0])
+
+
+@pytest.mark.parametrize("qp", [28])
+def test_tpu_pframe_no_intra_matches_golden(qp):
+    """intra_in_p=False (the RTC speed preset that removes the encoder's
+    last column scan) must match golden encode_pframe(intra_in_p=False)
+    bit-exactly, and the stream must stay conformant."""
+    frames = moving_sequence(48, 64, 3, seed=9)
+    # frame 2 is a scene change: with intra allowed these MBs would pick
+    # intra16, so the flag demonstrably changes the encoder's choices
+    y2, u2, v2 = frames[2]
+    frames[2] = (255 - y2, u2[::-1, :].copy(), v2[:, ::-1].copy())
+    h, w = frames[0][0].shape
+    sps, pps = SPS.for_size(w, h), PPS()
+    n = sps.mb_width * sps.mb_height
+
+    # golden chain
+    g_stream = bytearray()
+    g_out, g_recon = codec.encode_iframe(*frames[0], qp=qp)
+    g_stream += g_out
+    ref = g_recon
+    for t in (1, 2):
+        g_out, g_recon = codec.encode_pframe(
+            *frames[t], ref, qp=qp, frame_num=t, intra_in_p=False
+        )
+        g_stream += g_out
+        ref = g_recon
+
+    # kernel chain
+    k_stream = bytearray()
+    from tpuh264.entropy import pack
+
+    yb, ub, vb = (np.asarray(p, np.int32)[None] for p in frames[0])
+    symbols, recon = iframe.encode_iframe_rows(yb, ub, vb, qp)
+    mb_info = np.stack(
+        [np.asarray(symbols.mode[0]).reshape(n),
+         np.asarray(symbols.cmode[0]).reshape(n),
+         np.asarray(symbols.cbp_luma[0]).reshape(n),
+         np.asarray(symbols.cbp_chroma[0]).reshape(n)], axis=1
+    ).astype(np.int32)
+    k_stream += pack.pack_iframe(
+        mb_info,
+        np.asarray(symbols.luma_dc[0]).reshape(n, 16),
+        np.asarray(symbols.luma_ac[0]).reshape(n, 16, 16),
+        np.asarray(symbols.chroma_dc[0]).reshape(n, 2, 4),
+        np.asarray(symbols.chroma_ac[0]).reshape(n, 2, 4, 15),
+        sps, pps, qp, slice_mode="rows",
+    )
+    kref = recon
+    for t in (1, 2):
+        yb, ub, vb = (np.asarray(p, np.int32)[None] for p in frames[t])
+        s_, recon, _m = pframe.encode_pframe_rows_multi(
+            yb, ub, vb, kref[0][None], kref[1][None], kref[2][None], qp,
+            intra_in_p=False,
+        )
+        assert int(np.asarray(s_.kind).max()) <= 1  # no intra MBs
+        mb_info = np.zeros((n, 8), np.int32)
+        for j, k in enumerate(
+            ("kind", "mode", "cmode", "cbp_luma", "cbp_chroma",
+             "mvdx", "mvdy")
+        ):
+            mb_info[:, j] = np.asarray(getattr(s_, k)[0]).reshape(n)
+        k_stream += packp.pack_pframe(
+            mb_info,
+            np.asarray(s_.luma_dc[0]).reshape(n, 16),
+            np.asarray(s_.luma_ac[0]).reshape(n, 16, 16),
+            np.asarray(s_.chroma_dc[0]).reshape(n, 2, 4),
+            np.asarray(s_.chroma_ac[0]).reshape(n, 2, 4, 15),
+            sps, pps, qp, slice_mode="rows", frame_num=t,
+        )
+        kref = tuple(r.astype(np.int32) for r in recon)
+
+    assert bytes(k_stream) == bytes(g_stream)
+    # conformance: the golden decoder reconstructs it
+    decoded = codec.decode_annexb_seq(bytes(k_stream))
+    assert len(decoded) == 3
+    np.testing.assert_array_equal(decoded[2][0], np.asarray(kref[0][0]))

@@ -30,9 +30,12 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
-# (width, height, streams): tiny smoke, the reference's published 480p x 8
-# config, and the 1080p x 4 headline shape (same compiled steps bench uses)
-GATE_SHAPES = ((64, 48, 2), (854, 480, 8), (1920, 1080, 4))
+# (width, height, streams, intra_in_p): tiny smoke, the reference's
+# published 480p x 8 config (intra-in-P scan path), and the 1080p x 4
+# headline shape with the RTC preset bench measures (intra_in_p=False)
+# -- both encoder modes get hardware coverage
+GATE_SHAPES = ((64, 48, 2, True), (854, 480, 8, True),
+               (1920, 1080, 4, False))
 
 
 def _decode_oracle(stream: bytes):
@@ -58,10 +61,11 @@ def run_gate(shapes=GATE_SHAPES, dispatches: int = 2, qp: int = 33,
     from tpuh264.engine import CodecConfig
     from tpuh264.engine.devpipe import GOPDevicePipeline
 
-    for (w, h, s) in shapes:
+    for (w, h, s, iip) in shapes:
         t0 = time.perf_counter()
         pipe = GOPDevicePipeline(
-            CodecConfig(width=w, height=h, qp=qp, streams=s),
+            CodecConfig(width=w, height=h, qp=qp, streams=s,
+                        intra_in_p=iip),
             gop_size=4 * dispatches, source_kind="rigid",
         )
         for _ in range(dispatches):

@@ -37,6 +37,12 @@ class CodecConfig:
     temporal_layers: int = 1  # 2 or 3 hierarchical-P layers (droppable)
     num_ref_frames: int = 1  # DPB depth; >1 = per-MB reference search
     intra44: bool = False  # enable Intra_4x4 trial on I frames (quality)
+    # consider Intra_16x16 candidates inside P slices.  False = the RTC
+    # speed preset (the reference runs LOW_COMPLEXITY with scene-change
+    # detection off, openh264_wrapper.cpp:216-220): it removes the last
+    # sequential column scan from the P encode, making the whole frame
+    # one batched program on TPU; recovery relies on the GOP IDR cadence
+    intra_in_p: bool = True
     cabac: bool = False  # CABAC entropy coding (Main profile; I frames)
     transform8x8: bool = False  # High profile 8x8 transform (needs cabac)
     gop_size: int = 30  # IDR interval

@@ -528,7 +528,7 @@ class GOPDevicePipeline:
                 yf, uf, vf = xs
                 sym, recon, motion = pframe.encode_pframe_rows_multi(
                     yf, uf, vf, cur[0][:nra], cur[1][:nra], cur[2][:nra],
-                    qp,
+                    qp, intra_in_p=self.config.intra_in_p,
                 )
                 db = tuple(
                     x.astype(jnp.int32)

@@ -144,6 +144,7 @@ class _MBContext:
     cqp_off: int = 0           # PPS chroma_qp_index_offset
     qp_map: np.ndarray = None  # (mbh, mbw) per-MB QP as decoded (8.7.2)
     gmv: list = None           # per-DPB-entry (gy, gx) global MV (encoder)
+    intra_in_p: bool = True    # encoder: consider intra16 MBs in P slices
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int,
@@ -734,13 +735,16 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
         ctx.mv, ctx.kind, ctx.slice_id, mbx, mby, sid, ctx.refidx, ref_i
     )
     refy, refu, refv, planes = dpb[ref_i]
-    _, _, intra_sad = _intra16_decide(ctx, src, mbx, mby, sid)
-
-    if intra_sad < inter_sad:
-        w.ue(skiprun[0])
-        skiprun[0] = 0
-        _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=True)
-        return
+    if ctx.intra_in_p:
+        # intra16 candidate (disabled by the RTC speed preset: the
+        # kernels' intra_in_p=False fast path matches this bit-exactly)
+        _, _, intra_sad = _intra16_decide(ctx, src, mbx, mby, sid)
+        if intra_sad < inter_sad:
+            w.ue(skiprun[0])
+            skiprun[0] = 0
+            _write_intra16_mb(w, ctx, y, u, v, mbx, mby, sid,
+                              in_p_slice=True)
+            return
 
     # inter residual: 4x4 transform, plus the 8x8 trial when enabled
     predl = inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy)
@@ -898,6 +902,7 @@ def encode_pframe(
     deblock: bool = False,
     ref: bool = True,
     force_ref: int = -1,
+    intra_in_p: bool = True,
 ) -> Tuple[bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encode one P-frame against a reference DPB.
 
@@ -918,6 +923,7 @@ def encode_pframe(
     dpb = as_dpb(refs)
     ctx.nra = len(dpb)
     ctx.force_ref = force_ref
+    ctx.intra_in_p = intra_in_p
     ctx.t8_enabled = pps.transform_8x8_mode_flag == 1
     # phase 1 of the coherent-field search: per-reference global MV
     # (mode of stage-A winners; see inter.global_mv)

@@ -398,7 +398,16 @@ def _pack_blocks_dev(levels, nc, maxc, code_residual, hdr_len, hdr_val,
     def prep(x, inner):
         x = _i32(jnp.asarray(x))
         x = jnp.broadcast_to(x, (*lead, *inner) if inner else lead)
-        flat = x.reshape(n, -1).T  # [inner?, n]
+        flat2d = x.reshape(n, -1)
+        # REQUIRED on TPU: materialize the collapsed-lead 2-D form
+        # before the lane transpose.  When the (>2-D lead) reshape fuses
+        # with the transpose/pad chain, XLA corrupts a few chunks near
+        # the end of the lane space (observed at 854x480: 3 of 1,049,760
+        # chunk strings wrong -> undecodable stream); the same data fed
+        # through the identical kernel with a pre-flattened lead is
+        # exact.  The barrier costs one HBM round trip of the operand.
+        flat2d = jax.lax.optimization_barrier(flat2d)
+        flat = flat2d.T  # [inner?, n]
         flat = jnp.pad(flat, ((0, 0), (0, nt - n)))
         return flat.reshape(flat.shape[0], nt // 128, 128)
 
@@ -425,7 +434,12 @@ def _pack_blocks_dev(levels, nc, maxc, code_residual, hdr_len, hdr_val,
         ),
     )(lv, nc_a, maxc_a, cr_a, hl, hv)
 
-    words = words.reshape(n_w, nt)[:, :n].T.reshape(*lead, n_w)
+    # pin the lane-major 2-D form before re-expanding the lead dims:
+    # fusing the [n_w, nt] transpose with the multi-dim lead reshape
+    # miscompiles on TPU near the end of the lane space (see the prep
+    # barrier comment; the 2-D form in isolation is verified exact)
+    w2 = jax.lax.optimization_barrier(words.reshape(n_w, nt)[:, :n].T)
+    words = w2.reshape(*lead, n_w)
     bitlen = bitlen.reshape(nt)[:n].reshape(lead)
     return words, bitlen
 
@@ -533,17 +547,23 @@ def _merge_tree_host(words, bits, n_out: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
-def _merge_tree_dev(words, bits, n_out: int):
+def _merge_tree_dev(words, bits, n_out: int):  # noqa: C901
     lead = words.shape[:-2]
     k_in, w_in = words.shape[-2:]
     n = int(np.prod(lead)) if lead else 1
     nt = -(-n // MERGE_LANES) * MERGE_LANES
     g = nt // MERGE_LANES
 
-    w_t = _i32(words).reshape(n, k_in, w_in).transpose(1, 2, 0)
+    # collapse the lead dims and pin the 2-D/3-D form before the lane
+    # transpose -- same TPU miscompile class as _pack_blocks_dev's prep
+    # (see the barrier comment there)
+    w_flat = jax.lax.optimization_barrier(
+        _i32(words).reshape(n, k_in, w_in))
+    w_t = w_flat.transpose(1, 2, 0)
     w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, nt - n)))
     w_t = w_t.reshape(k_in, w_in, nt // 128, 128)
-    b_t = _i32(bits).reshape(n, k_in).T
+    b_flat = jax.lax.optimization_barrier(_i32(bits).reshape(n, k_in))
+    b_t = b_flat.T
     b_t = jnp.pad(b_t, ((0, 0), (0, nt - n))).reshape(k_in, nt // 128, 128)
 
     body = functools.partial(_merge_kernel, k_in, w_in, n_out)
@@ -568,6 +588,9 @@ def _merge_tree_dev(words, bits, n_out: int):
         ),
     )(w_t, b_t)
 
-    out = out.reshape(n_out, nt)[:, :n].T.reshape(*lead, n_out)
+    # pin the 2-D lane-major form before the multi-dim lead reshape
+    # (same miscompile class as _pack_blocks_dev's output; see there)
+    o2 = jax.lax.optimization_barrier(out.reshape(n_out, nt)[:, :n].T)
+    out = o2.reshape(*lead, n_out)
     bl = bl.reshape(nt)[:n].reshape(lead)
     return out, bl

