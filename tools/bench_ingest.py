@@ -1,0 +1,111 @@
+"""Host-frame ingestion benchmark: the reference's REAL topology.
+
+The reference captures camera pixels, copies them into the codec's
+memory (a first-class published metric: 4.80 ms/frame in its
+screenshot, encoder_worker.js:112-120), encodes ONE stream, and fans
+the encoded frame out to N decoder workers (app.js:339-359).  This
+tool measures the same topology on the device pipeline: HOST frames
+are uploaded over the (80 MB/s tunneled) link each dispatch
+(copy_ms), encoded as 1 stream, and the emitted annex-B is
+entropy-parsed and device-decoded N times (fanout).
+
+One 480p30 I420 stream is ~18 MB/s of raw pixels -- within the link
+budget, which is why the reference's exact 480p x 8 point is the
+default here (VERDICT r3 item 9a).
+
+Usage: python tools/bench_ingest.py [--width 854 --height 480
+--fanout 8 --seconds 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=854)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--fanout", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--bitrate", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache")
+    )
+    from tpuh264.engine import CodecConfig, sources
+    from tpuh264.engine.devpipe import GOPDevicePipeline
+
+    cfg = CodecConfig(
+        width=args.width, height=args.height, streams=1,
+        qp=args.qp, bitrate=args.bitrate, intra_in_p=False,
+    )
+    pipe = GOPDevicePipeline(
+        cfg, gop_size=32, source_kind="host", fanout=args.fanout
+    )
+    k = pipe.FRAMES_PER_DISPATCH
+
+    def host_batch(t0: int):
+        fr = [sources.yuv_frame(args.width, args.height, t0 + i)
+              for i in range(k)]
+        return tuple(
+            np.stack([f[i] for f in fr])[:, None] for i in range(3)
+        )  # [K, 1, H, W]
+
+    # warm-up: one full GOP cycle + RC settle
+    t = 0
+    for _ in range(10):
+        pipe.pump_host_frames(*host_batch(t))
+        t += k
+    pipe.stage_ms = {kk: 0.0 for kk in pipe.stage_ms}
+    pipe.stage_ms["n"] = 0
+
+    n = 0
+    t0 = time.perf_counter()
+    deadline = t0 + args.seconds
+    copy_ms = []
+    last = None
+    while time.perf_counter() < deadline:
+        last = host_batch(t)
+        pipe.pump_host_frames(*last)
+        copy_ms.append(pipe.last_copy_ms)
+        t += k
+        n += k
+    wall = time.perf_counter() - t0
+
+    # host-side quality: decoded stream 0 (first fan-out copy) vs the
+    # final fed source frame
+    dy, _, _ = pipe.decoded_planes()
+    ys = last[0][-1, 0].astype(np.float64)
+    rec = np.asarray(dy[0])[: args.height, : args.width].astype(np.float64)
+    mse = np.mean((rec - ys[: args.height, : args.width]) ** 2)
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    print(json.dumps({
+        "metric": "host_ingest_fanout",
+        "config": f"{args.width}x{args.height} x1 enc -> "
+                  f"x{args.fanout} dec",
+        "encode_fps": round(n / wall, 2),
+        "decode_fps_aggregate": round(n * args.fanout / wall, 2),
+        "copy_ms_per_frame": round(float(np.mean(copy_ms)) / k, 2),
+        "copy_ms_per_dispatch": round(float(np.mean(copy_ms)), 2),
+        "psnr_y": round(float(psnr), 2),
+        "qp": pipe.rc.current_qp() if cfg.qp is None else cfg.qp,
+    }))
+
+
+if __name__ == "__main__":
+    main()

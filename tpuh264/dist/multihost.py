@@ -72,7 +72,8 @@ def initialize(
     )
 
 
-def global_codec_mesh(rows_across_hosts: bool = False):
+def global_codec_mesh(rows_across_hosts: bool = False,
+                      shape: Optional[Tuple[int, int]] = None):
     """(streams, rows) mesh over ALL processes' devices.
 
     rows_across_hosts=False: the streams axis spans processes (pure
@@ -81,6 +82,10 @@ def global_codec_mesh(rows_across_hosts: bool = False):
     processes, so the P-step DPB halo `ppermute` crosses the host
     boundary -- reference rows page between hosts every frame (the
     north-star DPB-page-exchange pattern).
+
+    `shape`: force the (streams, rows) mesh shape regardless of process
+    count -- used for scaling measurements where the 1-process baseline
+    must run the IDENTICAL global mesh/workload as the N-process run.
     """
     import jax
     from jax.sharding import Mesh
@@ -95,9 +100,13 @@ def global_codec_mesh(rows_across_hosts: bool = False):
         # rows axis = process-crossing pairs: shape (streams, rows) with
         # rows index striding across processes
         grid = devs.reshape(npro, per).T  # [per, npro]
+        if shape is not None:
+            grid = grid.reshape(shape)
         return Mesh(grid, ("streams", "rows"))
-    return Mesh(devs.reshape(jax.process_count(), n // jax.process_count()),
-                ("streams", "rows"))
+    grid = devs.reshape(jax.process_count(), n // jax.process_count())
+    if shape is not None:
+        grid = grid.reshape(shape)
+    return Mesh(grid, ("streams", "rows"))
 
 
 def place_global(mesh, arr: np.ndarray):
@@ -121,11 +130,15 @@ def run_gop_worker(
     height: int = 64,
     qp: int = 30,
     bench_reps: int = 0,
+    mesh_shape: Optional[Tuple[int, int]] = None,
 ) -> dict:
     """Encode I + 2 P frames over the global mesh and verify against the
     local unsharded oracle.  Returns a result dict (also used as the
     JSON the test reads)."""
-    initialize(coordinator, num_processes, process_id)
+    # 8 global virtual devices regardless of process count, so scaling
+    # runs compare identical workloads (1 x 8dev vs 2 x 4dev)
+    initialize(coordinator, num_processes, process_id,
+               local_devices=max(1, 8 // num_processes))
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
@@ -134,7 +147,7 @@ def run_gop_worker(
     from ..kernels import iframe, pframe
     from . import mesh as dmesh
 
-    mesh = global_codec_mesh(rows_across_hosts)
+    mesh = global_codec_mesh(rows_across_hosts, shape=mesh_shape)
     s_shards, r_shards = mesh.devices.shape
     i_fn, p_fn = dmesh.sharded_gop_step(mesh)
 
@@ -212,11 +225,21 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--bench-reps", type=int, default=0)
+    ap.add_argument(
+        "--mesh", default=None,
+        help="force (streams, rows) mesh shape, e.g. 4x2 -- for scaling "
+             "runs where 1-process and N-process must share the workload",
+    )
     args = ap.parse_args()
+    shape = None
+    if args.mesh:
+        s_, r_ = args.mesh.split("x")
+        shape = (int(s_), int(r_))
     result = run_gop_worker(
         args.coordinator, args.num_processes, args.process_id,
         rows_across_hosts=args.rows_across_hosts,
         width=args.width, height=args.height, bench_reps=args.bench_reps,
+        mesh_shape=shape,
     )
     print("MULTIHOST_RESULT " + json.dumps(result), flush=True)
 

@@ -352,11 +352,21 @@ class GOPDevicePipeline:
 
     def __init__(self, config: Optional[CodecConfig] = None,
                  gop_size: int = 16, source_kind: str = "moving_gradient",
-                 **kw):
+                 fanout: int = 1, **kw):
+        """source_kind "host": frames are fed by pump_host_frames --
+        the reference's real topology, where camera pixels are COPIED
+        into the codec's memory and that copy is a first-class metric
+        (encoder_worker.js:112-120, the 4.80 ms row of its screenshot).
+        `fanout` N decodes every encoded stream N times (the reference's
+        1-encoder -> N-decoder fan-out, app.js:339-359): parsed records
+        are replicated per decode stream and the decoder DPB chain runs
+        S*N streams wide."""
         if config is None:
             config = CodecConfig(**kw)
         self.config = config
         self.source_kind = source_kind
+        self.fanout = max(1, fanout)
+        self.s_dec = config.streams * self.fanout
         self._entropy = (
             entropy_native if entropy_native.available() else entropy_pack
         )
@@ -406,11 +416,20 @@ class GOPDevicePipeline:
         self._payload_hist = {True: [], False: []}
         self._dec_step = self._build_decode()
         s = config.streams
-        zero = lambda h, w: jnp.zeros((self.n_refs, s, h, w), jnp.int32)
-        self._dpb_enc = (zero(self.h16, self.w16),
-                         zero(self.h16 // 2, self.w16 // 2),
-                         zero(self.h16 // 2, self.w16 // 2))
-        self._dpb_dec = self._dpb_enc
+        zero = lambda ss, h, w: jnp.zeros(
+            (self.n_refs, ss, h, w), jnp.int32
+        )
+        self._dpb_enc = (zero(s, self.h16, self.w16),
+                         zero(s, self.h16 // 2, self.w16 // 2),
+                         zero(s, self.h16 // 2, self.w16 // 2))
+        self._dpb_dec = (
+            self._dpb_enc if self.s_dec == s
+            else (zero(self.s_dec, self.h16, self.w16),
+                  zero(self.s_dec, self.h16 // 2, self.w16 // 2),
+                  zero(self.s_dec, self.h16 // 2, self.w16 // 2))
+        )
+        self._host_frames = None  # pending [K][3] host YUV (host mode)
+        self.last_copy_ms = 0.0
         self._sse_dev = None  # decode-side SSE handle (device)
         self._dec_frames = 0
         # sticky record caps, PER GOP PHASE (start dispatches carry the
@@ -461,7 +480,8 @@ class GOPDevicePipeline:
     def _build_step(self, start: bool, budget_i: int, budget_p: int):
         k = self.FRAMES_PER_DISPATCH
         streams = self.config.streams
-        source = sources._device_source_gop(
+        host = self.source_kind == "host"
+        source = None if host else sources._device_source_gop(
             self.w16, self.h16, k, streams, self.source_kind
         )
         n_p = k - 1 if start else k
@@ -500,8 +520,11 @@ class GOPDevicePipeline:
 
         @jax.jit
         def step(t, qp, dpb_enc, hdr_i_hw, hdr_i_len,
-                 hdr_p_hw, hdr_p_len):
-            y, u, v = source(t)
+                 hdr_p_hw, hdr_p_len, hy, hu, hv):
+            if host:
+                y, u, v = hy, hu, hv  # ingested frames (already on HBM)
+            else:
+                y, u, v = source(t)
             y, u, v = (x.astype(jnp.int32) for x in (y, u, v))
             cur = dpb_enc  # 3 x [N, S, H, W]
             sym_i = None
@@ -587,12 +610,14 @@ class GOPDevicePipeline:
         with no record has kind 0 and zero coefficients.
         """
         k = self.FRAMES_PER_DISPATCH
-        s = self.config.streams
+        s = self.s_dec  # decode streams = encode streams x fanout
+        fan = self.fanout
         r, c = self.h16 // 16, self.w16 // 16
         n = r * c
         f_tot = k * s
-        source = sources._device_source_gop(
-            self.w16, self.h16, k, s, self.source_kind
+        host = self.source_kind == "host"
+        source = None if host else sources._device_source_gop(
+            self.w16, self.h16, k, self.config.streams, self.source_kind
         )
 
         @jax.jit
@@ -602,7 +627,7 @@ class GOPDevicePipeline:
             mbf = jnp.zeros((f_tot * n + 1, 9), jnp.int32)
             mbf = mbf.at[mb_pos].set(
                 mb_fields.astype(jnp.int32), mode="drop",
-                indices_are_sorted=True,
+                indices_are_sorted=fan == 1,
             )
             mbf = mbf[:-1].reshape(k, s, r, c, 9)
             flat = jnp.zeros((f_tot * n * 400 + 1,), jnp.int16)
@@ -613,7 +638,16 @@ class GOPDevicePipeline:
             cdc = coef[..., 272:280].reshape(k, s, r, c, 2, 4)
             cac = coef[..., 280:400].reshape(k, s, r, c, 2, 4, 15)
 
-            y, _, _ = source(t)
+            if host:
+                # host-fed frames: quality is measured host-side by the
+                # caller (tools/bench_ingest.py); SSE rides as zeros
+                y = jnp.zeros((k, s, self.h16, self.w16), jnp.uint8)
+            else:
+                y, _, _ = source(t)
+                if fan > 1:
+                    # 1-encoder -> N-decoder fan-out: each decode
+                    # stream's source is its encoded stream's source
+                    y = jnp.repeat(y, fan, axis=1)
 
             # one uniform per-frame body -> lax.scan over the dispatch's
             # k frames (sequential DPB chain as the scan carry); the
@@ -685,8 +719,31 @@ class GOPDevicePipeline:
         if pqp != qp:
             raise RuntimeError(f"parsed QP {pqp} != pipeline QP {qp}")
         k = self.FRAMES_PER_DISPATCH
-        s = self.config.streams
+        s = self.s_dec
         n = r * c
+        if self.fanout > 1:
+            # 1-encoder -> N-decoder fan-out (app.js:339-359): replicate
+            # each parsed record once per decode stream; decode stream
+            # ss*fan+fi carries encoded stream ss's records
+            fan = self.fanout
+            se = self.config.streams
+            kk, rest = np.divmod(mb_pos, se * n)
+            ss, pp = np.divmod(rest, n)
+            fi = np.arange(fan, dtype=np.int64)
+            mb_pos = (
+                ((kk[:, None] * s + ss[:, None] * fan + fi) * n
+                 + pp[:, None]).reshape(-1).astype(np.int32)
+            )
+            mb_fields = np.repeat(mb_fields, fan, axis=0)
+            slots = entropy_native.MB_SLOTS
+            kk, rest = np.divmod(cpos, se * n * slots)
+            ss, pp = np.divmod(rest, n * slots)
+            cpos = (
+                ((kk[:, None] * s + ss[:, None] * fan + fi)
+                 * (n * slots) + pp[:, None])
+                .reshape(-1).astype(np.int32)
+            )
+            cval = np.repeat(cval, fan, axis=0)
         # pad to sticky shape buckets so jit programs are reused across
         # dispatches; padded records hit the dropped dead slot
         caps = self._caps[start]
@@ -749,9 +806,28 @@ class GOPDevicePipeline:
         step = self._step_cache.get(key)
         if step is None:
             step = self._step_cache[key] = self._build_step(start, bi, bp)
+        if self.source_kind == "host":
+            if self._host_frames is None:
+                raise RuntimeError(
+                    "host source: feed frames via pump_host_frames()"
+                )
+            # the reference's timed pixel copy into codec memory
+            # (encoder_worker.js:112-120): h2d upload of the dispatch's
+            # K frames, synchronized so the metric is honest
+            tc = time.perf_counter()
+            hy, hu, hv = (jax.device_put(a) for a in self._host_frames)
+            jax.block_until_ready((hy, hu, hv))
+            self.last_copy_ms = (time.perf_counter() - tc) * 1e3
+            self.stage_ms["copy"] = (
+                self.stage_ms.get("copy", 0.0) + self.last_copy_ms
+            )
+            self._host_frames = None
+        else:
+            dz = jnp.zeros((0,), jnp.int32)
+            hy = hu = hv = dz
         out = step(
             jnp.int32(t), jnp.int32(qp), self._dpb_enc,
-            hdr_i_hw, hdr_i_len, hdr_p[0], hdr_p[1],
+            hdr_i_hw, hdr_i_len, hdr_p[0], hdr_p[1], hy, hu, hv,
         )
         sym_i, syms_p, hw_i, hw_p, wire, self._dpb_enc = out
         self.dispatch_index += 1
@@ -989,6 +1065,32 @@ class GOPDevicePipeline:
                 ))
             self.frame_streams.append(tuple(frame))
         self.last_stream = self.frame_streams[-1][0]
+
+    def pump_host_frames(self, y, u, v) -> None:
+        """Feed one dispatch of HOST frames (source_kind="host") and run
+        it synchronously: y [K, S, H, W] uint8 (u/v half-size), padded
+        here to the MB grid.  The h2d upload is timed as last_copy_ms /
+        stage 'copy' -- the reference's frame-copy metric
+        (encoder_worker.js:112-120)."""
+        k = self.FRAMES_PER_DISPATCH
+        s = self.config.streams
+        y = np.asarray(y, np.uint8).reshape(k, s, *np.shape(y)[-2:])
+        u = np.asarray(u, np.uint8).reshape(k, s, *np.shape(u)[-2:])
+        v = np.asarray(v, np.uint8).reshape(k, s, *np.shape(v)[-2:])
+
+        def padded(p, hh, ww):
+            ph, pw = hh - p.shape[-2], ww - p.shape[-1]
+            if ph or pw:
+                p = np.pad(p, ((0, 0), (0, 0), (0, ph), (0, pw)),
+                           mode="edge")
+            return p
+
+        self._host_frames = (
+            padded(y, self.h16, self.w16),
+            padded(u, self.h16 // 2, self.w16 // 2),
+            padded(v, self.h16 // 2, self.w16 // 2),
+        )
+        self.pump_frame()
 
     def pump_frame(self) -> None:
         """Encode+parse+decode one dispatch synchronously (tests/drive)."""
