@@ -36,7 +36,12 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--fanout", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=10.0)
-    ap.add_argument("--qp", type=int, default=None)
+    # fixed QP by default: this tool measures the TRANSPORT (h2d copy +
+    # parse + fan-out decode); under CBR at 1 stream the controller's QP
+    # hunt keeps moving the sticky payload budgets across jit variants
+    # and the synchronous pump then measures compiles, not transport.
+    # Pass --qp -1 for CBR at --bitrate.
+    ap.add_argument("--qp", type=int, default=32)
     ap.add_argument("--bitrate", type=int, default=1_000_000)
     args = ap.parse_args()
 
@@ -51,7 +56,8 @@ def main() -> None:
 
     cfg = CodecConfig(
         width=args.width, height=args.height, streams=1,
-        qp=args.qp, bitrate=args.bitrate, intra_in_p=False,
+        qp=None if args.qp < 0 else args.qp, bitrate=args.bitrate,
+        intra_in_p=False,
     )
     pipe = GOPDevicePipeline(
         cfg, gop_size=32, source_kind="host", fanout=args.fanout
@@ -118,7 +124,7 @@ def main() -> None:
         "copy_ms_per_frame": round(float(np.mean(copy_ms)) / k, 2),
         "copy_ms_per_dispatch": round(float(np.mean(copy_ms)), 2),
         "psnr_y": round(float(psnr), 2),
-        "qp": pipe.rc.current_qp() if cfg.qp is None else cfg.qp,
+        "qp": cfg.qp if cfg.qp is not None else pipe.rc.current_qp(),
     }))
 
 
