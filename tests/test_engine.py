@@ -265,3 +265,43 @@ def test_decode_batch_ippp_fanout():
             for p in range(3):
                 np.testing.assert_array_equal(out[p], serial[p])
     assert all(pool[i].frames_decoded == 4 for i in range(n_streams))
+
+
+def test_decoder_mv_range_guard_falls_back_to_golden():
+    """A conformant stream whose MV exceeds the fast-path window bound
+    (advisor r3 medium: x264's default ME range is 16 pel; ours is
+    ~9.75) must divert to the golden StreamDecoder instead of silently
+    motion-compensating from a zeroed window."""
+    from tpuh264.engine.decoder import DecoderSession
+    from tpuh264.entropy import packp
+    from tpuh264.golden import codec as gcodec
+    from tpuh264.core.params import PPS, SPS
+
+    w, h = 96, 64
+    y, u, v = sources.yuv_frame(w, h, 0)
+    i_bytes, _rec = gcodec.encode_iframe(
+        np.asarray(y, np.int32), np.asarray(u, np.int32),
+        np.asarray(v, np.int32), qp=28,
+    )
+    sps, pps = SPS.for_size(w, h), PPS()
+    r, c = sps.mb_height, sps.mb_width
+    n = r * c
+    mb_info = np.zeros((n, 8), np.int32)
+    mb_info[:, 0] = 1                 # all inter
+    mb_info[0, 5] = 4 * 20            # 20-pel MV: beyond the +-10 window
+    p_bytes = packp.pack_pframe(
+        mb_info,
+        np.zeros((n, 16), np.int32), np.zeros((n, 16, 16), np.int32),
+        np.zeros((n, 2, 4), np.int32), np.zeros((n, 2, 4, 15), np.int32),
+        sps, pps, 28, slice_mode="rows", frame_num=1, deblock_idc=1,
+    )
+    sess = DecoderSession()
+    out_i = sess.decode(i_bytes)
+    assert out_i is not None
+    out_p = sess.decode(p_bytes)      # must not raise, must not corrupt
+    assert out_p is not None
+    # golden oracle decode of the same bytes
+    exp = gcodec.decode_annexb_seq(i_bytes + p_bytes)[-1]
+    np.testing.assert_array_equal(out_p[0], exp[0])
+    np.testing.assert_array_equal(out_p[1], exp[1])
+    np.testing.assert_array_equal(out_p[2], exp[2])

@@ -121,6 +121,20 @@ class DecoderSession:
                     self._gold.sps = self._sps
                 if self._pps is not None:
                     self._gold.pps = self._pps
+                # seed the reference buffer from the fast path's DPB so
+                # a mid-stream demotion (e.g. the MV-range guard) keeps
+                # decoding the true pictures instead of concealing until
+                # the next IDR (advisor r3: divert, don't corrupt)
+                from ..golden import inter as ginter
+
+                for (ry, ru, rv) in self._dpb:
+                    ry_np = np.asarray(ry[0], np.int32)
+                    self._gold.dpb.append((
+                        ry_np,
+                        np.asarray(ru[0], np.int32),
+                        np.asarray(rv[0], np.int32),
+                        ginter.build_halfpel_planes(ry_np),
+                    ))
             out = self._gold.decode_au(data)
             if out is None:
                 raise RuntimeError("no frame in access unit")
@@ -226,6 +240,34 @@ class DecoderSession:
                               entropy_packp.parse_pframe_slices)
             mb_info, ldc, lac, cdc, cac = parse_p(slices, sps, pps, nra)
         rr, cc = sps.mb_height, sps.mb_width
+        # fast-path guards (advisor r3): the row-slice kernel assumes
+        # one slice per MB row (the left-only degenerate MV predictor);
+        # a single-slice multi-row stream would resolve MVs wrongly --
+        # divert it to the golden StreamDecoder instead
+        if len(slices) != rr and rr != 1:
+            raise NotImplementedError(
+                f"{len(slices)} P slices for {rr} MB rows"
+            )
+        # resolve the row-chain MVs and bound-check them against the
+        # kernel's static window range: a conformant third-party stream
+        # may carry MVs beyond the own-encoder bound (x264 default ME
+        # range is 16 pel), and the masked-shift window extraction
+        # would silently predict from a zero block
+        kind_a = mb_info[:, 0].reshape(rr, cc)
+        mvdx_a = mb_info[:, 5].reshape(rr, cc).astype(np.int64)
+        mvdy_a = mb_info[:, 6].reshape(rr, cc).astype(np.int64)
+        mvx = np.zeros(rr, np.int64)
+        mvy = np.zeros(rr, np.int64)
+        lo, hi = 4 * -10, 4 * 9 + 3  # _extract_w2 lo/hi int offsets
+        for c0 in range(cc):
+            inter = kind_a[:, c0] == 1
+            mvx = np.where(inter, mvx + mvdx_a[:, c0], 0)
+            mvy = np.where(inter, mvy + mvdy_a[:, c0], 0)
+            if (mvx.min() < lo or mvx.max() > hi
+                    or mvy.min() < lo or mvy.max() > hi):
+                raise NotImplementedError(
+                    "MV beyond the fast-path window range"
+                )
         symbols = pframe.MBSymbolsP(
             kind=mb_info[:, 0].reshape(1, rr, cc),
             mode=mb_info[:, 1].reshape(1, rr, cc),
