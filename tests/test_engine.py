@@ -305,3 +305,48 @@ def test_decoder_mv_range_guard_falls_back_to_golden():
     np.testing.assert_array_equal(out_p[0], exp[0])
     np.testing.assert_array_equal(out_p[1], exp[1])
     np.testing.assert_array_equal(out_p[2], exp[2])
+
+
+def test_scene_cut_forces_idr():
+    """A P-frame bits spike under rate control restarts the GOP at the
+    next dispatch (scene-cut IDR; ForceIntraFrame analog) -- the
+    recovery path the RTC preset relies on instead of intra-in-P MBs."""
+    from tpuh264.engine.devpipe import GOPDevicePipeline
+    from tpuh264.engine.ratecontrol import RateController
+
+    # unit: detector fires on a spike and the spike does not poison the
+    # rolling average
+    rc = RateController(CodecConfig(qp=None, bitrate=1_000_000))
+    assert not rc.p_frame_is_scene_cut(1000)
+    for _ in range(5):
+        assert not rc.p_frame_is_scene_cut(1100)
+    assert rc.p_frame_is_scene_cut(1100 * 10)
+    assert not rc.p_frame_is_scene_cut(1100)
+
+    # pipeline: host-fed frames with a hard scene change mid-GOP
+    cfg = CodecConfig(width=96, height=64, streams=1, qp=None,
+                      bitrate=400_000, intra_in_p=False)
+    pipe = GOPDevicePipeline(cfg, gop_size=16, source_kind="host")
+    k = pipe.FRAMES_PER_DISPATCH
+
+    def batch(t0, invert=False):
+        fr = [sources.yuv_frame(96, 64, t0 + i) for i in range(k)]
+        out = []
+        for i in range(3):
+            p = np.stack([f[i] for f in fr])[:, None]
+            out.append(255 - p if invert else p)
+        return tuple(out)
+
+    pipe.pump_host_frames(*batch(0))      # IDR + 3P (GOP start)
+    pipe.pump_host_frames(*batch(4))      # interior P: learns the avg
+    assert pipe._gop_pos == 2
+    pipe.pump_host_frames(*batch(8, invert=True))  # scene change
+    assert pipe.rc.scene_cuts > 0
+    assert pipe._gop_pos == 0             # next dispatch restarts the GOP
+    pipe.pump_host_frames(*batch(12, invert=True))
+    # the restart dispatch is an IDR access unit (starts with SPS NAL)
+    from tpuh264.core import nal as nal_mod
+
+    first_nal_types = [t for _, t, _ in
+                       nal_mod.split_annexb(pipe.frame_streams[-4][0])]
+    assert nal_mod.NAL_SPS in first_nal_types

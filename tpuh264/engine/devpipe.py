@@ -880,7 +880,7 @@ class GOPDevicePipeline:
         off += n_p * s * r
         if wire[0]:  # device entropy overflow: repack on host
             self._host_pack_gop(start, pos, sym_i, syms_p, qp)
-            self._rc_update(k)
+            self._rc_update(k, start)
             return self.frame_streams[-k:]
 
         def slices_from_compact(pay_words, nbytes):
@@ -979,18 +979,29 @@ class GOPDevicePipeline:
                 frame.append(bytes(out))
             self.frame_streams.append(tuple(frame))
         self.last_stream = self.frame_streams[-1][0]
-        self._rc_update(k)
+        self._rc_update(k, start)
         return self.frame_streams[-k:]
 
-    def _rc_update(self, k: int) -> None:
+    def _rc_update(self, k: int, start: bool = False) -> None:
         """Feed the CBR controller the dispatch's per-frame byte counts
         (mean across streams; IDR access units amortize over the GOP the
-        same way the reference's RC sees them)."""
+        same way the reference's RC sees them).  Interior P frames also
+        feed the scene-cut detector: a bits spike at steady QP means
+        inter prediction collapsed, and the GOP restarts at the next
+        dispatch (ForceIntraFrame analog -- the recovery path the RTC
+        preset relies on instead of intra-in-P MBs)."""
         if self.config.qp is not None:
             return
         s = self.config.streams
-        for fr in self.frame_streams[-k:]:
-            self.rc.update(sum(len(b) for b in fr) / s)
+        frames = self.frame_streams[-k:]
+        cut = False
+        for fi, fr in enumerate(frames):
+            fb = sum(len(b) for b in fr) / s
+            self.rc.update(fb)
+            if not (start and fi == 0):  # interior P frames only
+                cut |= self.rc.p_frame_is_scene_cut(fb)
+        if cut and self._gop_pos != 0:
+            self.force_idr()
 
     def _host_pack_gop(self, start, pos, sym_i, syms_p, qp: int) -> None:
         """Device-entropy overflow fallback: host CAVLC pack from the

@@ -32,6 +32,13 @@ class RateController:
     (vbv_s deep, clamped) adds burst pressure for transients.  The QP
     accumulator is float so sub-step corrections integrate."""
 
+    # a P frame whose bits exceed this multiple of the rolling P-frame
+    # average is called a scene cut: inter prediction has collapsed, so
+    # an IDR restart both recovers quality faster than P-coding the new
+    # scene and resyncs any decoder (matters most under the RTC preset,
+    # which never codes intra MBs inside P slices)
+    SCENE_CUT_RATIO = 4.0
+
     def __init__(self, config: CodecConfig, vbv_s: float = 0.5,
                  step_max: float = 1.5):
         self.config = config
@@ -43,9 +50,27 @@ class RateController:
         self.buf = self.vbv_cap / 2.0  # start half-full (steady point)
         self.step_max = step_max
         self._window: list = []
+        self._p_avg_bits: float = 0.0  # rolling interior-P frame bits
+        self.scene_cuts = 0
 
     def current_qp(self) -> int:
         return int(self.qp)
+
+    def p_frame_is_scene_cut(self, frame_bytes: float) -> bool:
+        """Report (and learn from) an interior P frame's size; True if
+        the bits spike says the scene changed and the caller should
+        force an IDR at the next opportunity.  Callers feed ONLY
+        interior P frames (IDR access units are naturally large)."""
+        bits = frame_bytes * 8.0
+        if self._p_avg_bits <= 0.0:
+            self._p_avg_bits = bits
+            return False
+        cut = bits > self.SCENE_CUT_RATIO * self._p_avg_bits
+        if cut:
+            self.scene_cuts += 1
+        else:
+            self._p_avg_bits = 0.9 * self._p_avg_bits + 0.1 * bits
+        return cut
 
     def update(self, frame_bytes: float) -> None:
         if self.config.qp is not None:
