@@ -91,13 +91,23 @@ def main() -> None:
         assert r["bitexact"], r
     t1 = r1["p_step_ms"]
     t2 = max(r["p_step_ms"] for r in r2s)
+    eff = t1 / t2
+    # sanity: identical total hardware cannot legitimately scale >1; a
+    # figure above ~1 means the 1-proc baseline is not the best-known
+    # configuration (the round-4 mistake this guard now catches)
+    assert eff <= 1.05, (
+        f"efficiency {eff:.3f} > 1.05: 1-proc baseline is not the best "
+        "1-proc configuration -- fix the baseline, not the ratio"
+    )
     print(json.dumps({
         "metric": "2host_scaling_efficiency",
         "width": args.width, "height": args.height,
         "mesh": "4x2 (rows across hosts)",
+        "halo_1proc": "per-plane (best 1-proc)",
+        "halo_2proc": "fused uint8 (best cross-process)",
         "p_step_ms_1proc": round(t1, 2),
         "p_step_ms_2proc": round(t2, 2),
-        "efficiency": round(t1 / t2, 3),
+        "efficiency": round(eff, 3),
     }))
 
 

@@ -205,7 +205,7 @@ def _halo_extend_yuv(ry, ru, rv, halo_y: int, halo_c: int, axis_name: str):
     )
 
 
-def sharded_gop_step(mesh: Mesh):
+def sharded_gop_step(mesh: Mesh, fused_halo: bool = True):
     """pjit-ed (I, P) encode steps over a (streams, rows) mesh with a
     row-sharded device-resident DPB.
 
@@ -216,7 +216,16 @@ def sharded_gop_step(mesh: Mesh):
     P('streams', 'rows', None) sharding.  The P step exchanges
     HALO_Y/HALO_C reference rows with neighbor shards via `ppermute`
     before motion search -- inter prediction crosses shard boundaries
-    exactly as in the unsharded kernel (tests enforce bit equality)."""
+    exactly as in the unsharded kernel (tests enforce bit equality).
+
+    `fused_halo` selects the halo-exchange implementation, which is a
+    pure performance choice (both are bit-identical): the fused uint8
+    single-message form wins when the rows axis crosses a process
+    boundary (DCN/Gloo charges per message and per byte), while the
+    plain per-plane form wins in-process, where the pack/unpack
+    shuffles cost more than the three cheap local permutes they save.
+    Callers that know the topology (dist/multihost.py) pass
+    fused_halo = (rows axis spans processes)."""
     from ..kernels import pframe
 
     plane = P("streams", "rows", None)
@@ -226,10 +235,19 @@ def sharded_gop_step(mesh: Mesh):
         return iframe.encode_iframe_rows(y, u, v, qp)
 
     def p_step(y, u, v, ry, ru, rv, qp):
-        ry_ext, ru_ext, rv_ext = _halo_extend_yuv(
-            ry.astype(jnp.int32), ru.astype(jnp.int32),
-            rv.astype(jnp.int32), pframe.HALO_Y, pframe.HALO_C, "rows",
-        )
+        if fused_halo:
+            ry_ext, ru_ext, rv_ext = _halo_extend_yuv(
+                ry.astype(jnp.int32), ru.astype(jnp.int32),
+                rv.astype(jnp.int32), pframe.HALO_Y, pframe.HALO_C,
+                "rows",
+            )
+        else:
+            ry_ext = _halo_extend(
+                ry.astype(jnp.int32), pframe.HALO_Y, "rows")
+            ru_ext = _halo_extend(
+                ru.astype(jnp.int32), pframe.HALO_C, "rows")
+            rv_ext = _halo_extend(
+                rv.astype(jnp.int32), pframe.HALO_C, "rows")
         return pframe.encode_pframe_rows_multi(
             y, u, v, ry_ext[None], ru_ext[None], rv_ext[None], qp,
             halo=True, axis_name="rows",

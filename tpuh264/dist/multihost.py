@@ -149,7 +149,11 @@ def run_gop_worker(
 
     mesh = global_codec_mesh(rows_across_hosts, shape=mesh_shape)
     s_shards, r_shards = mesh.devices.shape
-    i_fn, p_fn = dmesh.sharded_gop_step(mesh)
+    # halo implementation per topology: fused uint8 message pair only
+    # when the rows axis actually crosses a process boundary (see
+    # dist/mesh.py sharded_gop_step docstring); both are bit-identical
+    rows_cross = rows_across_hosts and num_processes > 1
+    i_fn, p_fn = dmesh.sharded_gop_step(mesh, fused_halo=rows_cross)
 
     # deterministic moving content, identical in every process
     def batch(t):
@@ -199,6 +203,7 @@ def run_gop_worker(
         "processes": num_processes,
         "mesh": [int(s_shards), int(r_shards)],
         "rows_across_hosts": bool(rows_across_hosts),
+        "fused_halo": bool(rows_cross),
         "bitexact": ok_y and ok_u,
     }
 

