@@ -300,42 +300,13 @@ def _sad_field(src2, gplane, h, w):
     r, c = h // 16, w // 16
     n = 2 * SEARCH_RANGE + 1
 
-    if jax.default_backend() == "tpu":
-        hp, wp = h // 2, w // 2
-        phases = [
-            [gplane[:, py::2, px::2].astype(jnp.bfloat16)
-             for px in range(2)]
-            for py in range(2)
-        ]
-        src2b = src2.astype(jnp.bfloat16)
-        red_w = jnp.asarray(
-            (np.arange(wp)[:, None] // 8) == np.arange(c)[None, :],
-            jnp.bfloat16,
-        )
-        red_h = jnp.asarray(
-            (np.arange(r)[:, None]) == (np.arange(hp)[None, :] // 8),
-            jnp.float32,
-        )
-        sads = []
-        for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
-            oy = _PE + dy
-            ph_y, by = oy & 1, oy >> 1
-            for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1):
-                ox = _PE + dx
-                ph_x, bx = ox & 1, ox >> 1
-                r2 = phases[ph_y][ph_x][:, by : by + hp, bx : bx + wp]
-                d = jnp.abs(src2b - r2)  # [S, hp, wp]
-                # t stays f32: its values reach 8*255, beyond bf16's
-                # 8-bit mantissa -- the second (small) matmul runs f32
-                t = jnp.einsum(
-                    "shw,wc->shc", d, red_w,
-                    preferred_element_type=jnp.float32,
-                )
-                sads.append(jnp.einsum(
-                    "rh,shc->src", red_h, t,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.int32))
-        return jnp.stack(sads, axis=-1)
+    # On TPU the encode path uses the Pallas kernel (me_pallas.sad_field)
+    # instead of this function.  The former XLA-TPU einsum branch here
+    # was RETIRED in round 5: its row-reduction matmul accumulated at
+    # effective-bf16 precision on the MXU, drifting up to +-14 from the
+    # exact table (silent TPU-vs-CPU ME divergence; caught by a numpy
+    # ground-truth audit, tests/test_me_pallas.py).  The scan
+    # formulation below is exact on every backend.
 
     def body(_, iy):
         rows = jax.lax.dynamic_slice_in_dim(gplane, _PE - SEARCH_RANGE + iy,
@@ -352,8 +323,12 @@ def _sad_field(src2, gplane, h, w):
     return jnp.moveaxis(sads, 0, 3).reshape(s, r, c, n * n)
 
 
-def _int_winner(sads, lam, axis_name=None):
+def _int_winner(sads, lam, axis_name=None, nc: bool = False):
     """Two-phase stage-A selection on the SAD table [S,R,C,NN].
+
+    nc=True: the table arrives as [S,R,NN,C] (the Pallas kernel's
+    native layout, me_pallas.sad_field) and the selection runs with the
+    candidate axis at position 2 -- same results, no 37 MB transpose.
 
     Phase 1: zero-anchored rate bias -> per-MB winner; per-stream
     global MV = mode of winners (argmax = raster-earliest on ties).
@@ -367,11 +342,13 @@ def _int_winner(sads, lam, axis_name=None):
     a row-sharded call must psum the candidate counts over that axis --
     otherwise each shard derives its own global MV and the rate-relative
     phase-2 selection diverges from the unsharded encode."""
-    cost1 = 4 * sads + lam * _RATE0
-    win1 = jnp.argmin(cost1, axis=-1)  # first min on ties
-    counts = jnp.stack(
-        [(win1 == d).sum((1, 2)) for d in range(_NN)], axis=-1
-    )  # [S, NN]
+    cand_ax = 2 if nc else -1
+    rate0 = _RATE0[:, None] if nc else _RATE0
+    cost1 = 4 * sads + lam * rate0
+    win1 = jnp.argmin(cost1, axis=cand_ax)  # [S,R,C]; first min on ties
+    counts = (
+        win1[..., None] == jnp.arange(_NN, dtype=win1.dtype)
+    ).sum((1, 2))  # [S, NN] -- one fused one-hot reduce, not NN passes
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
     gidx = jnp.argmax(counts, axis=-1)  # first max on ties
@@ -382,8 +359,11 @@ def _int_winner(sads, lam, axis_name=None):
         4 * (_CAND_DX[None, :] - gx[:, None]),
         4 * (_CAND_DY[None, :] - gy[:, None]),
     )  # [S, NN]
-    cost2 = 4 * sads + lam * rate_rel[:, None, None, :]
-    win = jnp.argmin(cost2, axis=-1)
+    if nc:
+        cost2 = 4 * sads + lam * rate_rel[:, None, :, None]
+    else:
+        cost2 = 4 * sads + lam * rate_rel[:, None, None, :]
+    win = jnp.argmin(cost2, axis=cand_ax)
     return (
         win // n - SEARCH_RANGE,
         win % n - SEARCH_RANGE,
@@ -700,7 +680,11 @@ def encode_pframe_rows_multi(
 
     y32 = y.astype(jnp.int32)
     src_mbs = y32.reshape(s, r, 16, c, 16).transpose(0, 1, 3, 2, 4)
-    src2 = y32[:, ::2, ::2]
+    on_tpu = jax.default_backend() == "tpu"
+    # the stride-2 subsample is only materialized on CPU: the Pallas
+    # stage-A kernel consumes the full-res source directly (the XLA
+    # strided slice costs real milliseconds on TPU)
+    src2 = None if on_tpu else y32[:, ::2, ::2]
     u_mbs = (
         u.astype(jnp.int32).reshape(s, r, 8, c, 8).transpose(0, 1, 3, 2, 4)
     )
@@ -709,10 +693,22 @@ def encode_pframe_rows_multi(
     )
 
     # ---- motion search per reference, batched over all MBs ----
+    # TPU: the stage-A table comes from the VMEM-resident Pallas kernel
+    # (kernels/me_pallas.py) -- exact int32 arithmetic, ~5x the XLA
+    # formulation's speed, and consumed in its native [S,R,NN,C] layout.
+    # (The retired XLA TPU path also accumulated the row reduction
+    # through an effectively-bf16 matmul, drifting up to +-14 from the
+    # exact table; the kernel restored CPU/TPU bit equality of the ME.)
+    if on_tpu:
+        from . import me_pallas
     mvx = mvy = inter_sad = inter_cost = refsel = None
     for n in range(n_refs):
-        sads = _sad_field(src2, planes_n[n][0], h, w)
-        iy0, ix0, gy, gx = _int_winner(sads, lam, axis_name)
+        if on_tpu:
+            sads = me_pallas.sad_field(y32, planes_n[n][0], h, w)
+            iy0, ix0, gy, gx = _int_winner(sads, lam, axis_name, nc=True)
+        else:
+            sads = _sad_field(src2, planes_n[n][0], h, w)
+            iy0, ix0, gy, gx = _int_winner(sads, lam, axis_name)
         gqx = (4 * gx)[:, None, None]
         gqy = (4 * gy)[:, None, None]
         iy, ix = _int_refine(bands_l[n][0], src_mbs, iy0, ix0, lam,
