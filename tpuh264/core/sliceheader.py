@@ -26,7 +26,15 @@ class SliceHeader:
     frame_num: int = 0
     idr_pic_id: int = 0
     num_ref_idx_l0_active_minus1: int = 0
+    cabac_init_idc: int = 0
     slice_qp_delta: int = 0
+    header_bits: int = 0  # parse only: bit length of the header (CABAC
+    #                       slice data starts at the next byte boundary)
+    # explicit weighted prediction (parse only; None = unweighted):
+    # weights_l0[ref] = (luma_w, luma_o, [[cb_w, cb_o], [cr_w, cr_o]])
+    luma_log2_weight_denom: int = 0
+    chroma_log2_weight_denom: int = 0
+    weights_l0: object = None
     disable_deblocking_filter_idc: int = 1  # 1 = deblocking off
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
@@ -91,6 +99,24 @@ class SliceHeader:
                 h.num_ref_idx_l0_active_minus1 = r.ue()
             if r.u(1):
                 raise NotImplementedError("ref_pic_list_modification")
+            if pps.weighted_pred_flag:
+                # pred_weight_table (7.3.3.2): explicit weighted
+                # prediction, on by default in x264 main/high (weightp);
+                # weights recorded per ref for the recon (8.4.2.3.2)
+                luma_d = r.ue()
+                chroma_d = r.ue()
+                h.luma_log2_weight_denom = luma_d
+                h.chroma_log2_weight_denom = chroma_d
+                h.weights_l0 = []
+                for _ in range(h.num_ref_idx_l0_active_minus1 + 1):
+                    lw, lo = 1 << luma_d, 0
+                    if r.u(1):  # luma_weight_l0_flag
+                        lw, lo = r.se(), r.se()
+                    cw = [[1 << chroma_d, 0], [1 << chroma_d, 0]]
+                    if r.u(1):  # chroma_weight_l0_flag
+                        for c in range(2):
+                            cw[c][0], cw[c][1] = r.se(), r.se()
+                    h.weights_l0.append((lw, lo, cw))
         if idr:
             r.u(1)
             if r.u(1):
@@ -99,11 +125,12 @@ class SliceHeader:
             if r.u(1):
                 raise NotImplementedError("adaptive ref pic marking")
         if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:
-            r.ue()
+            h.cabac_init_idc = r.ue()
         h.slice_qp_delta = r.se()
         if pps.deblocking_filter_control_present_flag:
             h.disable_deblocking_filter_idc = r.ue()
             if h.disable_deblocking_filter_idc != 1:
                 h.slice_alpha_c0_offset_div2 = r.se()
                 h.slice_beta_offset_div2 = r.se()
+        h.header_bits = r._pos
         return h

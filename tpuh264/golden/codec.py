@@ -145,6 +145,12 @@ class _MBContext:
     qp_map: np.ndarray = None  # (mbh, mbw) per-MB QP as decoded (8.7.2)
     gmv: list = None           # per-DPB-entry (gy, gx) global MV (encoder)
     intra_in_p: bool = True    # encoder: consider intra16 MBs in P slices
+    # explicit weighted prediction (decode, 8.4.2.3.2): per-slice list
+    # [(luma_w, luma_o, [[cb_w, cb_o], [cr_w, cr_o]])] per refIdx, plus
+    # the log2 denominators; None = unweighted
+    wp: object = None
+    wp_luma_d: int = 0
+    wp_chroma_d: int = 0
 
 
 def _new_ctx(mbw: int, mbh: int, qp: int, qpc: int,
@@ -676,6 +682,27 @@ def _write_chroma_residual(w, ctx, mbx, mby, left_ok, top_ok, cbp_chroma,
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
 
+def _weight_pred(pred, w, o, d):
+    """Explicit weighted-sample prediction (8.4.2.3.2) on one plane."""
+    if d >= 1:
+        v = ((pred * w + (1 << (d - 1))) >> d) + o
+    else:
+        v = pred * w + o
+    return np.clip(v, 0, 255)
+
+
+def _wp_apply(ctx, ref, predl, predu, predv):
+    """Apply the slice's explicit weights for refIdx `ref` (no-op when
+    the slice is unweighted).  Returns possibly-new pred arrays."""
+    if ctx.wp is None:
+        return predl, predu, predv
+    lw, lo, cwo = ctx.wp[min(ref, len(ctx.wp) - 1)]
+    predl = _weight_pred(predl, lw, lo, ctx.wp_luma_d)
+    predu = _weight_pred(predu, cwo[0][0], cwo[0][1], ctx.wp_chroma_d)
+    predv = _weight_pred(predv, cwo[1][0], cwo[1][1], ctx.wp_chroma_d)
+    return predl, predu, predv
+
+
 def _apply_skip(ctx, dpb, mbx, mby, sid):
     """Reconstruct a P_Skip MB and update all state (references DPB[0])."""
     refy, refu, refv, planes = dpb[0]
@@ -684,15 +711,15 @@ def _apply_skip(ctx, dpb, mbx, mby, sid):
     )
     y0, x0 = 16 * mby, 16 * mbx
     c0, cx0 = 8 * mby, 8 * mbx
-    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = inter_mod.mc_luma_qpel(
-        planes, mbx, mby, mvx, mvy
+    pl, pu, pv = _wp_apply(
+        ctx, 0,
+        inter_mod.mc_luma_qpel(planes, mbx, mby, mvx, mvy),
+        inter_mod.mc_chroma(refu, mbx, mby, mvx, mvy),
+        inter_mod.mc_chroma(refv, mbx, mby, mvx, mvy),
     )
-    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = inter_mod.mc_chroma(
-        refu, mbx, mby, mvx, mvy
-    )
-    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = inter_mod.mc_chroma(
-        refv, mbx, mby, mvx, mvy
-    )
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = pl
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = pu
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = pv
     ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
     ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
     ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
@@ -1103,27 +1130,43 @@ def _decode_mb_p(r, ctx, dpb, mbx, mby, sid):
         ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
+    _recon_inter_mb(ctx, dpb, mbx, mby, sid, blocks, l_zz, zz8,
+                    use_t8, dcu, dcv, acu, acv, cbp_chroma)
+
+
+def _recon_inter_mb(ctx, dpb, mbx, mby, sid, blocks, l_zz, zz8, use_t8,
+                    dcu, dcv, acu, acv, cbp_chroma):
+    """Reconstruct an inter MB from parsed partitions + residuals.
+
+    Shared by the CAVLC (_decode_mb_p) and CABAC (cabac_slice) slice
+    decoders -- the entropy layers differ, the reconstruction (8.4.2,
+    8.5) is identical.  `blocks` = [(ox, oy, w4, h4, ref, (mvx, mvy))]
+    in 4x4-block units."""
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    qp, qpc = ctx.qp, ctx.qpc
     # motion compensation per partition, then residual reconstruction
     predl = np.zeros((16, 16), np.int32)
     predu = np.zeros((8, 8), np.int32)
     predv = np.zeros((8, 8), np.int32)
     for (ox, oy, w4, h4, ref, (mvx, mvy)) in blocks:
         refy, refu, refv, planes = dpb[min(ref, len(dpb) - 1)]
-        predl[4 * oy : 4 * oy + 4 * h4, 4 * ox : 4 * ox + 4 * w4] = (
+        pl, pu, pv = _wp_apply(
+            ctx, ref,
             inter_mod.mc_luma_qpel_at(
-                planes, x0 + 4 * ox, y0 + 4 * oy, 4 * w4, 4 * h4, mvx, mvy
-            )
-        )
-        predu[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = (
+                planes, x0 + 4 * ox, y0 + 4 * oy, 4 * w4, 4 * h4, mvx,
+                mvy,
+            ),
             inter_mod.mc_chroma_at(
                 refu, cx0 + 2 * ox, c0 + 2 * oy, 2 * w4, 2 * h4, mvx, mvy
-            )
-        )
-        predv[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = (
+            ),
             inter_mod.mc_chroma_at(
                 refv, cx0 + 2 * ox, c0 + 2 * oy, 2 * w4, 2 * h4, mvx, mvy
-            )
+            ),
         )
+        predl[4 * oy : 4 * oy + 4 * h4, 4 * ox : 4 * ox + 4 * w4] = pl
+        predu[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = pu
+        predv[2 * oy : 2 * oy + 2 * h4, 2 * ox : 2 * ox + 2 * w4] = pv
 
     if use_t8:
         d8 = t8mod.dequant8x8(t8mod.inverse_zigzag8(zz8), qp)
@@ -1224,6 +1267,17 @@ def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
     else:
         ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    _recon_i16_mb(ctx, mbx, mby, sid, pred, cmode, dc_zz, ac_zz,
+                  cbp_luma, cbp_chroma, dcu, dcv, acu, acv,
+                  left_ok, top_ok)
+
+
+def _recon_i16_mb(ctx, mbx, mby, sid, pred, cmode, dc_zz, ac_zz,
+                  cbp_luma, cbp_chroma, dcu, dcv, acu, acv,
+                  left_ok, top_ok):
+    """Reconstruct an I_16x16 MB from the parsed prediction + residuals
+    (shared by the CAVLC and CABAC slice decoders)."""
+    qp, qpc = ctx.qp, ctx.qpc
     topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
     topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
     predu = intra.pred8(cmode, topu, leftu, corneru, top_ok, left_ok)
@@ -1263,6 +1317,7 @@ class StreamDecoder:
         self.sps: Optional[SPS] = None
         self.pps: Optional[PPS] = None
         self.ctx: Optional[_MBContext] = None
+        self.cabac_ctx = None  # per-frame CABAC neighbor-context state
         self.dpb: List = []
         self.sid = 0
         self.frame_idc = 1
@@ -1304,6 +1359,7 @@ class StreamDecoder:
             ))
             del self.dpb[max(1, sps.max_num_ref_frames):]  # sliding window
         self.ctx = None
+        self.cabac_ctx = None
         return frame
 
     def feed(self, data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -1343,10 +1399,31 @@ class StreamDecoder:
                 # SliceQPY resets the mb_qp_delta accumulator (7.4.5)
                 ctx.qp = qp
                 ctx.qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+                # explicit weighted prediction state (per slice)
+                ctx.wp = header.weights_l0
+                ctx.wp_luma_d = header.luma_log2_weight_denom
+                ctx.wp_chroma_d = header.chroma_log2_weight_denom
                 self.frame_idc = header.disable_deblocking_filter_idc
                 addr = header.first_mb_in_slice
                 sid = self.sid
-                if header.slice_type == SLICE_P:
+                if pps.entropy_coding_mode_flag:
+                    # CABAC slice data (third-party Main/High streams)
+                    from .cabac_slice import (
+                        CabacFrameCtx, decode_slice_cabac,
+                    )
+
+                    if self.cabac_ctx is None:
+                        self.cabac_ctx = CabacFrameCtx(mbw, mbh)
+                    if header.slice_type == SLICE_P:
+                        assert self.dpb, "P slice without reference"
+                        ctx.nra = (
+                            header.num_ref_idx_l0_active_minus1 + 1
+                        )
+                    decode_slice_cabac(
+                        rbsp, header, sps, pps, ctx, self.dpb, sid,
+                        self.cabac_ctx,
+                    )
+                elif header.slice_type == SLICE_P:
                     assert self.dpb, "P slice without reference"
                     ctx.nra = header.num_ref_idx_l0_active_minus1 + 1
                     while r.more_rbsp_data():
@@ -1730,7 +1807,15 @@ def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
         ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
         ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
 
-    # causal reconstruction
+    _recon_i44_mb(ctx, mbx, mby, sid, modes, coeffs, cmode,
+                  dcu, dcv, acu, acv, cbp_c, left_ok, top_ok)
+
+
+def _recon_i44_mb(ctx, mbx, mby, sid, modes, coeffs, cmode,
+                  dcu, dcv, acu, acv, cbp_c, left_ok, top_ok):
+    """Causal I_NxN reconstruction from parsed modes + residuals
+    (shared by the CAVLC and CABAC slice decoders)."""
+    qp, qpc = ctx.qp, ctx.qpc
     ctx.slice_id[mby, mbx] = sid  # in-MB neighbor checks
     ctx.qp_map[mby, mbx] = ctx.qp
     _mb_grid_update(ctx, mbx, mby, sid)
