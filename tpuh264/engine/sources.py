@@ -215,3 +215,126 @@ def device_yuv_frame(width: int, height: int, t, streams: int = 1):
     import jax.numpy as jnp
 
     return _device_source(width, height, streams)(jnp.int32(t))
+
+
+# -- file sources (Y4M) -------------------------------------------------------
+# The reference only ever encodes live camera frames (app.js:245-247);
+# real deployments encode FILES too, and the north star's RD comparisons
+# need recorded clips.  YUV4MPEG2 is the interchange format every
+# standard test clip (Akiyo, Foreman, ...) ships in.
+
+
+def write_y4m(path: str, frames, fps: int = 30) -> None:
+    """Write I420 frames [(y, u, v)] as a YUV4MPEG2 file."""
+    y0 = np.asarray(frames[0][0])
+    h, w = y0.shape
+    with open(path, "wb") as f:
+        f.write(
+            f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+        )
+        for (y, u, v) in frames:
+            f.write(b"FRAME\n")
+            f.write(np.asarray(y, np.uint8).tobytes())
+            f.write(np.asarray(u, np.uint8).tobytes())
+            f.write(np.asarray(v, np.uint8).tobytes())
+
+
+def read_y4m(path: str, max_frames: int = 0):
+    """Read a YUV4MPEG2 (8-bit 4:2:0) file -> [(y, u, v)] int32 planes.
+
+    Accepts the C420/C420jpeg/C420mpeg2/C420paldv chroma taggings (all
+    are 8-bit 2x2-subsampled layouts; siting differences do not change
+    the sample container).  Interlaced or non-4:2:0 files are rejected.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 file")
+        w = h = None
+        for tok in header.split()[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C") and not tok.startswith("C420"):
+                raise NotImplementedError(f"chroma {tok} (4:2:0 only)")
+            elif tok.startswith("I") and tok not in ("Ip", "I?"):
+                raise NotImplementedError("interlaced Y4M")
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        frames = []
+        ylen, clen = w * h, (w // 2) * (h // 2)
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError("bad FRAME marker")
+            raw = f.read(ylen + 2 * clen)
+            if len(raw) < ylen + 2 * clen:
+                break
+            y = np.frombuffer(raw, np.uint8, ylen).reshape(h, w)
+            u = np.frombuffer(raw, np.uint8, clen, ylen).reshape(
+                h // 2, w // 2
+            )
+            v = np.frombuffer(raw, np.uint8, clen, ylen + clen).reshape(
+                h // 2, w // 2
+            )
+            frames.append((
+                y.astype(np.int32), u.astype(np.int32),
+                v.astype(np.int32),
+            ))
+            if max_frames and len(frames) >= max_frames:
+                break
+    return frames
+
+
+def clip_frames(width: int, height: int, n: int, kind: str = "meeting",
+                seed: int = 0):
+    """Camera-like synthetic CLIPS for RD measurement: richer than the
+    per-frame sources above (textured regions, independently moving
+    foreground, sensor noise), deterministic, any resolution.
+
+    These stand in for standard test clips in the build environment,
+    which has no network egress to fetch Akiyo/Foreman et al.; real
+    clips go through read_y4m on the same code path.
+    """
+    rng = np.random.default_rng(seed * 7 + 13)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    # static textured background (smoothed noise + structure)
+    bg = rng.normal(0, 1, (height + 64, width + 64)).astype(np.float32)
+    for _ in range(3):  # cheap separable smoothing
+        bg = (bg + np.roll(bg, 1, 0) + np.roll(bg, -1, 0)
+              + np.roll(bg, 1, 1) + np.roll(bg, -1, 1)) / 5.0
+    bg = 110 + 70 * bg / max(np.abs(bg).max(), 1e-6)
+    bg += 25 * np.sin(np.mgrid[0:height + 64, 0:width + 64][1] / 41.0)
+    out = []
+    for t in range(n):
+        if kind == "meeting":
+            # slow global drift + a larger talking-head-like ellipse
+            # moving independently + slight luma flicker
+            gx, gy = 0.7 * t, 0.3 * t
+            y = bg[int(gy):int(gy) + height, int(gx):int(gx) + width].copy()
+            cx = width * 0.5 + 14 * np.sin(t / 6.0)
+            cy = height * 0.55 + 6 * np.cos(t / 9.0)
+            d2 = ((xx - cx) / (0.16 * width)) ** 2 + (
+                (yy - cy) / (0.3 * height)) ** 2
+            obj = 150 + 40 * np.sin((xx - cx) / 9.0) * np.cos(
+                (yy - cy) / 11.0)
+            y = np.where(d2 < 1.0, obj, y) + 1.5 * np.sin(t / 3.0)
+        elif kind == "pan_detail":
+            # constant pan over high-detail texture (stress ME + rate)
+            gx, gy = 1.8 * t, 0.9 * t
+            y = bg[int(gy):int(gy) + height, int(gx):int(gx) + width].copy()
+            y += 20 * np.sin((xx + 2.3 * t) / 3.1) * np.cos(yy / 2.7)
+        else:
+            raise ValueError(kind)
+        y += rng.normal(0, 1.2, (height, width))  # sensor noise
+        u = 118 + 30 * np.sin((xx[::2, ::2] + 3 * t) / 53.0)
+        v = 130 + 26 * np.cos((yy[::2, ::2] + 2 * t) / 47.0)
+        out.append((
+            np.clip(y, 0, 255).astype(np.int32),
+            np.clip(u, 0, 255).astype(np.int32),
+            np.clip(v, 0, 255).astype(np.int32),
+        ))
+    return out
