@@ -223,7 +223,7 @@ def _luma_bands(plane: jnp.ndarray, r: int, c: int):
 def _window(band: jnp.ndarray, j0: jnp.ndarray, i0: jnp.ndarray, win: int,
             j_range=None, i_range=None):
     """Per-MB window extraction: band [S,R,C,B,B], j0/i0 [S,R,C] ->
-    [S,R,C,win,win] int32.
+    [S,R,C,win,win] int16.
 
     TPU-native formulation: a masked sum of STATIC shifted slices over
     the (small, known) offset range, one axis at a time -- XLA fuses
@@ -241,11 +241,16 @@ def _window(band: jnp.ndarray, j0: jnp.ndarray, i0: jnp.ndarray, win: int,
                   zero)
         for d in range(jlo, jhi + 1)
     )  # [S,R,C,win,B]
+    # int16 output: window samples are 8-bit, and every consumer (SAD,
+    # qpel averaging, MC select) is exact in int16 -- the extracted
+    # window tensors are the biggest intermediates of the inter path
+    # (w2 at 1080p x4 is 85 MB vs 170 MB in int32), so the dtype IS the
+    # HBM bill
     return sum(
         jnp.where((i0 == d)[..., None, None], rows[..., :, d : d + win],
                   zero)
         for d in range(ilo, ihi + 1)
-    ).astype(jnp.int32)
+    ).astype(jnp.int16)
 
 
 _POW2_8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
