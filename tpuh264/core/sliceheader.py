@@ -28,13 +28,17 @@ class SliceHeader:
     num_ref_idx_l0_active_minus1: int = 0
     cabac_init_idc: int = 0
     slice_qp_delta: int = 0
-    header_bits: int = 0  # parse only: bit length of the header (CABAC
-    #                       slice data starts at the next byte boundary)
+    # parse-only metadata (excluded from equality: write() does not
+    # produce it): bit length of the header -- CABAC slice data starts
+    # at the next byte boundary after it
+    header_bits: int = dataclasses.field(default=0, compare=False)
     # explicit weighted prediction (parse only; None = unweighted):
     # weights_l0[ref] = (luma_w, luma_o, [[cb_w, cb_o], [cr_w, cr_o]])
-    luma_log2_weight_denom: int = 0
-    chroma_log2_weight_denom: int = 0
-    weights_l0: object = None
+    luma_log2_weight_denom: int = dataclasses.field(
+        default=0, compare=False)
+    chroma_log2_weight_denom: int = dataclasses.field(
+        default=0, compare=False)
+    weights_l0: object = dataclasses.field(default=None, compare=False)
     disable_deblocking_filter_idc: int = 1  # 1 = deblocking off
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0

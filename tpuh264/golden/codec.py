@@ -749,12 +749,17 @@ def _encode_mb_p(w, skiprun, ctx, y, u, v, dpb, mbx, mby, sid):
     cand_refs = (
         [ctx.force_ref] if ctx.force_ref >= 0 else list(range(len(dpb)))
     )
-    best = None  # (cost, sad, ref, mvx, mvy)
+    best = None  # (biased cost, sad, ref, mvx, mvy)
+    lam_me = inter_mod.LAMBDA_ME[min(max(qp, 0), 51)]
     for ri in cand_refs:
         gmv = ctx.gmv[ri] if ctx.gmv is not None else (0, 0)
         mvx_r, mvy_r, sad_r, cost_r = inter_mod.motion_search_qpel(
             src, dpb[ri][0], dpb[ri][3], mbx, mby, qp, gmv
         )
+        # rate-bias the reference choice by its te(v) signaling cost
+        # (inter_mod.ref_idx_bits): ties and near-ties stay on ref 0,
+        # preserving P_Skip reachability
+        cost_r = cost_r + lam_me * inter_mod.ref_idx_bits(ri, ctx.nra)
         if best is None or cost_r < best[0]:
             best = (cost_r, sad_r, ri, mvx_r, mvy_r)
     _, inter_sad, ref_i, mvx, mvy = best

@@ -27,6 +27,31 @@ SEARCH_PAD = 12           # reference padding needed (9 + subpel + margin)
 # standard SAD-domain lambda sqrt(0.85 * 2^((qp-12)/3)) ~ 2^((qp-12)/6);
 # anything much larger stops the search from following real motion at
 # high QP (the residual then costs far more than the mvd saved).
+REF_COHERENCE_BITS = 2
+
+
+def ref_idx_bits(ri: int, nra: int) -> int:
+    """Bits of ref_idx_l0 as te(v) with cMax = nra-1 (7.3.5.1): the
+    rate term of the per-MB reference choice.  Selecting a non-zero
+    reference also breaks P_Skip eligibility (8.4.1.1), so an unbiased
+    selection at high QP trades a few SAD points for a per-MB overhead
+    floor -- the round-5 multi-ref RC finding (BENCH_NOTES)."""
+    # REF_COHERENCE_BITS: beyond the te(v) bits, non-zero references
+    # carry a small fixed penalty.  For nra == 2 the te bits are 1 for
+    # BOTH indices (non-differential), yet choosing ref 1 forfeits
+    # P_Skip eligibility (8.4.1.1) and decorrelates the left-neighbor
+    # MV prediction chain -- measured at QP 45 the unbiased selection
+    # flips 21% of MBs to ref 1 for noise-level SAD gains and sets a
+    # per-MB mvd-overhead floor (BENCH_NOTES round 5).  +2 bits keeps
+    # genuinely better references reachable (cuts churn to ~5%).
+    extra = REF_COHERENCE_BITS if ri > 0 else 0
+    if nra <= 1:
+        return extra
+    if nra == 2:
+        return 1 + extra
+    return 2 * (ri + 1).bit_length() - 1 + extra
+
+
 LAMBDA_ME = [max(1, int(0.92 * 2.0 ** ((q - 12) / 6.0)))
              for q in range(52)]
 

@@ -75,6 +75,7 @@ from ..golden.inter import (
     SEARCH_PAD,
     SEARCH_RANGE,
     mv_rate_bits,
+    ref_idx_bits,
 )
 
 KIND_SKIP = 0
@@ -722,6 +723,10 @@ def encode_pframe_rows_multi(
         mvx_n, mvy_n, sad_n, cost_n = _subpel_refine(
             w2, src_mbs, iy, ix, lam, gqx, gqy
         )
+        # reference signaling rate bias (golden ref_idx_bits): the
+        # selection must stay bit-identical to golden _encode_mb_p
+        cost_n = cost_n + lam * ref_idx_bits(n + ref_base,
+                                             ref_base + n_refs)
         if n == 0:
             mvx, mvy, inter_sad, inter_cost = mvx_n, mvy_n, sad_n, cost_n
             refsel = jnp.zeros_like(sad_n)
