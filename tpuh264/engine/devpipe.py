@@ -447,6 +447,13 @@ class GOPDevicePipeline:
         # with the dispatch handles (decode parses it back from the
         # slice headers).
         self.rc = RateController(config)
+        # freeze_shapes: stop ADAPTING payload budgets / record caps
+        # (each new bucket value compiles a new jit variant -- fine
+        # while warming, catastrophic inside a measurement window or a
+        # live session's steady state: a 480p x8 compile is ~60 s).
+        # Frozen overflow still decodes correctly via the slab/host
+        # fallbacks; only the adaptation is paused.
+        self.freeze_shapes = False
         self.stage_ms = {"wire": 0.0, "dev_wait": 0.0, "d2h": 0.0,
                          "parse": 0.0, "dec_dispatch": 0.0,
                          "enc_dispatch": 0.0, "n": 0}
@@ -756,7 +763,7 @@ class GOPDevicePipeline:
         caps = self._caps[start]
         hist = self._caps_hist[start]
         hist.append((len(mb_pos), len(cval)))
-        if len(hist) >= 16:
+        if len(hist) >= 16 and not self.freeze_shapes:
             # record caps shrink like the payload budgets (>=4x
             # oversized only): the h2d record upload is cap-sized, so
             # caps left fat by an RC transient would tax every later
@@ -768,8 +775,15 @@ class GOPDevicePipeline:
             if need_c <= caps[1] // 4:
                 caps[1] = need_c
             del hist[:]
-        caps[0] = bm = self._bucket(len(mb_pos), caps[0])
-        caps[1] = bc = self._bucket(len(cval), caps[1])
+        if self.freeze_shapes:
+            # no new jit variants: use the frozen caps when they fit
+            bm = caps[0] if len(mb_pos) <= caps[0] else self._bucket(
+                len(mb_pos), caps[0])
+            bc = caps[1] if len(cval) <= caps[1] else self._bucket(
+                len(cval), caps[1])
+        else:
+            caps[0] = bm = self._bucket(len(mb_pos), caps[0])
+            caps[1] = bc = self._bucket(len(cval), caps[1])
         mb_pos = np.concatenate(
             [mb_pos, np.full(bm - len(mb_pos), k * s * n, np.int32)]
         )
@@ -920,7 +934,7 @@ class GOPDevicePipeline:
         caps = self._payload_w[start]
         hist = self._payload_hist[start]
         hist.append((wc_i_tot, wc_p_tot))
-        if len(hist) >= 16:
+        if len(hist) >= 16 and not self.freeze_shapes:
             # shrink budgets left >=4x oversized by a transient (e.g.
             # the rate controller settling): conservative hysteresis so
             # steady state never oscillates between step variants
@@ -934,11 +948,14 @@ class GOPDevicePipeline:
         if wc_p_tot > budget_p or (start and wc_i_tot > budget_i):
             # payload-budget overflow: grow the sticky budgets (a new
             # step variant compiles for subsequent dispatches) and fall
-            # back to the full slab download for this one
-            if start and wc_i_tot > budget_i:
-                caps[0] = self._bucket(wc_i_tot * 5 // 4, budget_i)
-            if wc_p_tot > budget_p:
-                caps[1] = self._bucket(wc_p_tot * 5 // 4, budget_p)
+            # back to the full slab download for this one.  Frozen
+            # pipelines keep the budgets (and take the slab path) --
+            # correctness is identical, no compile mid-measurement.
+            if not self.freeze_shapes:
+                if start and wc_i_tot > budget_i:
+                    caps[0] = self._bucket(wc_i_tot * 5 // 4, budget_i)
+                if wc_p_tot > budget_p:
+                    caps[1] = self._bucket(wc_p_tot * 5 // 4, budget_p)
             if start:
                 rbsp_i = slices_from_slab(hw_i, bytes_i)
             rbsp_p = slices_from_slab(hw_p, bytes_p)
@@ -1171,6 +1188,8 @@ class GOPDevicePipeline:
                     break
         self.stats.snapshot(self.config.streams)
         self.stage_ms = {kk: 0.0 for kk in self.stage_ms}
+        # measurement window: no new jit variants (see freeze_shapes)
+        self.freeze_shapes = True
         n = 0
         t0 = time.perf_counter()
         deadline = t0 + duration_s
@@ -1200,6 +1219,7 @@ class GOPDevicePipeline:
                 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
             )
         wall = time.perf_counter() - t0
+        self.freeze_shapes = False
         snap = self.stats.snapshot(self.config.streams)
         snap["frames"] = n * self.config.streams
         snap["pipeline_fps"] = n / wall
