@@ -1186,6 +1186,17 @@ class GOPDevicePipeline:
                              tuple(self._caps[False]))
                 if new_state == state:
                     break
+        # headroom before freezing: content drift can push the decode
+        # record counts past any cap seen in warmup, and a frozen cap
+        # that overflows must still pad to SOME bucket -- which would
+        # compile a new decode-step variant mid-window.  Double both
+        # phases' caps and run one full GOP cycle so the doubled
+        # variants are compiled BEFORE the measurement starts.
+        for ph in (True, False):
+            self._caps[ph][0] *= 2
+            self._caps[ph][1] *= 2
+        for _ in range(self.gop_dispatches):
+            self.pump_frame()
         self.stats.snapshot(self.config.streams)
         self.stage_ms = {kk: 0.0 for kk in self.stage_ms}
         # measurement window: no new jit variants (see freeze_shapes)
