@@ -255,3 +255,38 @@ def test_gop_pipeline_multiref_bitexact():
             np.testing.assert_array_equal(
                 o[p], np.asarray(a[p]), err_msg=f"f{fi} plane{p}"
             )
+
+
+def test_frozen_shapes_overflow_stays_correct():
+    """freeze_shapes pauses jit-variant adaptation (the measurement-
+    window integrity fix); an overflow under frozen budgets must take
+    the slab/host fallback paths and still decode bit-exactly."""
+    import numpy as np
+
+    from tpuh264.engine import CodecConfig
+    from tpuh264.engine.devpipe import GOPDevicePipeline
+    from tpuh264.golden import codec as gcodec
+
+    pipe = GOPDevicePipeline(
+        CodecConfig(width=96, height=64, streams=2, qp=30,
+                    intra_in_p=False),
+        gop_size=8, source_kind="rigid",
+    )
+    pipe.pump_frame()  # adapt/compile freely once
+    # freeze with deliberately tiny budgets: every later dispatch
+    # overflows and must fall back without mutating the budgets
+    pipe.freeze_shapes = True
+    pipe._payload_w[True] = [16, 16]
+    pipe._payload_w[False] = [0, 16]
+    before = (tuple(pipe._payload_w[True]), tuple(pipe._payload_w[False]))
+    for _ in range(3):
+        pipe.pump_frame()
+    after = (tuple(pipe._payload_w[True]), tuple(pipe._payload_w[False]))
+    assert before == after, "frozen budgets must not adapt"
+    dy, du, dv = pipe.decoded_planes()
+    frames = gcodec.decode_annexb_seq(pipe.stream_bytes(0))
+    assert len(frames) == 16
+    oy = np.asarray(frames[-1][0])
+    np.testing.assert_array_equal(
+        np.asarray(dy[0])[: oy.shape[0], : oy.shape[1]], oy
+    )
