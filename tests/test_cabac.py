@@ -162,3 +162,37 @@ def test_engine_cabac_ippp_deblock_temporal():
         lv = decode_with_libav(bytes(full))
         for i, fr in enumerate(lv):
             np.testing.assert_array_equal(fr[0], recs[i])
+
+
+@pytest.mark.skipif(not libav_available(), reason="libavcodec not available")
+def test_cabac_i44_under_high_profile_pps():
+    """I_NxN under a transform_8x8 PPS must code transform_size_8x8_flag
+    (7.3.5) -- the packer used to omit it, making any
+    cabac+transform8x8+intra44 session stream non-conformant the moment
+    an I_4x4 MB was chosen.  libavcodec decoding cleanly (no concealment)
+    and the pack/parse inverse both pin the fix."""
+    from tpuh264.core.params import PROFILE_HIGH
+
+    mbw, mbh = 5, 3
+    n = mbw * mbh
+    mb_info = np.zeros((n, 4), np.int32)
+    mb_info[:, 0] = 2          # I16 DC
+    mb_info[::2, 0] = 4        # alternate I_NxN
+    i4m = np.full((n, 16), 2, np.int32)
+    ldc = np.zeros((n, 16), np.int64)
+    lac = np.zeros((n, 16, 16), np.int64)
+    cdc = np.zeros((n, 2, 4), np.int64)
+    cac = np.zeros((n, 2, 4, 15), np.int64)
+    sps_c = SPS.for_size(80, 48, profile_idc=PROFILE_HIGH)
+    pps_c = PPS(entropy_coding_mode_flag=1, transform_8x8_mode_flag=1)
+    stream = cabac_pack.pack_iframe(
+        mb_info, ldc, lac, cdc, cac, sps_c, pps_c, 30, i4modes=i4m
+    )
+    ref = decode_with_libav(stream)
+    assert len(ref) == 1
+    ours = codec.decode_annexb_seq(stream)
+    for o, a in zip(ours[0], ref[0]):
+        np.testing.assert_array_equal(o, np.asarray(a))
+    parsed = cabac_pack.parse_iframe(stream)
+    np.testing.assert_array_equal(parsed[3], mb_info)
+    np.testing.assert_array_equal(parsed[8][::2], i4m[::2])

@@ -220,6 +220,149 @@ def test_x264_cabac_default_settings():
     _roundtrip_cabac("threads=1:sliced-threads=0")
 
 
+def _roundtrip_high(x264_params, n=6, **kw):
+    frames = _frames(n=n)
+    stream = encode_with_x264(
+        frames, bitrate=300_000, profile="high",
+        x264_params=x264_params, **kw
+    )
+    ours = gcodec.decode_annexb_seq(stream)
+    ref = decode_with_libav(stream)
+    assert len(ours) == len(ref) == n
+    for fi, ((oy, ou, ov), (ay, au, av)) in enumerate(zip(ours, ref)):
+        np.testing.assert_array_equal(oy, np.asarray(ay), err_msg=f"f{fi} Y")
+        np.testing.assert_array_equal(ou, np.asarray(au), err_msg=f"f{fi} U")
+        np.testing.assert_array_equal(ov, np.asarray(av), err_msg=f"f{fi} V")
+    return stream
+
+
+def test_x264_high_intra8x8():
+    """High-profile Intra_8x8 (I_NxN + transform_size_8x8_flag): the
+    filtered-reference 8.3.2 prediction modes + ctxBlockCat-5 residuals
+    in I slices (golden/intra8.py closes the round-4 CABAC gap)."""
+    _roundtrip_high(
+        "aq-mode=0:partitions=i8x8,i4x4:ref=1:threads=1:sliced-threads=0"
+    )
+
+
+def test_x264_high_default_settings():
+    """x264's DEFAULT high-profile output (only threading pinned):
+    8x8dct on, mixed Intra_8x8/4x4/16x16, inter 8x8 transform, AQ."""
+    _roundtrip_high("threads=1:sliced-threads=0")
+
+
+def test_x264_high_cavlc_intra8x8():
+    """High profile with CAVLC entropy: Intra_8x8 coefficients arrive
+    as 4 interleaved 4x4 CAVLC blocks per coded 8x8 (the codec.py
+    _decode_i8_mb path, distinct from the CABAC ctxBlockCat-5 one)."""
+    _roundtrip_high(
+        "cabac=0:aq-mode=0:partitions=i8x8,i4x4:ref=1:threads=1:"
+        "sliced-threads=0"
+    )
+
+
+def test_x264_high_weightp_reflist_modification():
+    """preset=medium high-profile: x264's smart weighted prediction
+    (weightp=2) duplicates the reference picture in L0 via
+    ref_pic_list_modification with per-index weights (8.2.4.3.1 --
+    formerly a NotImplementedError in SliceHeader.parse)."""
+    _roundtrip_high(
+        "aq-mode=1:partitions=all:ref=2:threads=1:sliced-threads=0",
+        preset="medium",
+    )
+
+
+def _craft_cabac_ipcm_stream(w=64, h=48, qp=30, seed=9, deblock_idc=0):
+    """Hand-build a conformant CABAC I-slice alternating I_PCM and
+    I_16x16-DC macroblocks (x264 never emits I_PCM at 8-bit, so the
+    fixture is crafted with our own 9.3.4 encoder; libavcodec decoding
+    it below is the third-party conformance check of the crafting)."""
+    from tpuh264.core.bitstream import BitWriter
+    from tpuh264.core import nal
+    from tpuh264.core.params import SPS, PPS, PROFILE_MAIN
+    from tpuh264.core.sliceheader import SliceHeader, SLICE_I
+    from tpuh264.entropy.cabac_arith import CabacEncoder
+    from tpuh264.entropy.cabac_tables import CTX_INIT_I, init_contexts
+    from tpuh264.entropy import cabac_pack as cp
+
+    mbw, mbh = w // 16, h // 16
+    sps = SPS.for_size(w, h, profile_idc=PROFILE_MAIN)
+    pps = PPS(entropy_coding_mode_flag=1)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    wtr = BitWriter()
+    sps.write(wtr)
+    out += nal.wrap_nal(nal.NAL_SPS, wtr.get_bytes())
+    wtr = BitWriter()
+    pps.write(wtr)
+    out += nal.wrap_nal(nal.NAL_PPS, wtr.get_bytes())
+    wtr = BitWriter()
+    SliceHeader(
+        first_mb_in_slice=0, slice_type=SLICE_I, frame_num=0,
+        slice_qp_delta=qp - 26 - pps.pic_init_qp_minus26,
+        disable_deblocking_filter_idc=deblock_idc,
+    ).write(wtr, sps, pps, True)
+    while wtr.bit_length % 8:
+        wtr.u(1, 1)  # cabac_alignment_one_bit
+    st, mps = init_contexts(CTX_INIT_I, qp)
+    C = cp._Ctx(mbw, mbh)
+    payload = bytearray()
+    enc = CabacEncoder()
+    n = mbw * mbh
+    info = np.array([2, 0, 0, 0], np.int32)  # I16 DC, cbp 0
+    zldc = np.zeros(16, np.int64)
+    zlac = np.zeros((16, 16), np.int64)
+    zcdc = np.zeros((2, 4), np.int64)
+    zcac = np.zeros((2, 4, 15), np.int64)
+    for addr in range(n):
+        mby, mbx = divmod(addr, mbw)
+        if addr % 2 == 0:  # alternate I_PCM / I_16x16
+            left_mb = mbx > 0
+            top_mb = addr >= mbw
+            inc = (1 if left_mb and C.not_i4[mby, mbx - 1] else 0) + (
+                1 if top_mb and C.not_i4[mby - 1, mbx] else 0
+            )
+            enc.encode(st, mps, 3 + inc, 1)
+            enc.terminate(1)  # I_PCM indicator: flushes + byte-aligns
+            payload += enc.get_bytes()
+            payload += bytes(rng.integers(0, 256, 384, np.uint8))
+            enc = CabacEncoder()  # 9.3.4.1: engine re-init after PCM
+            C.not_i4[mby, mbx] = 1
+            C.cmode[mby, mbx] = 0
+            C.cbp_l[mby, mbx] = 15
+            C.cbp_c[mby, mbx] = 2
+            C.nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 1
+            C.nnz_u[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 1
+            C.nnz_v[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 1
+            C.dc_y[mby, mbx] = 1
+            C.dc_u[mby, mbx] = 1
+            C.dc_v[mby, mbx] = 1
+            C.i4[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = -1
+        else:
+            cp._enc_mb(enc, st, mps, C, addr, 0, mbw,
+                       info, zldc, zlac, zcdc, zcac, None)
+        enc.terminate(1 if addr == n - 1 else 0)  # end_of_slice_flag
+    payload += enc.get_bytes()
+    rbsp = wtr.get_bytes() + bytes(payload)
+    out += nal.wrap_nal(nal.NAL_SLICE_IDR, rbsp, nal_ref_idc=3)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("deblock_idc", [1, 0])
+def test_cabac_ipcm_decode(deblock_idc):
+    """I_PCM inside a CABAC slice: byte-aligned raw samples at the
+    engine-flush boundary, engine re-init after (9.3.1.2), neighbor
+    contexts treated as fully-coded, QP-0 deblocking (8.7.2).  Both
+    libavcodec and our decoder must read the crafted stream
+    identically."""
+    stream = _craft_cabac_ipcm_stream(deblock_idc=deblock_idc)
+    ref = decode_with_libav(stream)
+    ours = gcodec.decode_annexb_seq(stream)
+    assert len(ref) == len(ours) == 1
+    for nm, o, a in zip("YUV", ours[0], ref[0]):
+        np.testing.assert_array_equal(o, np.asarray(a), err_msg=nm)
+
+
 def test_engine_decoder_session_cabac_stream():
     """The engine DecoderSession routes CABAC AUs to the golden
     fallback (the PPS entropy_coding_mode_flag gate in decoder.py)."""

@@ -39,6 +39,9 @@ class SliceHeader:
     chroma_log2_weight_denom: int = dataclasses.field(
         default=0, compare=False)
     weights_l0: object = dataclasses.field(default=None, compare=False)
+    # ref_pic_list_modification ops (parse only; None = default order):
+    # [(modification_of_pic_nums_idc 0|1, abs_diff_pic_num_minus1), ...]
+    ref_list_mods: object = dataclasses.field(default=None, compare=False)
     disable_deblocking_filter_idc: int = 1  # 1 = deblocking off
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
@@ -101,8 +104,17 @@ class SliceHeader:
         if h.slice_type == SLICE_P:
             if r.u(1):
                 h.num_ref_idx_l0_active_minus1 = r.ue()
-            if r.u(1):
-                raise NotImplementedError("ref_pic_list_modification")
+            if r.u(1):  # ref_pic_list_modification_flag_l0 (7.3.3.1)
+                h.ref_list_mods = []
+                while True:
+                    idc = r.ue()
+                    if idc == 3:
+                        break
+                    if idc == 2:
+                        raise NotImplementedError(
+                            "long-term ref_pic_list_modification"
+                        )
+                    h.ref_list_mods.append((idc, r.ue()))
             if pps.weighted_pred_flag:
                 # pred_weight_table (7.3.3.2): explicit weighted
                 # prediction, on by default in x264 main/high (weightp);

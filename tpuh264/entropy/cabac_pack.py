@@ -314,7 +314,7 @@ def _mb_common_ctx(C, addr, slice_start, mbw):
 
 
 def _enc_mb(enc, st, mps, C, addr, slice_start, mbw,
-            info, ldc, lac, cdc, cac, i4m) -> None:
+            info, ldc, lac, cdc, cac, i4m, t8en: bool = False) -> None:
     mode, cmode, cbp_l, cbp_c = (int(x) for x in info)
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
     i4 = mode == 4
@@ -325,6 +325,12 @@ def _enc_mb(enc, st, mps, C, addr, slice_start, mbw,
     )
     enc.encode(st, mps, 3 + inc, 0 if i4 else 1)
     if i4:
+        if t8en:
+            # High-profile PPS: I_NxN opens with transform_size_8x8_flag
+            # (7.3.5); our intra tooling stays 4x4
+            fa = 1 if left_mb and C.t8[mby, mbx - 1] else 0
+            fb = 1 if top_mb and C.t8[mby - 1, mbx] else 0
+            enc.encode(st, mps, 399 + fa + fb, 0)
         cbp_bits = cbp_l
         for bi, (bx, by) in enumerate(BLK_SCAN):
             gbx, gby = 4 * mbx + bx, 4 * mby + by
@@ -450,7 +456,8 @@ def _enc_mb(enc, st, mps, C, addr, slice_start, mbw,
 
 
 def _dec_mb(dec, st, mps, C, addr, slice_start, mbw,
-            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac, i4modes) -> None:
+            mb_info, luma_dc, luma_ac, chroma_dc, chroma_ac, i4modes,
+            t8en: bool = False) -> None:
     mby, mbx, left_mb, top_mb = _mb_common_ctx(C, addr, slice_start, mbw)
 
     inc = (1 if left_mb and C.not_i4[mby, mbx - 1] else 0) + (
@@ -458,6 +465,15 @@ def _dec_mb(dec, st, mps, C, addr, slice_start, mbw,
     )
     i4 = dec.decode(st, mps, 3 + inc) == 0
     if i4:
+        if t8en:
+            fa = 1 if left_mb and C.t8[mby, mbx - 1] else 0
+            fb = 1 if top_mb and C.t8[mby - 1, mbx] else 0
+            if dec.decode(st, mps, 399 + fa + fb):
+                raise NotImplementedError(
+                    "Intra_8x8 in the symbol-array parser (our encoder "
+                    "emits 4x4 intra only; use golden cabac_slice for "
+                    "third-party streams)"
+                )
         for bi, (bx, by) in enumerate(BLK_SCAN):
             gbx, gby = 4 * mbx + bx, 4 * mby + by
             l_ok = bx > 0 or left_mb
@@ -640,6 +656,7 @@ def pack_iframe(
                 mb_info[addr], luma_dc[addr], luma_ac[addr],
                 chroma_dc[addr], chroma_ac[addr],
                 i4modes[addr] if i4modes is not None else None,
+                t8en=pps.transform_8x8_mode_flag == 1,
             )
             enc.terminate(1 if k == count - 1 else 0)  # end_of_slice_flag
         rbsp = w.get_bytes() + enc.get_bytes()
@@ -688,7 +705,8 @@ def parse_iframe(
             addr = header.first_mb_in_slice
             start = addr
             while True:
-                _dec_mb(dec, st, mps, C, addr, start, mbw, *arrays)
+                _dec_mb(dec, st, mps, C, addr, start, mbw, *arrays,
+                        t8en=pps.transform_8x8_mode_flag == 1)
                 addr += 1
                 if dec.terminate():
                     break

@@ -4,11 +4,14 @@ Third-party Main/High-profile streams (libx264 default output) code
 their slice data with CABAC; this module parses that syntax --
 mb_skip_flag, full P mb_type binarization (16x16 / 16x8 / 8x16 / P_8x8
 with sub-partitions), partition-granular ref_idx / mvd contexts,
-mb_qp_delta, I_NxN / I_16x16 (in both I and P slices), transform-8x8
-residuals -- and reconstructs through the exact same golden recon
-helpers as the CAVLC path (codec._recon_inter_mb / _recon_i16_mb /
-_recon_i44_mb), so decoded pictures are pixel-identical to libavcodec
-(tests/test_conformance_reverse.py CABAC variants).
+mb_qp_delta, I_NxN / I_16x16 (in both I and P slices), Intra_8x8
+(transform_size_8x8_flag=1 with the golden/intra8.py filtered-reference
+prediction), I_PCM (byte-aligned raw samples + 9.3.1.2 engine re-init),
+transform-8x8 residuals -- and reconstructs through the exact same
+golden recon helpers as the CAVLC path (codec._recon_inter_mb /
+_recon_i16_mb / _recon_i44_mb / _recon_i8_mb), so decoded pictures are
+pixel-identical to libavcodec (tests/test_conformance_reverse.py CABAC
+and High-profile variants).
 
 Reference analog: the reference's decoder pool accepts any conformant
 stream because it ships the complete OpenH264 decoder
@@ -41,12 +44,14 @@ from ..entropy.cabac_pack import (
 from ..core.sliceheader import SLICE_I, SLICE_P
 from .codec import (
     BLK_SCAN,
+    _apply_ipcm_samples,
     _apply_qp_delta,
     _apply_skip,
     _i44_pred_mode,
     _neighbors_luma,
     _recon_i16_mb,
     _recon_i44_mb,
+    _recon_i8_mb,
     _recon_inter_mb,
     _set_blocks4,
 )
@@ -166,7 +171,9 @@ def _cabac_i44(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
         fa = 1 if left_mb and C.t8[mby, mbx - 1] else 0
         fb = 1 if top_mb and C.t8[mby - 1, mbx] else 0
         if dec.decode(st, mps, 399 + fa + fb):
-            raise NotImplementedError("Intra_8x8 prediction")
+            _cabac_i8(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
+                      left_mb, top_mb)
+            return
     modes = np.zeros(16, np.int32)
     for bi, (bx, by) in enumerate(BLK_SCAN):
         gbx, gby = 4 * mbx + bx, 4 * mby + by
@@ -239,6 +246,130 @@ def _cabac_i44(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
     C.cbp_l[mby, mbx] = cbp_l
     C.cbp_c[mby, mbx] = cbp_c
     C.t8[mby, mbx] = 0
+
+
+def _cabac_i8(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
+              left_mb, top_mb) -> None:
+    """Intra_8x8 (I_NxN + transform_size_8x8_flag=1, High profile):
+    four 8x8 pred modes (same ctx 68/69 schedule as 4x4, prediction from
+    the replicated-mode grid per 8.3.2.1), chroma mode, cbp, qp_delta,
+    ctxBlockCat-5 residuals; recon via codec._recon_i8_mb."""
+    modes = np.zeros(4, np.int32)
+    for b8 in range(4):
+        x8, y8 = b8 & 1, b8 >> 1
+        gbx, gby = 4 * mbx + 2 * x8, 4 * mby + 2 * y8
+        l_ok = gbx > 0 and (x8 > 0 or left_mb)
+        t_ok = gby > 0 and (y8 > 0 or top_mb)
+        pm = _i44_pred_mode(ctx.i4modes, gbx, gby, l_ok, t_ok)
+        if dec.decode(st, mps, 68):
+            m = pm
+        else:
+            rem = 0
+            for k in range(3):
+                rem |= dec.decode(st, mps, 69) << k
+            m = rem if rem < pm else rem + 1
+        modes[b8] = m
+        # replicate into the 4x4 grid: any covering-cell lookup by a
+        # later 4x4 OR 8x8 neighbor reads this block's mode (8.3.2.1)
+        ctx.i4modes[gby : gby + 2, gbx : gbx + 2] = m
+        C.i4[gby : gby + 2, gbx : gbx + 2] = m
+    cinc = (1 if left_mb and C.cmode[mby, mbx - 1] else 0) + (
+        1 if top_mb and C.cmode[mby - 1, mbx] else 0
+    )
+    cmode = 0
+    while cmode < 3 and dec.decode(
+        st, mps, (64 + cinc) if cmode == 0 else 67
+    ):
+        cmode += 1
+    bits = 0
+    for i in range(4):
+        inc_i = _cbp_luma_incs(C, mbx, mby, left_mb, top_mb, bits)[i]
+        bits |= dec.decode(st, mps, 73 + inc_i) << i
+    cbp_l = bits
+    a0 = 1 if left_mb and C.cbp_c[mby, mbx - 1] else 0
+    b0 = 1 if top_mb and C.cbp_c[mby - 1, mbx] else 0
+    if dec.decode(st, mps, 77 + a0 + 2 * b0):
+        a1 = 1 if left_mb and C.cbp_c[mby, mbx - 1] == 2 else 0
+        b1 = 1 if top_mb and C.cbp_c[mby - 1, mbx] == 2 else 0
+        cbp_c = 1 + dec.decode(st, mps, 81 + a1 + 2 * b1)
+    else:
+        cbp_c = 0
+    if cbp_l or cbp_c:
+        _apply_qp_delta(ctx, _dec_qp_delta(dec, st, mps, C))
+    else:
+        C.last_dqp_nz = 0
+
+    zz8 = np.zeros((2, 2, 64), np.int32)
+    for b8 in range(4):
+        x8, y8 = b8 & 1, b8 >> 1
+        if (cbp_l >> b8) & 1:
+            zz8[y8, x8] = _decode_residual8(dec, st, mps)
+            nz = np.count_nonzero(
+                np.asarray(zz8[y8, x8]).reshape(4, 16), axis=1
+            )
+            C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                    4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 1
+            # deblock nnz: distribute the 8x8 count over its 4x4s
+            ctx.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                      4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = (
+                nz.reshape(2, 2)
+            )
+        else:
+            C.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                    4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 0
+            ctx.nnz_y[4 * mby + 2 * y8 : 4 * mby + 2 * y8 + 2,
+                      4 * mbx + 2 * x8 : 4 * mbx + 2 * x8 + 2] = 0
+    C.dc_y[mby, mbx] = 0
+    dcu, dcv, acu, acv = _cabac_chroma(
+        dec, st, mps, C, ctx, mbx, mby, left_mb, top_mb, cbp_c, un=1
+    )
+    _recon_i8_mb(ctx, mbx, mby, sid, modes, zz8, cmode,
+                 dcu, dcv, acu, acv, cbp_c, left_mb, top_mb)
+    ctx.t8[mby, mbx] = 1  # deblock skips the internal 4/12 edges (8.7)
+    _mb_zero_entropy(C, mbx, mby, intra_mb=True)
+    C.skip[mby, mbx] = 0
+    C.not_i4[mby, mbx] = 0
+    C.cmode[mby, mbx] = cmode
+    C.cbp_l[mby, mbx] = cbp_l
+    C.cbp_c[mby, mbx] = cbp_c
+    C.t8[mby, mbx] = 1
+
+
+def _cabac_ipcm(dec, rbsp, C, ctx, mbx, mby, sid) -> None:
+    """I_PCM inside a CABAC slice (7.3.5, 9.3.1.2): the raw samples
+    start at the next byte boundary after the bits the arithmetic
+    decoder has consumed (verified invariant of the 9.3.4.6 encoder
+    flush: decoder pos == flushed stream bits), and the decoding engine
+    re-initializes right after them."""
+    off = (dec.pos + 7) // 8
+    end = off + 384
+    if end > len(rbsp):
+        raise ValueError("I_PCM runs past the slice payload")
+    raw = np.frombuffer(rbsp[off:end], np.uint8).astype(np.int32)
+    _apply_ipcm_samples(
+        ctx, mbx, mby, sid,
+        raw[:256].reshape(16, 16),
+        raw[256:320].reshape(8, 8),
+        raw[320:].reshape(8, 8),
+    )
+    dec.__init__(rbsp, end)  # 9.3.1.2: engine re-init (contexts persist)
+    # neighbor-context conventions for an I_PCM MB (9.3.3.1.1.x):
+    # cbf 1 everywhere, cbp 15/2, not-I_NxN, chroma mode 0, delta-QP 0
+    C.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 1
+    C.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 1
+    C.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 1
+    C.dc_y[mby, mbx] = 1
+    C.dc_u[mby, mbx] = 1
+    C.dc_v[mby, mbx] = 1
+    C.cbp_l[mby, mbx] = 15
+    C.cbp_c[mby, mbx] = 2
+    C.not_i4[mby, mbx] = 1
+    C.cmode[mby, mbx] = 0
+    C.t8[mby, mbx] = 0
+    C.skip[mby, mbx] = 0
+    C.last_dqp_nz = 0
+    C.i4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+    _mb_zero_entropy(C, mbx, mby, intra_mb=True)
 
 
 def _cabac_i16(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
@@ -318,11 +449,11 @@ def _cabac_chroma(dec, st, mps, C, ctx, mbx, mby, left_mb, top_mb,
 
 def _intra_suffix(dec, st, mps, base: int):
     """Intra mb_type suffix after the shared prefix: returns
-    (is_i44, pred_mode, cbp_l16, cbp_c) -- ffmpeg-verified ctx schedule
-    base/base+1/base+2/base+3 (base 3-area for I slices via explicit
-    ctxs, 17..20 for P slices)."""
+    (pred_mode, cbp_l16, cbp_c), or None for I_PCM (terminate bin 1) --
+    ffmpeg-verified ctx schedule base/base+1/base+2/base+3 (base 3-area
+    for I slices via explicit ctxs, 17..20 for P slices)."""
     if dec.terminate():
-        raise NotImplementedError("I_PCM in CABAC slice")
+        return None  # I_PCM: caller reads the byte-aligned samples
     cbp_l = dec.decode(st, mps, base + 1)
     if dec.decode(st, mps, base + 2):
         cbp_c = 1 + dec.decode(st, mps, base + 2)
@@ -345,7 +476,7 @@ _SUBGEO = {
 
 
 def _cabac_mb_p(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
-                left_mb, top_mb) -> None:
+                left_mb, top_mb, rbsp) -> None:
     """Non-skip P macroblock: full mb_type binarization (Table 9-37 /
     the ffmpeg ctx schedule 14/15/16-17), partitions, residuals."""
     gx0, gy0 = 4 * mbx, 4 * mby
@@ -354,7 +485,11 @@ def _cabac_mb_p(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
             _cabac_i44(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
                        left_mb, top_mb, in_p=True)
             return
-        pred_mode, cbp_l16, cbp_c = _intra_suffix(dec, st, mps, 17)
+        suffix = _intra_suffix(dec, st, mps, 17)
+        if suffix is None:
+            _cabac_ipcm(dec, rbsp, C, ctx, mbx, mby, sid)
+            return
+        pred_mode, cbp_l16, cbp_c = suffix
         _cabac_i16(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
                    left_mb, top_mb, pred_mode, cbp_l16, cbp_c, un=1)
         return
@@ -519,7 +654,7 @@ def _cabac_mb_p(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
 
 
 def _cabac_mb_i(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
-                left_mb, top_mb) -> None:
+                left_mb, top_mb, rbsp) -> None:
     """I-slice macroblock: mb_type prefix at ctx 3 + neighbor inc, then
     I_NxN or the I_16x16 suffix (explicit ctxs 6..10)."""
     inc = (1 if left_mb and C.not_i4[mby, mbx - 1] else 0) + (
@@ -530,7 +665,8 @@ def _cabac_mb_i(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
                    left_mb, top_mb, in_p=False)
         return
     if dec.terminate():
-        raise NotImplementedError("I_PCM in CABAC slice")
+        _cabac_ipcm(dec, rbsp, C, ctx, mbx, mby, sid)
+        return
     cbp_l16 = dec.decode(st, mps, 6)
     if dec.decode(st, mps, 7):
         cbp_c = 1 + dec.decode(st, mps, 8)
@@ -594,10 +730,10 @@ def decode_slice_cabac(rbsp: bytes, header, sps, pps, ctx, dpb, sid,
                 _mb_zero_entropy(C, mbx, mby, intra_mb=False)
             else:
                 _cabac_mb_p(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
-                            left_mb, top_mb)
+                            left_mb, top_mb, rbsp)
         else:
             _cabac_mb_i(dec, st, mps, C, ctx, dpb, mbx, mby, sid,
-                        left_mb, top_mb)
+                        left_mb, top_mb, rbsp)
         addr += 1
         if dec.terminate():  # end_of_slice_flag
             break

@@ -1204,26 +1204,10 @@ def _decode_ipcm_mb(r, ctx, mbx, mby, sid):
     every block as having 16 coded coefficients (9.2.1)."""
     while not r.byte_aligned():
         r.u(1)  # pcm_alignment_zero_bit
-    y0, x0 = 16 * mby, 16 * mbx
-    c0, cx0 = 8 * mby, 8 * mbx
-    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = np.array(
-        [r.u(8) for _ in range(256)], np.int32
-    ).reshape(16, 16)
-    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = np.array(
-        [r.u(8) for _ in range(64)], np.int32
-    ).reshape(8, 8)
-    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = np.array(
-        [r.u(8) for _ in range(64)], np.int32
-    ).reshape(8, 8)
-    ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
-    ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
-    ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
-    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
-    ctx.mv[mby, mbx] = 0
-    ctx.i4modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
-    ctx.slice_id[mby, mbx] = sid
-    ctx.qp_map[mby, mbx] = 0  # I_PCM filters as QP 0 (8.7.2)
-    _mb_grid_update(ctx, mbx, mby, sid)
+    ymb = np.array([r.u(8) for _ in range(256)], np.int32).reshape(16, 16)
+    umb = np.array([r.u(8) for _ in range(64)], np.int32).reshape(8, 8)
+    vmb = np.array([r.u(8) for _ in range(64)], np.int32).reshape(8, 8)
+    _apply_ipcm_samples(ctx, mbx, mby, sid, ymb, umb, vmb)
 
 
 def _decode_intra16_in_p(r, ctx, icode, mbx, mby, sid):
@@ -1324,6 +1308,8 @@ class StreamDecoder:
         self.ctx: Optional[_MBContext] = None
         self.cabac_ctx = None  # per-frame CABAC neighbor-context state
         self.dpb: List = []
+        self.dpb_fnums: List[int] = []  # frame_num per DPB entry (PicNum)
+        self.cur_frame_num = 0
         self.sid = 0
         self.frame_idc = 1
         self.frame_is_ref = True
@@ -1357,15 +1343,55 @@ class StreamDecoder:
         if self.frame_is_ref:
             if self.frame_is_idr:
                 self.dpb = []  # IDR clears the reference buffer
+                self.dpb_fnums = []
             ry = ctx.recon_y.copy()
             self.dpb.insert(0, (
                 ry, ctx.recon_u.copy(), ctx.recon_v.copy(),
                 inter_mod.build_halfpel_planes(ry),
             ))
+            self.dpb_fnums.insert(0, self.cur_frame_num)
             del self.dpb[max(1, sps.max_num_ref_frames):]  # sliding window
+            del self.dpb_fnums[max(1, sps.max_num_ref_frames):]
         self.ctx = None
         self.cabac_ctx = None
         return frame
+
+    def _ref_list_l0(self, header, sps) -> List:
+        """Per-slice L0 reference list (8.2.4): the DPB in default
+        (descending-PicNum == insertion) order, permuted by the slice's
+        ref_pic_list_modification ops (8.2.4.3.1).  Duplicate entries
+        are legal and load-bearing: x264's smart weighted prediction
+        (weightp=2) lists the same picture twice with different
+        pred_weight_table rows."""
+        if not header.ref_list_mods:
+            return self.dpb
+        max_fn = 1 << (sps.log2_max_frame_num_minus4 + 4)
+        cur = header.frame_num
+        nra = header.num_ref_idx_l0_active_minus1 + 1
+        pnums = [fn if fn <= cur else fn - max_fn for fn in self.dpb_fnums]
+        lst = list(range(len(self.dpb)))[:nra]
+        pred, ridx = cur, 0
+        for idc, diff in header.ref_list_mods:
+            if idc == 0:
+                nowrap = pred - (diff + 1)
+                if nowrap < 0:
+                    nowrap += max_fn
+            else:
+                nowrap = pred + (diff + 1)
+                if nowrap >= max_fn:
+                    nowrap -= max_fn
+            pred = nowrap
+            pnum = nowrap if nowrap <= cur else nowrap - max_fn
+            if pnum not in pnums:
+                raise ValueError(
+                    f"ref_pic_list_modification: PicNum {pnum} not in DPB"
+                )
+            k = pnums.index(pnum)
+            lst.insert(ridx, k)
+            ridx += 1
+            # purge later occurrences of the moved picture (8.2.4.3.1)
+            lst = lst[:ridx] + [j for j in lst[ridx:] if j != k]
+        return [self.dpb[i] for i in lst[:nra]]
 
     def feed(self, data: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Process annex-B bytes; returns frames COMPLETED by this feed
@@ -1409,6 +1435,7 @@ class StreamDecoder:
                 ctx.wp_luma_d = header.luma_log2_weight_denom
                 ctx.wp_chroma_d = header.chroma_log2_weight_denom
                 self.frame_idc = header.disable_deblocking_filter_idc
+                self.cur_frame_num = header.frame_num
                 addr = header.first_mb_in_slice
                 sid = self.sid
                 if pps.entropy_coding_mode_flag:
@@ -1419,28 +1446,31 @@ class StreamDecoder:
 
                     if self.cabac_ctx is None:
                         self.cabac_ctx = CabacFrameCtx(mbw, mbh)
+                    dpb_l0 = self.dpb
                     if header.slice_type == SLICE_P:
                         assert self.dpb, "P slice without reference"
                         ctx.nra = (
                             header.num_ref_idx_l0_active_minus1 + 1
                         )
+                        dpb_l0 = self._ref_list_l0(header, sps)
                     decode_slice_cabac(
-                        rbsp, header, sps, pps, ctx, self.dpb, sid,
+                        rbsp, header, sps, pps, ctx, dpb_l0, sid,
                         self.cabac_ctx,
                     )
                 elif header.slice_type == SLICE_P:
                     assert self.dpb, "P slice without reference"
                     ctx.nra = header.num_ref_idx_l0_active_minus1 + 1
+                    dpb_l0 = self._ref_list_l0(header, sps)
                     while r.more_rbsp_data():
                         run = r.ue()
                         for _ in range(run):
                             mby, mbx = divmod(addr, mbw)
-                            _apply_skip(ctx, self.dpb, mbx, mby, sid)
+                            _apply_skip(ctx, dpb_l0, mbx, mby, sid)
                             addr += 1
                         if not r.more_rbsp_data():
                             break
                         mby, mbx = divmod(addr, mbw)
-                        _decode_mb_p(r, ctx, self.dpb, mbx, mby, sid)
+                        _decode_mb_p(r, ctx, dpb_l0, mbx, mby, sid)
                         addr += 1
                 else:
                     while r.more_rbsp_data():
@@ -1555,6 +1585,7 @@ def encode_sequence(
 
 from ..entropy.cavlc_tables import CBP_INTRA, CBP_INTRA_INV  # noqa: E402
 from . import intra44 as i44  # noqa: E402
+from . import intra8 as i8mod  # noqa: E402
 from . import transform8 as t8mod  # noqa: E402
 
 # JM-style mode-decision lambda (SSD domain), fixed point x8 (the scale
@@ -1713,6 +1744,8 @@ def _write_i44_mb(w, ctx, y, u, v, mbx, mby, sid, in_p_slice=False):
 
     # --- syntax ---
     w.ue(5 if in_p_slice else 0)  # mb_type I_NxN
+    if ctx.t8_enabled:
+        w.u(1, 0)  # transform_size_8x8_flag: our intra stays 4x4
     for bi, (bx, by) in enumerate(BLK_SCAN):
         gbx, gby = 4 * mbx + bx, 4 * mby + by
         l_ok = gbx > 0 and (bx > 0 or left_ok)
@@ -1755,6 +1788,9 @@ def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
     qp, qpc = ctx.qp, ctx.qpc
     left_ok = mbx > 0 and ctx.slice_id[mby, mbx - 1] == sid
     top_ok = mby > 0 and ctx.slice_id[mby - 1, mbx] == sid
+    if ctx.t8_enabled and r.u(1):  # transform_size_8x8_flag (7.3.5)
+        _decode_i8_mb(r, ctx, mbx, mby, sid, left_ok, top_ok)
+        return
 
     modes = np.zeros(16, np.int32)
     for bi, (bx, by) in enumerate(BLK_SCAN):
@@ -1816,6 +1852,71 @@ def _decode_i44_mb(r, ctx, mbx, mby, sid, in_p_slice=False):
                   dcu, dcv, acu, acv, cbp_c, left_ok, top_ok)
 
 
+def _decode_i8_mb(r, ctx, mbx, mby, sid, left_ok, top_ok):
+    """CAVLC Intra_8x8 (High profile): four 8.3.2 pred modes, then each
+    coded 8x8's coefficients as 4 interleaved 4x4 CAVLC blocks (the
+    8.5.6 zigzag split the inter-t8 path already uses)."""
+    modes = np.zeros(4, np.int32)
+    for b8 in range(4):
+        x8, y8 = b8 & 1, b8 >> 1
+        gbx, gby = 4 * mbx + 2 * x8, 4 * mby + 2 * y8
+        l_ok = gbx > 0 and (x8 > 0 or left_ok)
+        t_ok = gby > 0 and (y8 > 0 or top_ok)
+        pm = _i44_pred_mode(ctx.i4modes, gbx, gby, l_ok, t_ok)
+        if r.u(1):
+            m = pm
+        else:
+            rem = r.u(3)
+            m = rem if rem < pm else rem + 1
+        modes[b8] = m
+        # replicated-mode grid: neighbor lookups read the covering cell
+        ctx.i4modes[gby : gby + 2, gbx : gbx + 2] = m
+    cmode = r.ue()
+    cbp = CBP_INTRA[r.ue()]
+    cbp_l = cbp & 15
+    cbp_c = cbp >> 4
+    if cbp:
+        _apply_qp_delta(ctx, r.se())
+
+    zz8 = np.zeros((2, 2, 64), np.int32)
+    for i8 in range(4):
+        if cbp_l >> i8 & 1:
+            for k4, (bx, by) in enumerate(BLK_SCAN[4 * i8 : 4 * i8 + 4]):
+                ncb = _luma_nc(ctx, mbx, mby, bx, by, left_ok, top_ok)
+                block = decode_residual_block(r, ncb, 16)
+                zz8[i8 >> 1, i8 & 1][k4::4] = block
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = int(
+                    np.count_nonzero(np.asarray(block))
+                )
+        else:
+            for bx, by in BLK_SCAN[4 * i8 : 4 * i8 + 4]:
+                ctx.nnz_y[4 * mby + by, 4 * mbx + bx] = 0
+
+    dcu = np.zeros(4, np.int32)
+    dcv = np.zeros(4, np.int32)
+    acu = np.zeros((2, 2, 15), np.int32)
+    acv = np.zeros((2, 2, 15), np.int32)
+    if cbp_c:
+        dcu = np.array(decode_residual_block(r, -1, 4), np.int32)
+        dcv = np.array(decode_residual_block(r, -1, 4), np.int32)
+    if cbp_c == 2:
+        for nnz_c, ac in ((ctx.nnz_u, acu), (ctx.nnz_v, acv)):
+            for bidx in range(4):
+                bx, by = bidx % 2, bidx // 2
+                ncb = _chroma_nc(nnz_c, mbx, mby, bx, by, left_ok, top_ok)
+                ac[by, bx] = decode_residual_block(r, ncb, 15)
+                nnz_c[2 * mby + by, 2 * mbx + bx] = int(
+                    np.count_nonzero(ac[by, bx])
+                )
+    else:
+        ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+        ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+
+    _recon_i8_mb(ctx, mbx, mby, sid, modes, zz8, cmode,
+                 dcu, dcv, acu, acv, cbp_c, left_ok, top_ok)
+    ctx.t8[mby, mbx] = 1  # deblock skips the internal 4/12 edges (8.7)
+
+
 def _recon_i44_mb(ctx, mbx, mby, sid, modes, coeffs, cmode,
                   dcu, dcv, acu, acv, cbp_c, left_ok, top_ok):
     """Causal I_NxN reconstruction from parsed modes + residuals
@@ -1846,3 +1947,107 @@ def _recon_i44_mb(ctx, mbx, mby, sid, modes, coeffs, cmode,
     )
     ctx.kind[mby, mbx] = inter_mod.MB_INTRA
     ctx.mv[mby, mbx] = 0
+
+def _i8_neighbors(ctx, gx8, gy8, sid):
+    """Neighbor samples for the 8x8 luma block at global 8x8-block
+    coords (the Intra_8x8 analog of _i44_neighbors): raw L[8]/T[8]/TR[8]
+    /corner with the 8.3.2.2 top-right substitution applied; filtering
+    happens inside intra8.pred8x8."""
+    mbw = ctx.slice_id.shape[1]
+    y0, x0 = 8 * gy8, 8 * gx8
+
+    def mb_ok(bx8, by8):
+        if bx8 < 0 or by8 < 0 or bx8 >= 2 * mbw:
+            return False
+        return ctx.slice_id[by8 // 2, bx8 // 2] == sid or (
+            bx8 // 2 == gx8 // 2 and by8 // 2 == gy8 // 2
+        )
+
+    left_ok = gx8 > 0 and mb_ok(gx8 - 1, gy8)
+    top_ok = gy8 > 0 and mb_ok(gx8, gy8 - 1)
+    # top-right: causal availability (z-scan within MB, raster across)
+    tr_ok = False
+    if gy8 > 0 and gx8 + 1 < 2 * mbw:
+        nbx, nby = gx8 + 1, gy8 - 1
+        if nby // 2 < gy8 // 2:  # in the MB row above
+            tr_ok = mb_ok(nbx, nby)
+        elif nbx // 2 > gx8 // 2:  # top-right MB on same row: future
+            tr_ok = False
+        else:  # same MB: the only prior-in-z case is block 2 <- block 1
+            tr_ok = (gx8 % 2, gy8 % 2) == (0, 1)
+    L = (
+        ctx.recon_y[y0 : y0 + 8, x0 - 1]
+        if left_ok else np.zeros(8, np.int32)
+    )
+    T = (
+        ctx.recon_y[y0 - 1, x0 : x0 + 8]
+        if top_ok else np.zeros(8, np.int32)
+    )
+    if tr_ok:
+        TR = ctx.recon_y[y0 - 1, x0 + 8 : x0 + 16].copy()
+        if TR.shape[0] < 8:  # frame edge: replicate last available
+            TR = np.pad(TR, (0, 8 - TR.shape[0]), mode="edge")
+    elif top_ok:
+        TR = np.full(8, int(T[7]), np.int32)
+    else:
+        TR = np.zeros(8, np.int32)
+    X = (
+        int(ctx.recon_y[y0 - 1, x0 - 1])
+        if (left_ok and top_ok)
+        else 0
+    )
+    return L, T, TR, X, left_ok, top_ok
+
+
+def _recon_i8_mb(ctx, mbx, mby, sid, modes, zz8, cmode,
+                 dcu, dcv, acu, acv, cbp_c, left_ok, top_ok):
+    """Causal Intra_8x8 (I_NxN + transform_size_8x8_flag) reconstruction
+    from parsed modes + 8x8 zigzag residuals (2,2,64)."""
+    qp, qpc = ctx.qp, ctx.qpc
+    ctx.slice_id[mby, mbx] = sid  # in-MB neighbor checks
+    ctx.qp_map[mby, mbx] = ctx.qp
+    _mb_grid_update(ctx, mbx, mby, sid)
+    for b8 in range(4):
+        x8, y8 = b8 & 1, b8 >> 1
+        gx8, gy8 = 2 * mbx + x8, 2 * mby + y8
+        L, T, TR, X, l_ok, t_ok = _i8_neighbors(ctx, gx8, gy8, sid)
+        p = i8mod.pred8x8(int(modes[b8]), L, T, TR, X, l_ok, t_ok)
+        d = t8mod.dequant8x8(t8mod.inverse_zigzag8(zz8[y8, x8]), qp)
+        ctx.recon_y[8 * gy8 : 8 * gy8 + 8, 8 * gx8 : 8 * gx8 + 8] = (
+            t8mod.idct8_add(p, d)
+        )
+
+    topu, leftu, corneru = _neighbors_chroma(ctx.recon_u, mbx, mby, left_ok, top_ok)
+    topv, leftv, cornerv = _neighbors_chroma(ctx.recon_v, mbx, mby, left_ok, top_ok)
+    predu = intra.pred8(cmode, topu, leftu, corneru, top_ok, left_ok)
+    predv = intra.pred8(cmode, topv, leftv, cornerv, top_ok, left_ok)
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predu, dcu, acu, qpc, cbp_c
+    )
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = reconstruct_chroma_mb(
+        predv, dcv, acv, qpc, cbp_c
+    )
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+
+
+def _apply_ipcm_samples(ctx, mbx, mby, sid, ymb, umb, vmb):
+    """Shared I_PCM macroblock application (8.3.5): raw samples into the
+    reconstruction + neighbor-state conventions (every block treated as
+    having 16 coded coefficients, QP 0 for deblocking per 8.7.2).  The
+    bits come from the CAVLC bit reader or the CABAC byte-aligned run."""
+    y0, x0 = 16 * mby, 16 * mbx
+    c0, cx0 = 8 * mby, 8 * mbx
+    ctx.recon_y[y0 : y0 + 16, x0 : x0 + 16] = ymb
+    ctx.recon_u[c0 : c0 + 8, cx0 : cx0 + 8] = umb
+    ctx.recon_v[c0 : c0 + 8, cx0 : cx0 + 8] = vmb
+    ctx.nnz_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
+    ctx.nnz_u[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+    ctx.nnz_v[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+    ctx.kind[mby, mbx] = inter_mod.MB_INTRA
+    ctx.mv[mby, mbx] = 0
+    ctx.i4modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
+    ctx.slice_id[mby, mbx] = sid
+    ctx.qp_map[mby, mbx] = 0  # I_PCM filters as QP 0 (8.7.2)
+    _mb_grid_update(ctx, mbx, mby, sid)
