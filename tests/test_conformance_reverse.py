@@ -385,3 +385,31 @@ def test_engine_decoder_session_cabac_stream():
             out[0], np.asarray(ref[fi][0]), err_msg=f"f{fi} Y"
         )
     assert sess.frames_decoded == 4
+
+
+@pytest.mark.parametrize("params", [
+    "threads=1:sliced-threads=0",           # CABAC (x264 high default)
+    "cabac=0:threads=1:sliced-threads=0",   # CAVLC high (t8 PPS)
+])
+def test_engine_decoder_session_high_profile(params):
+    """The engine DecoderSession routes x264 HIGH-profile AUs (both
+    entropy modes, 8x8dct on) through the golden fallback pixel-exact --
+    the reference decoder pool's any-conformant-stream behavior."""
+    from tpuh264.engine.decoder import DecoderSession
+
+    frames = _frames(n=4)
+    stream = encode_with_x264(
+        frames, bitrate=300_000, profile="high", x264_params=params
+    )
+    aus = _split_aus(stream)
+    assert len(aus) == 4
+    ref = decode_with_libav(stream)
+    sess = DecoderSession()
+    for fi, au in enumerate(aus):
+        out = sess.decode(au)
+        assert out is not None
+        np.testing.assert_array_equal(
+            out[0], np.asarray(ref[fi][0]), err_msg=f"f{fi} Y"
+        )
+    assert sess.frames_decoded == 4
+    assert sess.frames_concealed == 0
